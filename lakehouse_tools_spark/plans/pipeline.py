@@ -1,0 +1,85 @@
+"""End-to-end profiler pipeline — the reference's "Run All" flow.
+
+Reproduces SURVEY.md §3.1 as one function: discover tables → harvest
+schemas → profile every column → MERGE-upsert both outputs into their
+accumulated targets → (optionally) rewrite with clustering layout.
+The reference drove this with notebook cells, temp-view accumulators
+and per-column driver round-trips (``dbc cell@4.0``–``cell@10.0``);
+here it is a handful of lazy DataFrame plans with exactly two
+materialization points (the two upserts), same as the reference's two
+MERGE statements — but each table is scanned once, not once per
+column, and the driver never blocks on a per-column ``.collect()``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_tools_spark.operators.maintenance import zorder_layout
+from lakehouse_tools_spark.operators.merge import not_in, upsert
+from lakehouse_tools_spark.operators.profile import (
+    PROFILE_DATA_SCHEMA,
+    SCHEMA_INFORMATION_SCHEMA,
+    profile_data,
+    schema_information,
+)
+
+#: J1's ON-clause residual values (dbc cell@8.5:3).
+MERGE_EXCLUDED_COLUMN_NAMES = ["", "Not partitioned"]
+
+MERGE_KEYS = ["databaseName", "tableName", "columnName"]
+
+
+@dataclass
+class ProfileResult:
+    schema_information: DataFrame
+    profile_data: DataFrame
+
+
+def create_data_profile(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    database: str,
+    mode: str = "intended",
+    existing_schema_info: DataFrame | None = None,
+    existing_profile_data: DataFrame | None = None,
+    cluster_output: bool = False,
+) -> ProfileResult:
+    """Run the full profiler over ``tables``.
+
+    ``existing_*`` are the current contents of the two target tables
+    (the reference re-CREATEs them each run so they are empty on the
+    golden path — ``dbc cell@7.0``; pass non-empty frames to exercise
+    true upsert re-run semantics, SURVEY.md §7.3).
+    """
+    schema_src = schema_information(tables, database, spark)
+    profile_src = profile_data(tables, database, mode=mode)
+
+    schema_tgt = (
+        existing_schema_info
+        if existing_schema_info is not None
+        else spark.createDataFrame([], SCHEMA_INFORMATION_SCHEMA)
+    )
+    profile_tgt = (
+        existing_profile_data
+        if existing_profile_data is not None
+        else spark.createDataFrame([], PROFILE_DATA_SCHEMA)
+    )
+
+    residual = not_in("columnName", MERGE_EXCLUDED_COLUMN_NAMES)
+    merged_schema = upsert(schema_tgt, schema_src, MERGE_KEYS, residual)
+    merged_profile = upsert(profile_tgt, profile_src, MERGE_KEYS, residual)
+
+    if cluster_output:
+        # OPTIMIZE ... ZORDER BY (databaseName, tableName[, columnName])
+        # — dbc cell@9.0 / cell@10.0.
+        merged_schema = zorder_layout(merged_schema, ["databaseName", "tableName"])
+        merged_profile = zorder_layout(
+            merged_profile, ["databaseName", "tableName", "columnName"]
+        )
+
+    return ProfileResult(
+        schema_information=merged_schema, profile_data=merged_profile
+    )

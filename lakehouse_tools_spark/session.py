@@ -1,0 +1,74 @@
+"""SparkSession construction with the engine's performance conf map.
+
+Mirrors the reference's cluster recommendations (SURVEY.md §4;
+reference ``dbc cell@0.5:8-16``): AQE on with coalescing / local
+shuffle reader / skew-join handling, 20 MB broadcast threshold,
+prefer shuffled-hash over sort-merge join. Databricks-only confs
+(IO cache, Delta auto-optimize) are intentionally NOT replicated —
+see SURVEY.md §4 for the rationale; small-file compaction is handled
+at write time by :mod:`lakehouse_tools_spark.operators.maintenance`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs (safe to apply to an existing session).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.localShuffleReader.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # reference dbc cell@0.5:14 — 20 MB broadcast threshold
+    "spark.sql.autoBroadcastJoinThreshold": str(20 * 1024 * 1024),
+    # reference dbc cell@0.5:9 — hash join beats sort-merge when the
+    # build side fits per-partition; AQE still falls back when not
+    "spark.sql.join.preferSortMergeJoin": "false",
+    # DuckDB oracle timestamps are UTC-naive; pin the session TZ so
+    # timestamp→string and window boundaries agree across engines
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Spark 3.4+ int96 rebase safety for parquet fixture reads
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+}
+
+# Builder-time confs for sessions we create ourselves.
+DEFAULT_CONFS: dict[str, str] = {
+    **RUNTIME_CONFS,
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "16g",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session.
+
+    Used when the session is handed to us (driver harness) and we
+    cannot control builder-time settings. Only runtime-settable confs
+    are touched; failures on static confs are ignored.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # static conf on a live session — leave as-is
+            pass
+    return spark
+
+
+def get_session(
+    app_name: str = "lakehouse_tools_spark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine conf map applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    for key, value in {**DEFAULT_CONFS, **(extra_confs or {})}.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)
