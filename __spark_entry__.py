@@ -1,38 +1,867 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end profiler pipeline
+(SURVEY.md §3.1) on sf0.001. ``queries()`` registers one callable per
+implemented operator from SURVEY.md §2 plus the training-data
+extension surface (dedup / similarity / text / event-time windows),
+and ``oracle_sql()`` supplies the DuckDB-runnable ANSI-SQL equivalent
+for every SQL-expressible one.
+
+Cross-engine determinism rules used throughout (see
+lakehouse_tools_spark.functions.portable):
+
+- Money/value sums are computed in DECIMAL (exact) and cast to DOUBLE
+  at the end — both engines produce bit-identical doubles. Plain
+  double SUMs are order-sensitive at 1e5+ rows and would hash-differ.
+- Ratios of integers (and of already-identical doubles) are single
+  IEEE ops → deterministic; they are rounded to 6 decimals only for
+  display stability.
+- Doubles rendered to strings go through round(x,6)::DECIMAL(28,6);
+  timestamps through an explicit UTC format. Hashes are md5 (Spark's
+  murmur3 ``hash()`` is engine-specific).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lakehouse_tools_spark import session as lts_session
+from lakehouse_tools_spark.ext import dedup as X_dedup
+from lakehouse_tools_spark.ext import similarity as X_sim
+from lakehouse_tools_spark.ext import text as X_text
+from lakehouse_tools_spark.operators.maintenance import zorder_layout
+from lakehouse_tools_spark.operators.merge import not_in, upsert
+from lakehouse_tools_spark.plans.pipeline import create_data_profile
+from lakehouse_tools_spark.operators.profile import profile_data, schema_information
+from lakehouse_tools_spark.sources.tables import load_table, load_tables
+from lakehouse_tools_spark.streaming import windows as X_win
+
+DB = "tpch"
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_SQL = "%Y-%m-%d %H:%M:%S"
+
+# Static schema map of the fixture tables (TESTDATA.md), used to
+# generate the profiler oracles. Types are Spark simpleString()s.
+FIXTURE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+    "customer": [
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"),
+        ("s_name", "string"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp"),
+    ],
+    "events": [
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+}
+
+#: Subset profiled by the small profiler queries (keeps the oracle
+#: UNION tree readable; profiler_e2e covers every table above).
+PROFILE_TABLES = ("region", "nation", "supplier", "orders")
+
+_NORM_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+_STOPWORDS = X_text.LANG_MARKERS["en"]
+
+
+def _spark(spark: SparkSession) -> SparkSession:
+    return lts_session.configure(spark)
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast(T.DecimalType(10, 2))
+
+
+# ---------------------------------------------------------------- profiler
+
+
+def _render_sql(col: str, dtype: str) -> str:
+    """DuckDB expression matching profile.stable_string for ``dtype``."""
+    if dtype == "double":
+        return f"CAST(CAST(round({col}, 6) AS DECIMAL(28,6)) AS VARCHAR)"
+    if dtype == "timestamp":
+        return f"strftime({col}, '{TS_FMT_SQL}')"
+    return f"CAST({col} AS VARCHAR)"
+
+
+def _profile_intended_oracle(tables: tuple[str, ...]) -> str:
+    parts = []
+    for t in tables:
+        for c, dt in FIXTURE_SCHEMAS[t]:
+            r = _render_sql(f'"{c}"', dt)
+            parts.append(
+                f"SELECT '{DB}' AS databaseName, '{t}' AS tableName, "
+                f"'{c}' AS columnName, '{dt}' AS dataType, {r} AS value, "
+                f"CAST(count(*) AS FLOAT) AS num_records, "
+                f"CAST(length({r}) AS FLOAT) AS len FROM {t} GROUP BY {r}"
+            )
+    return " UNION ALL ".join(parts)
+
+
+def _profile_as_written_oracle(tables: tuple[str, ...]) -> str:
+    per_table = []
+    for t in tables:
+        branches = [
+            f"SELECT '{DB}' AS databaseName, '{t}' AS tableName, "
+            f"'{c}' AS columnName, '{dt}' AS dataType, '{c}' AS value, "
+            f"CAST(count(*) AS FLOAT) AS num_records, "
+            f"CAST(length('{c}') AS FLOAT) AS len FROM {t} GROUP BY \"{c}\""
+            for c, dt in FIXTURE_SCHEMAS[t]
+        ]
+        per_table.append("SELECT * FROM (" + " UNION ".join(branches) + ")")
+    return " UNION ALL ".join(per_table)
+
+
+def _schema_info_oracle(tables: tuple[str, ...]) -> str:
+    rows = ", ".join(
+        f"('{DB}', '{t}', '{c}', '{dt}', CAST(NULL AS VARCHAR))"
+        for t in tables
+        for c, dt in FIXTURE_SCHEMAS[t]
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS v(databaseName, tableName, "
+        "columnName, dataType, comments)"
+    )
+
+
+def q_profile_intended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(_spark(spark), sf_dir, PROFILE_TABLES)
+    return profile_data(tables, DB, mode="intended")
+
+
+def q_profile_as_written(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(_spark(spark), sf_dir, PROFILE_TABLES)
+    return profile_data(tables, DB, mode="as_written")
+
+
+def q_schema_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(_spark(spark), sf_dir, PROFILE_TABLES)
+    return schema_information(tables, DB, spark)
+
+
+def q_profiler_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline (discover → profile → MERGE into empty targets),
+    reference flow §3.1. With empty targets MERGE reduces to
+    insert-all, so the oracle is the intended-mode profile of every
+    table."""
+    tables = load_tables(_spark(spark), sf_dir, tuple(FIXTURE_SCHEMAS))
+    return create_data_profile(spark, tables, DB, mode="intended").profile_data
+
+
+MERGE_RESIDUAL_EXCL = ["NATION_7", "NATION_20"]
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 MERGE semantics incl. the residual-in-ON subtlety: source
+    rows failing the residual never match, so they are *inserted* even
+    when their key exists in the target (dbc cell@8.5:3)."""
+    nation = load_table(_spark(spark), sf_dir, "nation")
+    tgt = nation.filter(F.col("n_nationkey") < 15).select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("v")
+    )
+    src = nation.filter(F.col("n_nationkey") >= 5).select(
+        F.col("n_nationkey").alias("k"), F.upper("n_name").alias("v")
+    )
+    return upsert(tgt, src, ["k"], not_in("v", MERGE_RESIDUAL_EXCL))
+
+
+_MERGE_ORACLE = f"""
+WITH t AS (SELECT n_nationkey AS k, n_name AS v FROM nation WHERE n_nationkey < 15),
+     s AS (SELECT n_nationkey AS k, upper(n_name) AS v FROM nation WHERE n_nationkey >= 5),
+     sm AS (SELECT * FROM s WHERE v NOT IN ('{MERGE_RESIDUAL_EXCL[0]}', '{MERGE_RESIDUAL_EXCL[1]}'))
+SELECT t.k AS k, t.v AS v FROM t WHERE t.k NOT IN (SELECT k FROM sm)
+UNION ALL
+SELECT sm.k AS k, sm.v AS v FROM t JOIN sm ON t.k = sm.k
+UNION ALL
+SELECT s.k AS k, s.v AS v FROM s
+WHERE s.v IN ('{MERGE_RESIDUAL_EXCL[0]}', '{MERGE_RESIDUAL_EXCL[1]}')
+   OR s.k NOT IN (SELECT k FROM t)
+"""
+
+
+def q_zorder_rowset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 row-preservation property: the clustering layout rewrite
+    (OPTIMIZE ZORDER analog, dbc cell@9.0/10.0) changes layout only."""
+    li = load_table(_spark(spark), sf_dir, "lineitem")
+    out = zorder_layout(li, ["l_returnflag", "l_shipdate"])
+    return out.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_linestatus",
+        F.date_format("l_shipdate", TS_FMT_SPARK).alias("l_shipdate_s"),
+    )
+
+
+_ZORDER_ORACLE = f"""
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       l_extendedprice, l_returnflag, l_linestatus,
+       strftime(l_shipdate, '{TS_FMT_SQL}') AS l_shipdate_s
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------- TPC-H-style
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(_spark(spark), sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias("avg_price"),
+        "count_order",
+    )
+
+
+_Q1_ORACLE = """
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2))) * (1 + CAST(l_tax AS DECIMAL(10,2)))) AS DOUBLE) AS sum_charge,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+       sum_charge, round(sum_qty / count_order, 6) AS avg_qty,
+       round(sum_base_price / count_order, 6) AS avg_price, count_order
+FROM a
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _spark(spark)
+    cust = load_table(s, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(s, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(s, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", TS_FMT_SPARK).alias("o_orderdate_s"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_ORACLE = f"""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '{TS_FMT_SQL}') AS o_orderdate_s
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier-volume: 6-way join; small dims broadcast."""
+    s = _spark(spark)
+    t = load_tables(
+        s, sf_dir, ("region", "nation", "customer", "supplier", "orders", "lineitem")
+    )
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    joined = (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["customer"],
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q5_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _spark(spark)
+    cust = load_table(s, sf_dir, "customer")
+    orders = load_table(s, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+_TOPK_CUSTOMERS_ORACLE = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS total_spend,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey
+LIMIT 10
+"""
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface (absent in the reference, SURVEY §2.6):
+    per-customer top-3 orders by price."""
+    orders = load_table(_spark(spark), sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+_WINDOW_RANK_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------- dedup
+
+_SHINGLES_CTE = f"""
+d AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(c="text")}, ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(toks) >= 3 THEN array_to_string(toks[u.i + 1 : u.i + 3], ' ')
+              ELSE array_to_string(toks, ' ') END AS shingle
+  FROM d, UNNEST(CASE WHEN len(toks) >= 3 THEN generate_series(0, len(toks) - 3)
+                      ELSE [0] END) AS u(i)
+)
+"""
+
+_MINHASH_CTE = (
+    _SHINGLES_CTE
+    + """,
+m AS (
+  SELECT doc_id, h.hash_id AS hash_id,
+         min(md5(concat(h.hash_id, '|', shingle))) AS minhash
+  FROM sh, UNNEST(generate_series(0, 7)) AS h(hash_id)
+  GROUP BY doc_id, h.hash_id
+)
+"""
+)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return X_dedup.exact_duplicates(docs, "text", "doc_id")
+
+
+_DEDUP_EXACT_ORACLE = f"""
+SELECT md5({_NORM_SQL.format(c="text")}) AS fp, count(*) AS n_docs,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    sigs = X_dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=8, k=3)
+    return sigs.select("doc_id", F.col("hash_id").cast("int").alias("hash_id"), "minhash")
+
+
+_DEDUP_MINHASH_ORACLE = (
+    "WITH "
+    + _MINHASH_CTE
+    + "SELECT doc_id, CAST(hash_id AS INT) AS hash_id, minhash FROM m"
+)
+
+
+def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    sigs = X_dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=8, k=3)
+    return X_dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+
+
+_DEDUP_LSH_ORACLE = (
+    "WITH "
+    + _MINHASH_CTE
+    + """,
+b AS (
+  SELECT doc_id, CAST(hash_id // 2 AS INT) AS band,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS bucket
+  FROM m GROUP BY doc_id, CAST(hash_id // 2 AS INT)
+)
+SELECT DISTINCT a.doc_id AS doc_id, b2.doc_id AS doc_id2
+FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                  AND a.doc_id < b2.doc_id
+"""
+)
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    sh = X_dedup.word_shingles(docs, "text", "doc_id", k=3)
+    return X_dedup.jaccard_pairs(sh, threshold=0.1)
+
+
+_DEDUP_JACCARD_ORACLE = (
+    "WITH "
+    + _SHINGLES_CTE
+    + """,
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS doc_id, s2.doc_id AS doc_id2, count(*) AS n_inter
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_id, i.doc_id2,
+       floor(i.n_inter / (a.sz + b.sz - i.n_inter) * 1000000) / 1000000 AS jaccard
+FROM inter i
+JOIN sizes a ON i.doc_id = a.doc_id
+JOIN sizes b ON i.doc_id2 = b.doc_id
+WHERE floor(i.n_inter / (a.sz + b.sz - i.n_inter) * 1000000) / 1000000 >= 0.1
+"""
+)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return X_dedup.simhash(docs, "text", "doc_id", bits=32)
+
+
+def _simhash_oracle() -> str:
+    sums = ", ".join(
+        f"SUM(((h >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(32)
+    )
+    pack = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(32)
+    )
+    norm = _NORM_SQL.format(c="text")
+    return f"""
+WITH d AS (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents),
+w AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(toks) AS w FROM d)),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) AS h FROM w),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, {pack} AS simhash FROM s
+"""
+
+
+# ---------------------------------------------------------------- similarity
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(_spark(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = X_sim.cosine_topk(emb, queries, k=10)
+    return out.select("query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
+
+
+_SIM_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+s AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+  FROM c, q WHERE c.vec_id != q.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM s)
+SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10
+"""
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH bucket probe — the
+    100 TB path. Non-SQL-expressible compactly → rows-only check;
+    recall vs the exact path is asserted in tests/."""
+    emb = load_table(_spark(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = X_sim.ann_topk_lsh(emb, queries, k=10, num_planes=4, dim=64)
+    return out.select("query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
+
+
+# ---------------------------------------------------------------- text
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return X_text.quality_features(docs, "text", "doc_id")
+
+
+def _quality_oracle() -> str:
+    norm = _NORM_SQL.format(c="text")
+    stop = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, string_split({norm}, ' ') AS words FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(words) AS INT) AS n_words,
+         CAST(len(list_filter(words, x -> x IN ({stop}))) AS INT) AS n_stop,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INT) AS n_punct
+  FROM base
+),
+ratio AS (
+  SELECT doc_id, n_chars, n_words,
+         floor((n_chars - (n_words - 1)) / n_words * 1000000) / 1000000 AS mean_word_len,
+         floor(n_stop / n_words * 1000000) / 1000000 AS stopword_ratio,
+         floor(n_punct / n_chars * 1000000) / 1000000 AS punct_ratio
+  FROM feat
+)
+SELECT doc_id, n_chars, n_words, mean_word_len, stopword_ratio, punct_ratio,
+       floor(least(1.0, greatest(0.0,
+             0.5 + 0.5 * stopword_ratio - 2.0 * punct_ratio
+             + CASE WHEN n_words >= 10 AND n_words <= 5000 THEN 0.2 ELSE -0.2 END)) * 1000000) / 1000000
+         AS quality_score
+FROM ratio
+"""
+
+
+def q_text_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return X_text.language_scores(docs, "text", "doc_id")
+
+
+def _language_oracle() -> str:
+    norm = _NORM_SQL.format(c="text")
+    langs = sorted(X_text.LANG_MARKERS)
+    scores = ", ".join(
+        "floor(len(list_filter(words, x -> x IN ({m}))) / len(words) * 1000000) / 1000000 AS score_{l}".format(
+            m=", ".join(f"'{w}'" for w in X_text.LANG_MARKERS[lang]), l=lang
+        )
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = " ".join(f"WHEN score_{l} = best THEN '{l}'" for l in langs)
+    return f"""
+WITH base AS (SELECT doc_id, string_split({norm}, ' ') AS words FROM documents),
+s AS (SELECT doc_id, {scores} FROM base),
+b AS (SELECT *, {best} AS best FROM s)
+SELECT doc_id, CASE {pred} END AS lang_pred, best AS score FROM b
+"""
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X_text.token_count(F.col("text")).cast("int").alias("n_tokens_ws"),
+        X_text.regex_token_count(F.col("text")).cast("int").alias("n_tokens_re"),
+    )
+
+
+_TEXT_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(string_split({_NORM_SQL.format(c="text")}, ' ')) AS INT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '{X_text.TOKEN_PATTERN}')) AS INT) AS n_tokens_re
+FROM documents
+"""
+
+
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return X_text.fingerprints(docs, "text", "doc_id").select(
+        "doc_id", "fingerprint", F.col("n_chars").cast("int").alias("n_chars")
+    )
+
+
+_TEXT_FP_ORACLE = f"""
+SELECT doc_id, md5({_NORM_SQL.format(c="text")}) AS fingerprint,
+       CAST(length(text) AS INT) AS n_chars
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- events
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(_spark(spark), sf_dir, "events")
+    return X_win.tumbling_counts(ev, "5 minutes")
+
+
+_EVENTS_TUMBLING_ORACLE = f"""
+SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '{TS_FMT_SQL}') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(_spark(spark), sf_dir, "events")
+    return X_win.sliding_counts(ev, "10 minutes", "5 minutes")
+
+
+_EVENTS_SLIDING_ORACLE = f"""
+WITH w AS (
+  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws,
+         event_type
+  FROM events
+)
+SELECT strftime(ws, '{TS_FMT_SQL}') AS window_start, event_type,
+       count(*) AS n_events
+FROM w GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(_spark(spark), sf_dir, "events")
+    return X_win.sessionize(ev, "5 minutes")
+
+
+_EVENTS_SESSION_ORACLE = f"""
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '5 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+g AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM d
+)
+SELECT user_id, strftime(MIN(ts), '{TS_FMT_SQL}') AS session_start,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM g GROUP BY user_id, grp
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the events.props column (F.get_json_object
+    — the semi-structured path a training pipeline needs)."""
+    ev = load_table(_spark(spark), sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_EVENTS_JSON_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------- catalog
+
+
+def q_catalog_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 + P5: SHOW TABLES minus the self-exclusion list. Catalog
+    contents depend on the hosting session → rows-only check; the
+    deterministic variants live in tests/test_catalog.py."""
+    from lakehouse_tools_spark.catalog import DEFAULT_EXCLUSIONS
+    from lakehouse_tools_spark.sources.tables import register_views
+
+    register_views(_spark(spark), sf_dir)
+    lowered = F.lower(F.col("tableName"))
+    return spark.sql("SHOW TABLES").filter(
+        ~lowered.isin([e.lower() for e in DEFAULT_EXCLUSIONS])
+    )
+
+
+# ---------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full profiler pipeline (§3.1) on sf0.001."""
+    return q_profiler_e2e(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "profile_intended": q_profile_intended,
+        "profile_as_written": q_profile_as_written,
+        "schema_information": q_schema_information,
+        "profiler_e2e": q_profiler_e2e,
+        "merge_upsert": q_merge_upsert,
+        "zorder_rowset": q_zorder_rowset,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "topk_customers": q_topk_customers,
+        "window_rank": q_window_rank,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk": q_sim_topk,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "text_quality": q_text_quality,
+        "text_language": q_text_language,
+        "text_tokens": q_text_tokens,
+        "text_fingerprints": q_text_fingerprints,
+        "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
+        "events_sessionize": q_events_sessionize,
+        "events_json": q_events_json,
+        "catalog_show_tables": q_catalog_show_tables,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "profile_intended": _profile_intended_oracle(PROFILE_TABLES),
+        "profile_as_written": _profile_as_written_oracle(PROFILE_TABLES),
+        "schema_information": _schema_info_oracle(PROFILE_TABLES),
+        "profiler_e2e": _profile_intended_oracle(tuple(FIXTURE_SCHEMAS)),
+        "merge_upsert": _MERGE_ORACLE,
+        "zorder_rowset": _ZORDER_ORACLE,
+        "tpch_q1": _Q1_ORACLE,
+        "tpch_q3": _Q3_ORACLE,
+        "tpch_q5": _Q5_ORACLE,
+        "topk_customers": _TOPK_CUSTOMERS_ORACLE,
+        "window_rank": _WINDOW_RANK_ORACLE,
+        "dedup_exact": _DEDUP_EXACT_ORACLE,
+        "dedup_minhash": _DEDUP_MINHASH_ORACLE,
+        "dedup_lsh_pairs": _DEDUP_LSH_ORACLE,
+        "dedup_jaccard": _DEDUP_JACCARD_ORACLE,
+        "dedup_simhash": _simhash_oracle(),
+        "sim_topk": _SIM_TOPK_ORACLE,
+        "text_quality": _quality_oracle(),
+        "text_language": _language_oracle(),
+        "text_tokens": _TEXT_TOKENS_ORACLE,
+        "text_fingerprints": _TEXT_FP_ORACLE,
+        "events_tumbling": _EVENTS_TUMBLING_ORACLE,
+        "events_sliding": _EVENTS_SLIDING_ORACLE,
+        "events_sessionize": _EVENTS_SESSION_ORACLE,
+        "events_json": _EVENTS_JSON_ORACLE,
+        # sim_ann_lsh, catalog_show_tables: rows-only by design.
+    }

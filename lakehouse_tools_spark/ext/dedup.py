@@ -1,0 +1,216 @@
+"""Deduplication operators for document corpora.
+
+Exact dedup is a hash-groupBy; near-dup detection goes through the
+classic shingle → MinHash → LSH band-bucket pipeline, plus SimHash
+and direct n-gram Jaccard verification. All hashing is md5-based
+(portable — see functions.portable) and every stage is built-in
+Catalyst expressions: explode/groupBy/join, no Python UDFs.
+
+Scale notes (the point of this module):
+
+- Exact dedup shuffles one md5 per document, not the text: we group
+  by fingerprint, never by the raw text column.
+- MinHash signatures aggregate ``min(md5(seed||shingle))`` map-side,
+  so the shuffle per document is num_hashes×32 bytes regardless of
+  document size.
+- LSH banding turns the O(n²) pair space into per-bucket joins; the
+  band-bucket join is an equi-join on (band, bucket-hash) that AQE
+  handles for skewed buckets. A same-bucket self-join with
+  ``doc_id < doc_id2`` emits candidates once.
+- Jaccard verification re-joins only candidate pairs against the
+  shingle sets (semi-join pruning), never all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_tools_spark.functions.portable import floor6
+
+
+def normalize_text(col: Column) -> Column:
+    """lower + collapse whitespace — the canonical form used by every
+    dedup operator so their verdicts compose."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Exact-dup key: md5 of normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group documents by content fingerprint.
+
+    Returns ``(fp, n_docs, keep_id)`` — one row per distinct content,
+    ``keep_id`` the smallest id (the canonical survivor). Shuffles
+    only (fp, id): at 100 TB the text never moves.
+    """
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col).alias("_id"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("_id").alias("keep_id"))
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: ``(doc_id, shingle)``.
+
+    Tokenization is a plain single-space split of the normalized text
+    (portable to any engine); shingles are built JVM-side with
+    ``transform`` over token index ranges — no UDF, no quadratic
+    explode.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """MinHash signatures in long form: ``(doc_id, hash_id, minhash)``.
+
+    hash family h_i(s) = md5(i || '|' || s), minimized as a *string*
+    (hex md5 ordering is total and identical in every engine). One
+    shuffle: groupBy(doc_id, hash_id) with map-side partial min.
+    """
+    sh = word_shingles(df, text_col, id_col, k)
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_id"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "hash_id",
+        F.md5(F.concat_ws("|", F.col("hash_id"), F.col("shingle"))).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "hash_id").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature matrix and emit same-bucket pairs.
+
+    ``signatures`` is the long form from :func:`minhash_signatures`
+    with ``num_hashes = bands * rows_per_band``. Documents agreeing on
+    *all* rows of any band land in the same bucket. Bucket key is the
+    md5 of the concatenated band signature → fixed-width join key.
+    Output: distinct ``(doc_id, doc_id2)`` with doc_id < doc_id2.
+    """
+    banded = (
+        signatures.withColumn("band", (F.col("hash_id") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("bucket"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("doc_id2"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """n-gram Jaccard similarity for document pairs.
+
+    With ``candidates`` (from LSH) only those pairs are scored —
+    the shingle relation is semi-join-pruned before the intersect
+    join. Without, all pairs sharing ≥1 shingle are scored (the
+    exact quadratic baseline; fine at test scale, LSH is the scale
+    path). Jaccard = |A∩B| / (|A|+|B|−|A∩B|); sizes come from one
+    aggregate, the intersection from one equi-join on shingle.
+    Output: ``(doc_id, doc_id2, jaccard)`` floor-truncated to 6 for stable
+    cross-engine comparison.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = shingles.alias("s1")
+    s2 = shingles.alias("s2")
+    inter = (
+        s1.join(
+            s2,
+            (F.col("s1.shingle") == F.col("s2.shingle"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .groupBy(
+            F.col("s1.doc_id").alias("doc_id"), F.col("s2.doc_id").alias("doc_id2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_id", "doc_id2"], "left_semi")
+    za = sizes.select(F.col("doc_id"), F.col("sz").alias("sz1"))
+    zb = sizes.select(F.col("doc_id").alias("doc_id2"), F.col("sz").alias("sz2"))
+    out = (
+        inter.join(za, "doc_id")
+        .join(zb, "doc_id2")
+        .select(
+            "doc_id",
+            "doc_id2",
+            floor6(
+                F.col("n_inter")
+                / (F.col("sz1") + F.col("sz2") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document from word-level md5 features.
+
+    Feature hash = first 8 md5 hex digits as uint32 (portable). Each
+    bit position accumulates +1/−1 over the document's distinct words
+    in one groupBy; the sign vector packs back into a bigint. Entirely
+    built-in expressions: explode → per-bit lateral sums → bit pack.
+    Output: ``(doc_id, simhash)``.
+    """
+    words = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+        )
+        .distinct()
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("h"),
+        )
+    )
+    bit_sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sim = sim.bitwiseOR(F.shiftleft(bit, b))
+    return bit_sums.select("doc_id", sim.alias("simhash"))

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small)
+query set against the corpus, score with pure Catalyst vector
+expressions (functions.vectors — no UDF), rank with a window. The
+scale path is LSH bucketing (random-hyperplane signs) that prunes the
+corpus per query to one bucket's worth of candidates before the same
+exact scoring — turning a 100 TB × Q cross product into Q bucket
+probes.
+
+Determinism: hyperplanes are derived from md5 of (plane, dim) — no
+RNG state, same buckets in every engine/run. Cosines are rounded to 6
+decimals before ranking, with id tiebreaks, so top-k is total-ordered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_tools_spark.functions.vectors import cosine_similarity, dot_product
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    ``queries`` is broadcast (it is the small side by construction);
+    scoring is one codegen'd pass over the corpus — no shuffle until
+    the final per-query top-k, which AQE sizes by the number of
+    queries. Output: ``(query_id, vec_id, cos, rank)``.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("_qvec"), F.col("_cvec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact, self-join baseline).
+
+    ``(vec_id, vec_id2, cos)`` with vec_id < vec_id2. Quadratic by
+    design — the correctness baseline the LSH path is checked against;
+    at scale use :func:`lsh_bucket` + per-bucket pairs.
+    """
+    a = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_va"))
+    b = embeddings.select(F.col(id_col).alias("vec_id2"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("vec_id") < F.col("vec_id2"))
+        .select(
+            "vec_id",
+            "vec_id2",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def _hyperplane(plane: int, dim: int):
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    md5-derived, identical in every run/engine."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(plane), F.lit(dim))), 1, 8), 16, 10
+    ).cast("long")
+    return (h / F.lit(float(1 << 31))) - 1.0
+
+
+def lsh_bucket_column(vec_col, num_planes: int = 8, dim: int = 64):
+    """Random-hyperplane LSH bucket id as a single Catalyst expression.
+
+    Sign bit of ⟨v, pᵢ⟩ for ``num_planes`` fixed md5-derived
+    hyperplanes packs into an int bucket — computable inline on any
+    relation (no join, no shuffle). Expected bucket population
+    n/2^planes keeps per-bucket exact scoring cheap.
+    """
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = F.array(*[_hyperplane(p, d) for d in range(dim)])
+        sign = (dot_product(vec_col, plane) >= 0).cast("long")
+        bucket = bucket.bitwiseOR(F.shiftleft(sign, p))
+    return bucket
+
+
+def lsh_bucket(
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, bucket)`` via :func:`lsh_bucket_column`."""
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        lsh_bucket_column(F.col(vec_col), num_planes, dim).alias("bucket"),
+    )
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket, then
+    exact-score candidates. Same output shape as :func:`cosine_topk`;
+    recall < 1 by design (measured in tests against the exact path).
+
+    The bucket id is computed inline on both sides (one scan each, no
+    pre-join); the bucket equi-join replaces the cross product, so
+    scored candidates shrink by ~2^planes.
+    """
+    cb = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cvec"),
+        lsh_bucket_column(F.col(vec_col), num_planes, dim).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        lsh_bucket_column(F.col(vec_col), num_planes, dim).alias("qbucket"),
+    )
+    scored = cb.join(
+        F.broadcast(qb),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("_qvec"), F.col("_cvec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

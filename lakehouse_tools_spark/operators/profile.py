@@ -116,6 +116,37 @@ def profile_table(
     if not fields:
         return df.sparkSession.createDataFrame([], PROFILE_DATA_SCHEMA)
 
+    if mode == "as_written":
+        # Reference bug fidelity (dbc cell@8.0:34): GROUP BY the *raw*
+        # column, but project the quoted column name as value/len.
+        # Grouping must be on raw values (not the rendered string) to
+        # match the original's group counts exactly. One aggregate
+        # branch per column — each scans only its own column thanks to
+        # parquet column pruning; the union is one job. Output per
+        # branch is the distinct count multiset → tiny. UNION set
+        # semantics (cell@8.0:33) = distinct at the end.
+        parts = []
+        for f in fields:
+            parts.append(
+                df.groupBy(F.col(f"`{f.name}`"))
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .select(
+                    F.lit(database).alias("databaseName"),
+                    F.lit(table).alias("tableName"),
+                    F.lit(f.name).alias("columnName"),
+                    F.lit(f.dataType.simpleString()).alias("dataType"),
+                    F.lit(f.name).alias("value"),
+                    F.col("_n").cast("float").alias("num_records"),
+                    F.lit(float(len(f.name))).alias("len"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+    if mode != "intended":
+        raise ValueError(f"unknown profile mode: {mode!r}")
+
     branches = []
     for f in fields:
         branches.append(F.lit(f.name))
@@ -141,19 +172,7 @@ def profile_table(
         F.col("_n").cast("float").alias("num_records"),
     )
 
-    if mode == "intended":
-        return base.withColumn("len", F.length("value").cast("float"))
-    if mode == "as_written":
-        # Reference bug: '{column}' quoted in SELECT but bare in GROUP
-        # BY → value = column name, len = len(column name); UNION
-        # (set semantics) dedups identical rows (dbc cell@8.0:34,
-        # results@12.0).
-        return (
-            base.withColumn("value", F.col("columnName"))
-            .withColumn("len", F.length("columnName").cast("float"))
-            .distinct()
-        )
-    raise ValueError(f"unknown profile mode: {mode!r}")
+    return base.withColumn("len", F.length("value").cast("float"))
 
 
 def profile_data(

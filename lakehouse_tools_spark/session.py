@@ -32,6 +32,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Spark 3.4+ int96 rebase safety for parquet fixture reads
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    # Surface parquet TIMESTAMP(NANOS) as long (sources.tables converts
+    # to micros); without this the scan hard-fails on nanos columns
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 # Builder-time confs for sessions we create ourselves.

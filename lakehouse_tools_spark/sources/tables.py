@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES: tuple[str, ...] = (
     "region",
@@ -29,10 +31,30 @@ TABLE_NAMES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+#: reader rejects. With ``spark.sql.legacy.parquet.nanosAsLong`` (set in
+#: session.RUNTIME_CONFS) they surface as LongType nanos; we floor-divide
+#: to micros — the same truncation every micros-native engine applies.
+NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table. Columnar scan; Catalyst prunes/pushes."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one fixture table. Columnar scan; Catalyst prunes/pushes.
+
+    Type normalization (zero-cost projections, stay in codegen):
+    TIMESTAMP_NTZ → TIMESTAMP (the session is pinned to UTC so the
+    reinterpretation is the identity), and registered nanos columns →
+    TIMESTAMP via floor-to-micros.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    for c in NANOS_TS_COLUMNS.get(name, ()):
+        if isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_tables(
