@@ -1,0 +1,95 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "e2e_profile_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1}
+
+``value`` is the flagship profiler end-to-end time — the comparable
+number to BASELINE.md's dominant MERGE stage (50.6 s for 37 columns
+on 288 vCPUs; our one-scan-per-table redesign profiles 47 columns).
+Every query is fully materialized with a noop-format write so sinks,
+sorts and shuffles are paid, not skipped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E  # noqa: E402
+from lakehouse_tools_spark.session import get_session  # noqa: E402
+
+BENCH_QUERIES = [
+    "profiler_e2e",
+    "profile_intended",
+    "profile_as_written",
+    "schema_information",
+    "merge_upsert",
+    "zorder_rowset",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "topk_customers",
+    "window_rank",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_lsh_pairs",
+    "dedup_jaccard",
+    "dedup_simhash",
+    "sim_topk",
+    "sim_ann_lsh",
+    "text_quality",
+    "text_language",
+    "text_tokens",
+    "text_fingerprints",
+    "events_tumbling",
+    "events_sliding",
+    "events_sessionize",
+    "events_json",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_session(
+        app_name="lakehouse_tools_spark_bench",
+        extra_confs={"spark.ui.showConsoleProgress": "false"},
+    )
+    # Warm the JVM/codegen path so query 1 isn't charged session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    queries = E.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "e2e_profile_sec",
+        "value": timings["profiler_e2e"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "total_sec": total,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

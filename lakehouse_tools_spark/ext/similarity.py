@@ -15,6 +15,8 @@ decimals before ranking, with id tiebreaks, so top-k is total-ordered.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -80,13 +82,16 @@ def neardup_pairs(
     )
 
 
-def _hyperplane(plane: int, dim: int):
+def _hyperplane_value(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
-    md5-derived, identical in every run/engine."""
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(plane), F.lit(dim))), 1, 8), 16, 10
-    ).cast("long")
-    return (h / F.lit(float(1 << 31))) - 1.0
+    md5-derived, identical in every run/engine. Computed driver-side
+    (same md5 → same value as the SQL expression
+    ``conv(substr(md5(p || ':' || d), 1, 8), 16, 10) / 2^31 - 1``)
+    so the plan carries one array literal per plane instead of
+    64 md5 expression subtrees — keeps analysis/codegen time flat as
+    planes × dims grows."""
+    h = int(hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return h / float(1 << 31) - 1.0
 
 
 def lsh_bucket_column(vec_col, num_planes: int = 8, dim: int = 64):
@@ -99,7 +104,7 @@ def lsh_bucket_column(vec_col, num_planes: int = 8, dim: int = 64):
     """
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        plane = F.array(*[_hyperplane(p, d) for d in range(dim)])
+        plane = F.array(*[F.lit(_hyperplane_value(p, d)) for d in range(dim)])
         sign = (dot_product(vec_col, plane) >= 0).cast("long")
         bucket = bucket.bitwiseOR(F.shiftleft(sign, p))
     return bucket

@@ -13,18 +13,21 @@ clause* (``dbc cell@8.5``/``cell@8.75``, SURVEY.md §2.4):
 Because the residual lives in ON, source rows failing it never match —
 they are still INSERTed via NOT MATCHED (observed in the stored run,
 ``dbc results@11.0``). This module reproduces those semantics exactly
-on plain DataFrames (delta-spark is not a dependency — SURVEY.md §7.5):
+on plain DataFrames (delta-spark is not a dependency — SURVEY.md §7.5)
+with a SINGLE full-outer equi-join:
 
-    result = target⟕̸source (unmatched targets, left_anti)
-           ∪ target⋉source projected to source values (updates,
-             one output row per matched *target* row)
-           ∪ source⟕̸target (inserts, left_anti)
+    t ⟗ s ON keys ∧ residual(s)
+    matched rows        → source values   (UPDATE SET *)
+    target-only rows    → target values   (no action)
+    source-only rows    → source values   (INSERT *; includes rows
+                          that merely failed the residual)
 
-All three branches are equi-joins on the same key columns, so Spark
-plans one broadcast (small source) or one co-partitioned shuffle that
-AQE reuses across branches. Like Delta MERGE, the operator requires
-the source to be unique per key under the residual predicate —
-otherwise a matched target row would multiply — and raises if not.
+One join = one shuffle and ONE evaluation of the source plan — the
+three-branch formulation (anti ∪ inner ∪ anti) recomputes an expensive
+source (e.g. the whole-database profile) up to three times. Delta's
+physical MERGE is likewise a single outer join. Like Delta MERGE, the
+operator requires the source to be unique per key under the residual
+predicate — otherwise a matched target row would multiply.
 """
 
 from __future__ import annotations
@@ -38,21 +41,6 @@ from pyspark.sql import functions as F
 #: (aliased) source relation so references resolve unambiguously in
 #: the self-join-shaped plans below.
 SourcePredicate = Callable[[DataFrame], Column]
-
-
-def _match_condition(
-    target: DataFrame,
-    source: DataFrame,
-    keys: list[str],
-    source_residual: SourcePredicate | None,
-) -> Column:
-    cond = None
-    for k in keys:
-        c = target[k].eqNullSafe(source[k])
-        cond = c if cond is None else (cond & c)
-    if source_residual is not None:
-        cond = cond & source_residual(source)
-    return cond
 
 
 def upsert(
@@ -90,19 +78,38 @@ def upsert(
         if dup:
             raise ValueError("MERGE source has duplicate keys under the ON predicate")
 
-    t = target.alias("t")
-    s = source.alias("s")
-    cond = _match_condition(t, s, keys, source_residual)
+    # Column-rename isolation (instead of DataFrame-attribute column
+    # references) so merge outputs can be merged again — lineage-based
+    # resolution is ambiguous under self-join-shaped chains. The
+    # residual is evaluated on the source BEFORE renaming so the
+    # caller's predicate sees the caller's column names. A non-null
+    # marker tells source-side rows apart after the outer join (key
+    # columns may legitimately be null).
+    cols = source.columns
+    residual_col = (
+        source_residual(source) if source_residual is not None else F.lit(True)
+    )
+    s = source.withColumn("_residual_ok", residual_col).select(
+        F.lit(1).alias("_src_present"),
+        F.col("_residual_ok"),
+        *[F.col(f"`{c}`").alias(f"_s_{c}") for c in cols],
+    )
+    t = target.select(*[F.col(f"`{c}`").alias(f"_t_{c}") for c in cols])
 
-    unmatched_targets = t.join(s, cond, "left_anti")
-    # one output row per matched target row, carrying source values
-    updates = t.join(s, cond, "inner").select([s[c] for c in source.columns])
-    inserts = s.join(t, cond, "left_anti")
+    cond = F.col("_residual_ok")
+    for k in keys:
+        cond = cond & F.col(f"`_t_{k}`").eqNullSafe(F.col(f"`_s_{k}`"))
 
-    return (
-        unmatched_targets.select(source.columns)
-        .unionByName(updates)
-        .unionByName(inserts.select(source.columns))
+    joined = t.join(s, cond, "full_outer")
+    return joined.select(
+        *[
+            F.when(
+                F.col("_src_present").isNotNull(), F.col(f"`_s_{c}`")
+            )
+            .otherwise(F.col(f"`_t_{c}`"))
+            .alias(c)
+            for c in cols
+        ]
     )
 
 
