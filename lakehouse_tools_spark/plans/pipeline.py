@@ -29,7 +29,17 @@ from lakehouse_tools_spark.operators.profile import (
 #: J1's ON-clause residual values (dbc cell@8.5:3).
 MERGE_EXCLUDED_COLUMN_NAMES = ["", "Not partitioned"]
 
+#: The reference merges BOTH outputs on (db, table, column)
+#: (dbc cell@8.5/8.75) — correct for SchemaInformation (one row per
+#: column) but ill-defined for profileData, whose source has one row
+#: per (column, value): Delta MERGE would abort on any non-empty
+#: target ("multiple source rows matched"). The reference never hits
+#: this because it re-CREATEs the targets before every run. We keep
+#: its keys for schema info and extend the profile key to row
+#: granularity so re-runs are well-defined and idempotent.
 MERGE_KEYS = ["databaseName", "tableName", "columnName"]
+PROFILE_MERGE_KEYS = MERGE_KEYS + ["value"]
+PROFILE_MERGE_KEYS_AS_WRITTEN = PROFILE_MERGE_KEYS + ["num_records"]
 
 
 @dataclass
@@ -69,8 +79,11 @@ def create_data_profile(
     )
 
     residual = not_in("columnName", MERGE_EXCLUDED_COLUMN_NAMES)
+    profile_keys = (
+        PROFILE_MERGE_KEYS_AS_WRITTEN if mode == "as_written" else PROFILE_MERGE_KEYS
+    )
     merged_schema = upsert(schema_tgt, schema_src, MERGE_KEYS, residual)
-    merged_profile = upsert(profile_tgt, profile_src, MERGE_KEYS, residual)
+    merged_profile = upsert(profile_tgt, profile_src, profile_keys, residual)
 
     if cluster_output:
         # OPTIMIZE ... ZORDER BY (databaseName, tableName[, columnName])

@@ -1,0 +1,56 @@
+"""Catalog layer (SURVEY.md §2.1 C1–C7)."""
+
+from __future__ import annotations
+
+from lakehouse_tools_spark.catalog import (
+    DEFAULT_EXCLUSIONS,
+    describe_columns,
+    current_database,
+    list_databases,
+)
+
+
+def test_list_databases(spark):
+    names = {r[0] for r in list_databases(spark).collect()}
+    assert "default" in names
+
+
+def test_current_database(spark):
+    assert current_database(spark) == "default"
+
+
+def test_default_exclusions_match_reference(spark):
+    # dbc cell@4.0:8-9 — the profiler's self-exclusion list.
+    assert DEFAULT_EXCLUSIONS == (
+        "profiledata",
+        "schemainformation",
+        "tableoptimizations",
+    )
+
+
+def test_describe_columns_shape(spark, tables):
+    out = describe_columns(spark, tables["nation"])
+    assert out.columns == ["col_name", "data_type", "comment"]
+    assert {(r.col_name, r.data_type) for r in out.collect()} == {
+        ("n_nationkey", "int"),
+        ("n_name", "string"),
+        ("n_regionkey", "int"),
+    }
+
+
+def test_describe_partition_row_leakage_modes(spark, tables):
+    # Behavioral fidelity (SURVEY.md §7.3): the reference's
+    # instr(col_name,'#')=0 filter lets ''/'Not partitioned'/'Part N'
+    # rows leak through (observed dbc results@11.0).
+    plain = describe_columns(spark, tables["nation"], include_partition_rows=True)
+    names = [r.col_name for r in plain.collect()]
+    assert "" in names and "Not partitioned" in names
+
+    parted = describe_columns(
+        spark,
+        tables["orders"],
+        include_partition_rows=True,
+        partition_columns=("o_orderdate",),
+    )
+    rows = {(r.col_name, r.data_type) for r in parted.collect()}
+    assert ("Part 0", "o_orderdate") in rows

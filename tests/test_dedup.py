@@ -1,0 +1,77 @@
+"""Dedup operators: exact, shingles, MinHash+LSH, Jaccard, SimHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from lakehouse_tools_spark.ext.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    word_shingles,
+)
+
+DOCS = [
+    Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+    Row(doc_id=2, text="The  quick   brown fox jumps over the lazy dog"),  # ws/case dup of 1
+    Row(doc_id=3, text="the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    Row(doc_id=4, text="completely different words entirely here now"),
+    Row(doc_id=5, text="tiny"),  # shorter than shingle width
+]
+
+
+def docs(spark):
+    return spark.createDataFrame(DOCS)
+
+
+def test_exact_duplicates_normalize(spark):
+    out = {r.keep_id: r.n_docs for r in exact_duplicates(docs(spark), "text", "doc_id").collect()}
+    assert out[1] == 2  # docs 1 and 2 collapse
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_word_shingles(spark):
+    sh = word_shingles(docs(spark), "text", "doc_id", k=3)
+    by_doc = {}
+    for r in sh.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    assert "the quick brown" in by_doc[1]
+    assert by_doc[1] == by_doc[2]  # normalization makes them identical
+    assert by_doc[5] == {"tiny"}  # short doc -> whole text as one shingle
+    # 9 words, k=3 -> 7 shingles, minus the duplicate-free set property
+    assert len(by_doc[1]) == 7
+
+
+def test_minhash_deterministic_and_shaped(spark):
+    a = minhash_signatures(docs(spark), "text", "doc_id", num_hashes=4).collect()
+    b = minhash_signatures(docs(spark), "text", "doc_id", num_hashes=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_doc = {}
+    for r in a:
+        per_doc.setdefault(r.doc_id, set()).add(r.hash_id)
+    assert all(v == {0, 1, 2, 3} for v in per_doc.values())
+
+
+def test_lsh_finds_identical_and_near_dups(spark):
+    sigs = minhash_signatures(docs(spark), "text", "doc_id", num_hashes=8)
+    pairs = {(r.doc_id, r.doc_id2) for r in lsh_candidate_pairs(sigs, 4, 2).collect()}
+    assert (1, 2) in pairs  # identical after normalization: all bands agree
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_jaccard_values(spark):
+    sh = word_shingles(docs(spark), "text", "doc_id", k=3)
+    j = {(r.doc_id, r.doc_id2): r.jaccard for r in jaccard_pairs(sh).collect()}
+    assert j[(1, 2)] == 1.0
+    # doc3 differs in last word: shares 6 of 7 shingles -> 6/8 = 0.75
+    assert j[(1, 3)] == 0.75
+
+
+def test_simhash_identical_docs_equal(spark):
+    out = {r.doc_id: r.simhash for r in simhash(docs(spark), "text", "doc_id").collect()}
+    assert out[1] == out[2]
+    ham13 = bin(out[1] ^ out[3]).count("1")
+    ham14 = bin(out[1] ^ out[4]).count("1")
+    assert ham13 < ham14  # near-dup closer than unrelated doc

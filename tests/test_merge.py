@@ -1,0 +1,71 @@
+"""MERGE upsert semantics (reference J1, dbc cell@8.5/8.75)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from lakehouse_tools_spark.operators.merge import not_in, upsert
+
+
+def rows(df):
+    return sorted((r[0] if r[0] is not None else "<null>", r[1]) for r in df.collect())
+
+
+def test_update_insert_keep(spark):
+    t = spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)])
+    s = spark.createDataFrame([Row(k="b", v=20), Row(k="c", v=30)])
+    assert rows(upsert(t, s, ["k"])) == [("a", 1), ("b", 20), ("c", 30)]
+
+
+def test_residual_failers_are_inserted_not_matched(spark):
+    # The reference's NOT IN lives in the ON clause: a source row with
+    # an excluded key never matches, but is still INSERTed — observed
+    # '' / 'Not partitioned' rows in the stored run (dbc results@11.0).
+    t = spark.createDataFrame([Row(k="a", v=1), Row(k="", v=2)])
+    s = spark.createDataFrame(
+        [Row(k="a", v=10), Row(k="", v=20), Row(k="Not partitioned", v=30)]
+    )
+    out = upsert(t, s, ["k"], not_in("k", ["", "Not partitioned"]))
+    assert rows(out) == [("", 2), ("", 20), ("Not partitioned", 30), ("a", 10)]
+
+
+def test_chained_merge(spark):
+    t = spark.createDataFrame([Row(k="a", v=1)])
+    s = spark.createDataFrame([Row(k="a", v=2), Row(k="b", v=3)])
+    once = upsert(t, s, ["k"])
+    twice = upsert(once, s, ["k"])
+    assert rows(once) == rows(twice) == [("a", 2), ("b", 3)]
+
+
+def test_null_keys_match_null_safe(spark):
+    t = spark.createDataFrame([(None, 1), ("x", 2)], "k string, v bigint")
+    s = spark.createDataFrame([(None, 10)], "k string, v bigint")
+    assert rows(upsert(t, s, ["k"])) == [("<null>", 10), ("x", 2)]
+
+
+def test_empty_target_inserts_all(spark):
+    t = spark.createDataFrame([], "k string, v bigint")
+    s = spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)])
+    assert rows(upsert(t, s, ["k"])) == [("a", 1), ("b", 2)]
+
+
+def test_schema_mismatch_raises(spark):
+    t = spark.createDataFrame([Row(k="a", v=1)])
+    s = spark.createDataFrame([Row(k="a", w=1)])
+    with pytest.raises(ValueError, match="schemas differ"):
+        upsert(t, s, ["k"])
+
+
+def test_duplicate_source_keys_detected(spark):
+    t = spark.createDataFrame([Row(k="a", v=1)])
+    s = spark.createDataFrame([Row(k="a", v=2), Row(k="a", v=3)])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert(t, s, ["k"], check_source_unique=True)
+
+
+def test_merge_is_single_join(spark):
+    t = spark.createDataFrame([Row(k="a", v=1)])
+    s = spark.createDataFrame([Row(k="a", v=2)])
+    plan = upsert(t, s, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") == 1

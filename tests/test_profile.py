@@ -1,0 +1,84 @@
+"""Profiler semantics (SURVEY.md §1.4, §7.3; reference dbc cell@8.0)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lakehouse_tools_spark.operators.profile import (
+    profile_data,
+    profile_table,
+    schema_information,
+)
+
+
+def test_intended_is_value_histogram(spark):
+    df = spark.createDataFrame(
+        [Row(c="x"), Row(c="x"), Row(c="y"), Row(c=None)]
+    )
+    out = {
+        (r.value, r.num_records, r.len)
+        for r in profile_table(df, "db", "t").collect()
+    }
+    assert out == {("x", 2.0, 1.0), ("y", 1.0, 1.0), (None, 1.0, None)}
+
+
+def test_intended_carries_dtype_and_names(spark):
+    df = spark.createDataFrame([Row(a=1, b="s")])
+    rows = profile_table(df, "mydb", "mytab").collect()
+    assert {(r.databaseName, r.tableName) for r in rows} == {("mydb", "mytab")}
+    dtypes = {r.columnName: r.dataType for r in rows}
+    assert dtypes == {"a": "bigint", "b": "string"}
+
+
+def test_as_written_reproduces_quoting_bug(spark):
+    # value must be the column NAME, len the length of the name, one
+    # row per distinct (column, group-count) after UNION set-dedup
+    # (dbc cell@8.0:34, results@12.0).
+    df = spark.createDataFrame([Row(col1="x"), Row(col1="x"), Row(col1="y")])
+    rows = profile_table(df, "db", "t", mode="as_written").collect()
+    assert {(r.value, r.len) for r in rows} == {("col1", 4.0)}
+    assert sorted(r.num_records for r in rows) == [1.0, 2.0]
+
+
+def test_as_written_union_dedup_collapses_equal_counts(spark):
+    # 3 distinct values, each appearing twice -> identical rows after
+    # name-masking -> UNION set semantics keeps ONE row.
+    df = spark.createDataFrame([Row(c=v) for v in ["a", "a", "b", "b", "c", "c"]])
+    rows = profile_table(df, "db", "t", mode="as_written").collect()
+    assert len(rows) == 1 and rows[0].num_records == 2.0
+
+
+def test_non_atomic_columns_skipped(spark, tables):
+    out = profile_data({"embeddings": tables["embeddings"]}, "db")
+    cols = {r.columnName for r in out.select("columnName").distinct().collect()}
+    assert cols == {"vec_id", "label"}  # array<float> embedding skipped
+
+
+def test_profile_is_single_shuffle_per_table(spark, tables):
+    # One scan + one aggregate exchange: no join/union-of-aggregates
+    # fan-out like the reference's per-column GROUP BY shape.
+    plan = profile_table(tables["orders"], "db", "orders")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # partial/final agg boundary only
+    assert "Join" not in plan
+
+
+def test_schema_information_shape(spark, tables):
+    out = schema_information({"nation": tables["nation"]}, "db", spark)
+    rows = {(r.columnName, r.dataType) for r in out.collect()}
+    assert rows == {
+        ("n_nationkey", "int"),
+        ("n_name", "string"),
+        ("n_regionkey", "int"),
+    }
+
+
+def test_timestamp_rendering_seconds_utc(spark, tables):
+    out = profile_data({"orders": tables["orders"]}, "db")
+    val = (
+        out.filter(F.col("columnName") == "o_orderdate")
+        .select("value")
+        .first()
+        .value
+    )
+    assert len(val) == 19 and val[4] == "-" and val[13] == ":"

@@ -1,0 +1,61 @@
+"""Similarity search: exact cosine top-k and LSH-bucketed ANN."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lakehouse_tools_spark.ext.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    lsh_bucket,
+    neardup_pairs,
+)
+
+VECS = [
+    Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+    Row(vec_id=2, embedding=[0.9, 0.1, 0.0, 0.0]),
+    Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0]),
+    Row(vec_id=4, embedding=[-1.0, 0.0, 0.0, 0.0]),
+]
+
+
+def vecs(spark):
+    return spark.createDataFrame(VECS)
+
+
+def test_cosine_topk_ordering(spark):
+    emb = vecs(spark)
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 1), k=3).collect()
+    ranked = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [2, 3, 4]  # closest first; opposite vector last
+    by_id = {r.vec_id: r.cos for r in out}
+    assert by_id[3] == 0.0 and by_id[4] == -1.0
+
+
+def test_cosine_topk_excludes_self(spark):
+    emb = vecs(spark)
+    out = cosine_topk(emb, emb, k=10).collect()
+    assert all(r.query_id != r.vec_id for r in out)
+
+
+def test_neardup_pairs_threshold(spark):
+    pairs = {(r.vec_id, r.vec_id2) for r in neardup_pairs(vecs(spark), 0.9).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_lsh_bucket_deterministic(spark, tables):
+    emb = tables["embeddings"]
+    a = sorted(map(tuple, lsh_bucket(emb, num_planes=4, dim=64).collect()))
+    b = sorted(map(tuple, lsh_bucket(emb, num_planes=4, dim=64).collect()))
+    assert a == b
+
+
+def test_ann_subset_of_corpus_with_positive_recall(spark, tables):
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    ann = ann_topk_lsh(emb, queries, k=5, num_planes=2, dim=64).collect()
+    assert all(r.query_id != r.vec_id for r in ann)
+    got = {(r.query_id, r.vec_id) for r in ann}
+    assert len(got & exact) > 0  # approximate, but not useless

@@ -1,0 +1,62 @@
+"""Text analysis: tokens, quality, language ID, fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from lakehouse_tools_spark.ext.text import (
+    fingerprints,
+    language_scores,
+    quality_features,
+)
+import lakehouse_tools_spark.ext.text as text_mod
+from pyspark.sql import functions as F
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="Hello, world! 42 tokens?")])
+    out = df.select(
+        text_mod.token_count(F.col("text")).alias("ws"),
+        text_mod.regex_token_count(F.col("text")).alias("re"),
+    ).first()
+    assert out.ws == 4
+    # hello , world ! 42 tokens ? -> 7 BPE-ish tokens
+    assert out.re == 7
+
+
+def test_quality_features_formula(spark):
+    text = "the cat sat on the mat with a hat and a bat"  # 12 words, 43 chars
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    r = quality_features(df, "text", "doc_id").first()
+    assert r.n_chars == 43 and r.n_words == 12
+    # stopwords present: the, the, a, a, and -> 5 of 12
+    assert abs(r.stopword_ratio - 5 / 12) < 1e-6
+    assert r.punct_ratio == 0.0
+    expected = 0.5 + 0.5 * r.stopword_ratio - 0.0 + 0.2
+    assert abs(r.quality_score - expected) < 1e-6
+
+
+def test_quality_score_clamped(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="!!! ??? ###")])
+    r = quality_features(df, "text", "doc_id").first()
+    assert r.quality_score == 0.0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat is in the house and it is warm"),
+            Row(doc_id=2, text="der hund ist ein tier und die katze auch"),
+            Row(doc_id=3, text="le chat et la souris sont des animaux"),
+        ]
+    )
+    out = {r.doc_id: r.lang_pred for r in language_scores(df, "text", "doc_id").collect()}
+    assert out == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_fingerprints_stable_under_whitespace(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a  b\tc"), Row(doc_id=2, text="A B c")]
+    )
+    fps = [r.fingerprint for r in fingerprints(df, "text", "doc_id").collect()]
+    assert fps[0] == fps[1]

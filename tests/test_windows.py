@@ -1,0 +1,76 @@
+"""Event-time windows: tumbling, sliding, session (batch + streaming)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from lakehouse_tools_spark.streaming.windows import (
+    sessionize,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+def ev(minute, second=0, user=1, etype="click", value=1.0):
+    return Row(
+        event_id=minute * 100 + second,
+        ts=dt.datetime(2024, 1, 1, 0, minute, second),
+        user_id=user,
+        event_type=etype,
+        value=value,
+    )
+
+
+def test_tumbling_counts(spark):
+    df = spark.createDataFrame([ev(0), ev(1), ev(4, 59), ev(5), ev(9, 59)])
+    out = {(r.window_start, r.n_events) for r in tumbling_counts(df, "5 minutes").collect()}
+    assert out == {("2024-01-01 00:00:00", 3), ("2024-01-01 00:05:00", 2)}
+
+
+def test_sliding_each_event_in_two_windows(spark):
+    df = spark.createDataFrame([ev(7)])
+    out = sorted(r.window_start for r in sliding_counts(df, "10 minutes", "5 minutes").collect())
+    assert out == ["2024-01-01 00:00:00", "2024-01-01 00:05:00"]
+
+
+def test_session_gap_semantics(spark):
+    # gaps < 5 min merge; a gap of exactly >= 5 min starts a new session
+    df = spark.createDataFrame([ev(0), ev(4), ev(8), ev(20), ev(21)])
+    out = sorted(
+        (r.session_start, r.n_events) for r in sessionize(df, "5 minutes").collect()
+    )
+    assert out == [("2024-01-01 00:00:00", 3), ("2024-01-01 00:20:00", 2)]
+
+
+def test_streaming_tumbling_runs(spark, tmp_path):
+    # The same builder must plan on a readStream relation: rate source
+    # -> watermark -> tumbling counts -> memory sink.
+    from lakehouse_tools_spark.streaming.windows import with_watermark
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "50")
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 2).cast("string").alias("event_type"),
+            (F.col("value") % 10).cast("double").alias("value"),
+        )
+    )
+    agg = tumbling_counts(with_watermark(stream, "ts", "1 seconds"), "1 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_stream_tumbling")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from t_stream_tumbling").collect()
+        assert rows is not None  # query planned and ran; rows may be 0..n
+        assert set(agg.columns) == {"window_start", "event_type", "n_events", "sum_value"}
+    finally:
+        q.stop()
