@@ -600,6 +600,62 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
 
 
+def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact baseline)."""
+    emb = load_table(_spark(spark), sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    return X_sim.neardup_pairs(emb, threshold=0.2)
+
+
+_SIM_NEARDUP_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 300)
+SELECT a.vec_id AS vec_id, b.vec_id AS vec_id2,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode via mapInPandas (stub codec, real Arrow
+    plumbing). The fake decoder is md5-derived, so DuckDB can verify
+    it from the same bytes."""
+    from lakehouse_tools_spark.ext.multimodal import decode_media, media_from_documents
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return decode_media(media_from_documents(docs, kind="image"))
+
+
+_MULTIMODAL_DECODE_ORACLE = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 4096 + 1 AS INT) AS width,
+       CAST(CAST(concat('0x', substr(md5(text), 5, 4)) AS INT) % 4096 + 1 AS INT) AS height,
+       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram featurizer over binary content (rows-only: the
+    per-byte loop is not SQL-expressible; determinism and
+    normalization are asserted in tests/test_multimodal.py)."""
+    from lakehouse_tools_spark.ext.multimodal import (
+        byte_histogram_features,
+        media_from_documents,
+    )
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return byte_histogram_features(media_from_documents(docs), bins=16)
+
+
 # ---------------------------------------------------------------- text
 
 
@@ -824,6 +880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_neardup": q_sim_neardup,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
         "text_quality": q_text_quality,
         "text_language": q_text_language,
         "text_tokens": q_text_tokens,
@@ -855,6 +914,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _DEDUP_JACCARD_ORACLE,
         "dedup_simhash": _simhash_oracle(),
         "sim_topk": _SIM_TOPK_ORACLE,
+        "sim_neardup": _SIM_NEARDUP_ORACLE,
+        "multimodal_decode": _MULTIMODAL_DECODE_ORACLE,
         "text_quality": _quality_oracle(),
         "text_language": _language_oracle(),
         "text_tokens": _TEXT_TOKENS_ORACLE,
@@ -863,5 +924,6 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": _EVENTS_SLIDING_ORACLE,
         "events_sessionize": _EVENTS_SESSION_ORACLE,
         "events_json": _EVENTS_JSON_ORACLE,
-        # sim_ann_lsh, catalog_show_tables: rows-only by design.
+        # sim_ann_lsh, catalog_show_tables, multimodal_features:
+        # rows-only by design.
     }

@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "sim_topk",
     "sim_ann_lsh",
+    "sim_neardup",
+    "multimodal_decode",
+    "multimodal_features",
     "text_quality",
     "text_language",
     "text_tokens",

@@ -56,4 +56,8 @@ def test_entry_contract(spark):
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     # every oracle-less query is an intentional rows-only check
-    assert set(qs) - set(oracles) == {"sim_ann_lsh", "catalog_show_tables"}
+    assert set(qs) - set(oracles) == {
+        "sim_ann_lsh",
+        "catalog_show_tables",
+        "multimodal_features",
+    }
