@@ -1,0 +1,64 @@
+"""Physical-plan regression guards — the 100 TB properties.
+
+These assert what ``.explain`` shows today so a refactor can't
+silently lose predicate pushdown, column pruning, or broadcast
+joins. String-matching executed plans is blunt but effective: each
+assertion is a property that changes job cost by orders of magnitude
+at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    p = plan_of(E.q_tpch_q1(spark, SF))
+    assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate", p)
+
+
+def test_q1_prunes_unused_columns(spark):
+    p = plan_of(E.q_tpch_q1(spark, SF))
+    rs = re.search(r"ReadSchema: (struct<[^\n]*)", p).group(1)
+    for unused in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert unused not in rs
+
+
+def test_q3_broadcasts_small_sides(spark):
+    p = plan_of(E.q_tpch_q3(spark, SF))
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+    # customer scan reads only its join key + pushed-filter column
+    assert "struct<c_custkey:bigint,c_mktsegment:string>" in p
+
+
+def test_q5_all_joins_broadcast_at_test_scale(spark):
+    p = plan_of(E.q_tpch_q5(spark, SF))
+    assert p.count("BroadcastHashJoin") == 5
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", p)
+
+
+def test_minhash_reads_two_columns_only(spark):
+    p = plan_of(E.q_dedup_minhash(spark, SF))
+    assert "struct<doc_id:bigint,text:string>" in p
+
+
+def test_profile_has_no_joins(spark):
+    # one scan + one aggregate per table; the reference's 37-branch
+    # union-of-aggregates shape must never come back
+    p = plan_of(E.q_profile_intended(spark, SF))
+    assert "Join" not in p
+
+
+def test_exact_dedup_shuffles_fingerprints_not_text(spark):
+    p = plan_of(E.q_dedup_exact(spark, SF))
+    m = re.search(r"Exchange hashpartitioning\(([^,]*)", p)
+    assert m and "fp" in m.group(1)  # shuffle key is the md5, not text
