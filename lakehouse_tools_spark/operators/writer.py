@@ -1,0 +1,95 @@
+"""Durable table persistence: the reference's Delta write path on a
+plain-parquet backend (SURVEY.md §7.5).
+
+The reference persists via ``CREATE OR REPLACE TABLE … USING DELTA``
+(dbc cell@7.0/7.125), ``MERGE INTO`` (cell@8.5/8.75) and ``OPTIMIZE …
+ZORDER BY`` (cell@9.0/10.0). delta-spark is not installed in this
+environment, so the durable layer is managed parquet tables with the
+same semantics:
+
+- ``create_or_replace``: saveAsTable(overwrite) with an explicit
+  schema — the C8 contract.
+- ``upsert_into``: read target ⟗ merge (operators.merge) ⟗ atomic
+  swap. Parquet has no ACID MERGE, so the rewrite goes through a
+  staging table + two metastore-only renames — the classic
+  blue/green swap; readers see either the old or the new table, never
+  a partial write. (With delta-spark present, swap the body for
+  ``DeltaTable.merge`` — the call signature is identical.)
+- ``optimize_clustered``: rewrite the table in Z-order-style layout
+  (maintenance.zorder_layout) + compaction — same data-skipping
+  payoff OPTIMIZE ZORDER buys, applied at rewrite time.
+
+All table names are backtick-quoted; nothing here interpolates user
+data into SQL text (the reference's F6 injection weakness).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_tools_spark.operators.maintenance import zorder_layout
+from lakehouse_tools_spark.operators.merge import SourcePredicate, upsert
+
+
+def _q(name: str) -> str:
+    return ".".join(f"`{p}`" for p in name.split("."))
+
+
+def create_or_replace(
+    spark: SparkSession, df: DataFrame, table: str, num_files: int | None = None
+) -> None:
+    """C8 — ``CREATE OR REPLACE TABLE`` as a managed parquet table.
+
+    ``num_files`` caps output files (the OSS stand-in for Delta's
+    optimizeWrite, dbc cell@1.5:1)."""
+    out = df.coalesce(num_files) if num_files else df
+    out.write.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def upsert_into(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    keys: list[str],
+    source_residual: SourcePredicate | None = None,
+) -> None:
+    """J1 — MERGE INTO a stored table, atomically.
+
+    The merged relation is materialized to a staging table first
+    (computing it directly over the target while overwriting the
+    target would read-after-delete the very files being replaced),
+    then swapped in with metastore renames.
+    """
+    target = spark.table(table)
+    merged = upsert(target, source, keys, source_residual)
+    staging = f"{table}__stage_{uuid.uuid4().hex[:8]}"
+    retired = f"{table}__old_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").format("parquet").saveAsTable(staging)
+    spark.sql(f"ALTER TABLE {_q(table)} RENAME TO {_q(retired)}")
+    try:
+        spark.sql(f"ALTER TABLE {_q(staging)} RENAME TO {_q(table)}")
+    except Exception:
+        # roll the old table back before propagating
+        spark.sql(f"ALTER TABLE {_q(retired)} RENAME TO {_q(table)}")
+        raise
+    spark.sql(f"DROP TABLE {_q(retired)}")
+
+
+def optimize_clustered(
+    spark: SparkSession,
+    table: str,
+    zorder_cols: list[str],
+    num_partitions: int | None = None,
+) -> None:
+    """O1 — OPTIMIZE … ZORDER BY: rewrite the stored table clustered
+    on ``zorder_cols`` (row set unchanged; parquet min/max row-group
+    stats then skip-prune predicates on prefixes of the Z columns)."""
+    clustered = zorder_layout(spark.table(table), zorder_cols, num_partitions)
+    staging = f"{table}__stage_{uuid.uuid4().hex[:8]}"
+    retired = f"{table}__old_{uuid.uuid4().hex[:8]}"
+    clustered.write.mode("overwrite").format("parquet").saveAsTable(staging)
+    spark.sql(f"ALTER TABLE {_q(table)} RENAME TO {_q(retired)}")
+    spark.sql(f"ALTER TABLE {_q(staging)} RENAME TO {_q(table)}")
+    spark.sql(f"DROP TABLE {_q(retired)}")

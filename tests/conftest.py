@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import sys
+import tempfile
 from pathlib import Path
 
 import pytest
@@ -20,6 +21,7 @@ def spark():
         extra_confs={
             "spark.ui.showConsoleProgress": "false",
             "spark.sql.shuffle.partitions": "8",
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="lts_warehouse_"),
         },
     )
 

@@ -1,0 +1,59 @@
+"""Durable table layer: create/replace, atomic MERGE INTO, OPTIMIZE."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from lakehouse_tools_spark.operators.merge import not_in
+from lakehouse_tools_spark.operators.writer import (
+    create_or_replace,
+    optimize_clustered,
+    upsert_into,
+)
+
+
+def test_create_or_replace_and_upsert_roundtrip(spark):
+    tbl = "t_writer_roundtrip"
+    create_or_replace(
+        spark, spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)]), tbl
+    )
+    assert spark.table(tbl).count() == 2
+
+    upsert_into(
+        spark,
+        tbl,
+        spark.createDataFrame([Row(k="b", v=20), Row(k="c", v=30)]),
+        ["k"],
+    )
+    assert {(r.k, r.v) for r in spark.table(tbl).collect()} == {
+        ("a", 1),
+        ("b", 20),
+        ("c", 30),
+    }
+    # no staging/retired leftovers
+    leftovers = [
+        t.name for t in spark.catalog.listTables() if t.name.startswith(f"{tbl}__")
+    ]
+    assert leftovers == []
+
+
+def test_upsert_into_with_residual(spark):
+    tbl = "t_writer_residual"
+    create_or_replace(spark, spark.createDataFrame([Row(k="", v=1)]), tbl)
+    upsert_into(
+        spark,
+        tbl,
+        spark.createDataFrame([Row(k="", v=10)]),
+        ["k"],
+        not_in("k", ["", "Not partitioned"]),
+    )
+    # residual-failing source row inserted alongside the kept target row
+    assert sorted(r.v for r in spark.table(tbl).collect()) == [1, 10]
+
+
+def test_optimize_clustered_preserves_rows(spark, tables):
+    tbl = "t_writer_zorder"
+    create_or_replace(spark, tables["nation"], tbl)
+    before = sorted(map(tuple, spark.table(tbl).collect()))
+    optimize_clustered(spark, tbl, ["n_regionkey", "n_name"], num_partitions=2)
+    assert sorted(map(tuple, spark.table(tbl).collect())) == before
