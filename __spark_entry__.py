@@ -390,6 +390,94 @@ GROUP BY n_name
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-revenue-change: pure filter + aggregate — the query
+    whose cost is 100% scan, so pushdown/pruning decide everything."""
+    li = load_table(_spark(spark), sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return out.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(10,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface (absent in the reference, SURVEY §2.5):
+    ROLLUP over (returnflag, linestatus) with subtotal rows."""
+    li = load_table(_spark(spark), sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_setop_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface (absent in the reference, §2.7):
+    nations with customers but no suppliers, and with both."""
+    s = _spark(spark)
+    cust = load_table(s, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(s, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cust.intersect(supp).withColumn("relation", F.lit("both"))
+    # subtract = SQL EXCEPT (set semantics); exceptAll would be
+    # EXCEPT ALL and leave surviving duplicates of shared keys
+    only_cust = cust.subtract(supp).withColumn("relation", F.lit("customers_only"))
+    return both.unionByName(only_cust)
+
+
+_SETOP_ORACLE = """
+SELECT nationkey, 'both' AS relation FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customers_only' AS relation FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT SELECT s_nationkey FROM supplier)
+"""
+
+#: Shared-dialect SQL executed VERBATIM by both engines — the raw-SQL
+#: entry point (reference §3.2) demonstrated end-to-end.
+_RAW_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_tools_spark.sql import run_sql
+
+    return run_sql(_spark(spark), _RAW_SQL, sf_dir=sf_dir)
+
+
 def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _spark(spark)
     cust = load_table(s, sf_dir, "customer")
@@ -871,6 +959,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "rollup_pricing": q_rollup_pricing,
+        "setop_nations": q_setop_nations,
+        "sql_passthrough": q_sql_passthrough,
         "topk_customers": q_topk_customers,
         "window_rank": q_window_rank,
         "dedup_exact": q_dedup_exact,
@@ -906,6 +998,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": _Q1_ORACLE,
         "tpch_q3": _Q3_ORACLE,
         "tpch_q5": _Q5_ORACLE,
+        "tpch_q6": _Q6_ORACLE,
+        "rollup_pricing": _ROLLUP_ORACLE,
+        "setop_nations": _SETOP_ORACLE,
+        "sql_passthrough": _RAW_SQL,
         "topk_customers": _TOPK_CUSTOMERS_ORACLE,
         "window_rank": _WINDOW_RANK_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,

@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
+    "rollup_pricing",
+    "setop_nations",
+    "sql_passthrough",
     "topk_customers",
     "window_rank",
     "dedup_exact",
