@@ -584,8 +584,8 @@ _DEDUP_MINHASH_ORACLE = (
 
 def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(_spark(spark), sf_dir, "documents")
-    sigs = X_dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=8, k=3)
-    return X_dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    wide = X_dedup.minhash_wide(docs, "text", "doc_id", num_hashes=8, k=3)
+    return X_dedup.lsh_candidate_pairs_wide(wide, bands=4, rows_per_band=2)
 
 
 _DEDUP_LSH_ORACLE = (

@@ -78,26 +78,68 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     )
 
 
+def minhash_wide(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """MinHash signatures in wide form: ``(doc_id, _h0.._hN)``.
+
+    hash family h_i(s) = md5(i || '|' || s), minimized as a *string*
+    (hex md5 ordering is total and identical in every engine). All
+    ``num_hashes`` mins are computed in ONE aggregate over the shingle
+    rows — the shuffle carries (doc_id, shingle) once, not
+    ``num_hashes``× (the explode-then-group formulation multiplies
+    pre-shuffle volume by the signature width; at 10^9 docs that is
+    the difference between one pass and eight).
+    """
+    sh = word_shingles(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(
+            f"_h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, k: int = 3
 ) -> DataFrame:
     """MinHash signatures in long form: ``(doc_id, hash_id, minhash)``.
 
-    hash family h_i(s) = md5(i || '|' || s), minimized as a *string*
-    (hex md5 ordering is total and identical in every engine). One
-    shuffle: groupBy(doc_id, hash_id) with map-side partial min.
+    Built from :func:`minhash_wide` with a free ``stack`` projection —
+    no extra shuffle. Long form is the cross-engine exchange/oracle
+    contract; the wide form is what downstream LSH consumes.
     """
-    sh = word_shingles(df, text_col, id_col, k)
-    hashed = sh.select(
+    wide = minhash_wide(df, text_col, id_col, num_hashes, k)
+    branches = []
+    for i in range(num_hashes):
+        branches.append(F.lit(i))
+        branches.append(F.col(f"_h{i}"))
+    return wide.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_id"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "hash_id",
-        F.md5(F.concat_ws("|", F.col("hash_id"), F.col("shingle"))).alias("h"),
+        F.stack(F.lit(num_hashes), *branches).alias("hash_id", "minhash"),
     )
-    return hashed.groupBy("doc_id", "hash_id").agg(F.min("h").alias("minhash"))
+
+
+def lsh_bands_from_wide(
+    wide: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """``(doc_id, band, bucket)`` from wide signatures — ZERO shuffle.
+
+    Each band's bucket is the md5 of that band's sorted minhashes,
+    computed as a plain projection; the only shuffle left in the LSH
+    pipeline is the bucket self-join itself.
+    """
+    rows = []
+    for b in range(bands):
+        cols = [
+            F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        bucket = F.md5(F.concat_ws("|", F.sort_array(F.array(*cols))))
+        rows.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return wide.select(
+        "doc_id", F.explode(F.array(*rows)).alias("_bb")
+    ).select("doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
 
 
 def lsh_candidate_pairs(
@@ -108,14 +150,28 @@ def lsh_candidate_pairs(
     ``signatures`` is the long form from :func:`minhash_signatures`
     with ``num_hashes = bands * rows_per_band``. Documents agreeing on
     *all* rows of any band land in the same bucket. Bucket key is the
-    md5 of the concatenated band signature → fixed-width join key.
+    md5 of the sorted band signature → fixed-width join key.
     Output: distinct ``(doc_id, doc_id2)`` with doc_id < doc_id2.
+    Prefer :func:`lsh_candidate_pairs_wide` in pipelines that already
+    hold wide signatures (skips this groupBy shuffle entirely).
     """
     banded = (
         signatures.withColumn("band", (F.col("hash_id") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
         .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("bucket"))
     )
+    return _bucket_pairs(banded)
+
+
+def lsh_candidate_pairs_wide(
+    wide: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Same output as :func:`lsh_candidate_pairs`, fed from wide
+    signatures: one shuffle total (the bucket self-join)."""
+    return _bucket_pairs(lsh_bands_from_wide(wide, bands, rows_per_band))
+
+
+def _bucket_pairs(banded: DataFrame) -> DataFrame:
     a = banded.alias("a")
     b = banded.alias("b")
     return (

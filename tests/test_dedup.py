@@ -61,6 +61,32 @@ def test_lsh_finds_identical_and_near_dups(spark):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_lsh_wide_path_equals_long_path(spark, tables):
+    from lakehouse_tools_spark.ext.dedup import (
+        lsh_candidate_pairs_wide,
+        minhash_wide,
+    )
+
+    d = tables["documents"].limit(200)
+    long_pairs = sorted(
+        map(
+            tuple,
+            lsh_candidate_pairs(
+                minhash_signatures(d, "text", "doc_id", num_hashes=8), 4, 2
+            ).collect(),
+        )
+    )
+    wide_pairs = sorted(
+        map(
+            tuple,
+            lsh_candidate_pairs_wide(
+                minhash_wide(d, "text", "doc_id", num_hashes=8), 4, 2
+            ).collect(),
+        )
+    )
+    assert long_pairs == wide_pairs
+
+
 def test_jaccard_values(spark):
     sh = word_shingles(docs(spark), "text", "doc_id", k=3)
     j = {(r.doc_id, r.doc_id2): r.jaccard for r in jaccard_pairs(sh).collect()}
