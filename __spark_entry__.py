@@ -193,6 +193,70 @@ def q_profiler_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return create_data_profile(spark, tables, DB, mode="intended").profile_data
 
 
+def q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary-stats profiler (rows/nulls/distinct/min/max) on orders
+    + lineitem; exact-distinct mode for the oracle, approx mode tested
+    in tests/ for the single-pass 100 TB path."""
+    from lakehouse_tools_spark.operators.profile import profile_summary
+
+    s = _spark(spark)
+    parts = [
+        profile_summary(load_table(s, sf_dir, t), DB, t) for t in ("orders", "lineitem")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def _profile_summary_oracle() -> str:
+    parts = []
+    for t in ("orders", "lineitem"):
+        for c, dt in FIXTURE_SCHEMAS[t]:
+            r = _render_sql(f'"{c}"', dt)
+            rmin = _render_sql(f'min("{c}")', dt)
+            rmax = _render_sql(f'max("{c}")', dt)
+            parts.append(
+                f"SELECT '{DB}' AS databaseName, '{t}' AS tableName, "
+                f"'{c}' AS columnName, '{dt}' AS dataType, "
+                f"count(*) AS n_rows, "
+                f'CAST(SUM(CASE WHEN "{c}" IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, '
+                f"CAST(count(DISTINCT {r}) AS BIGINT) AS n_distinct, "
+                f"{rmin} AS min_value, {rmax} AS max_value FROM {t}"
+            )
+    return " UNION ALL ".join(parts)
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the same user's latest
+    PRIOR-or-equal event value — the point-in-time lookup Spark's
+    built-in joins lack, as one shuffle + one window (operators.asof).
+    DuckDB verifies with its native ASOF JOIN."""
+    from lakehouse_tools_spark.operators.asof import asof_join
+
+    s = _spark(spark)
+    ev = load_table(s, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(left, right, ["user_id"], "ts", "ts", ["view_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+        "view_value",
+    )
+
+
+_ASOF_ORACLE = f"""
+SELECT l.event_id, l.user_id, strftime(l.ts, '{TS_FMT_SQL}') AS ts_s,
+       r.value AS view_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 MERGE_RESIDUAL_EXCL = ["NATION_7", "NATION_20"]
 
 
@@ -953,7 +1017,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_intended": q_profile_intended,
         "profile_as_written": q_profile_as_written,
         "schema_information": q_schema_information,
+        "profile_summary": q_profile_summary,
         "profiler_e2e": q_profiler_e2e,
+        "asof_join": q_asof_join,
         "merge_upsert": q_merge_upsert,
         "zorder_rowset": q_zorder_rowset,
         "tpch_q1": q_tpch_q1,
@@ -992,7 +1058,9 @@ def oracle_sql() -> dict[str, str]:
         "profile_intended": _profile_intended_oracle(PROFILE_TABLES),
         "profile_as_written": _profile_as_written_oracle(PROFILE_TABLES),
         "schema_information": _schema_info_oracle(PROFILE_TABLES),
+        "profile_summary": _profile_summary_oracle(),
         "profiler_e2e": _profile_intended_oracle(tuple(FIXTURE_SCHEMAS)),
+        "asof_join": _ASOF_ORACLE,
         "merge_upsert": _MERGE_ORACLE,
         "zorder_rowset": _ZORDER_ORACLE,
         "tpch_q1": _Q1_ORACLE,

@@ -31,7 +31,9 @@ BENCH_QUERIES = [
     "profiler_e2e",
     "profile_intended",
     "profile_as_written",
+    "profile_summary",
     "schema_information",
+    "asof_join",
     "merge_upsert",
     "zorder_rowset",
     "tpch_q1",

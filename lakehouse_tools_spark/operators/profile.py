@@ -175,6 +175,108 @@ def profile_table(
     return base.withColumn("len", F.length("value").cast("float"))
 
 
+SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("databaseName", T.StringType(), True),
+        T.StructField("tableName", T.StringType(), True),
+        T.StructField("columnName", T.StringType(), True),
+        T.StructField("dataType", T.StringType(), True),
+        T.StructField("n_rows", T.LongType(), True),
+        T.StructField("n_nulls", T.LongType(), True),
+        T.StructField("n_distinct", T.LongType(), True),
+        T.StructField("min_value", T.StringType(), True),
+        T.StructField("max_value", T.StringType(), True),
+    ]
+)
+
+
+def profile_summary(
+    df: DataFrame,
+    database: str,
+    table: str,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Summary statistics per column: rows, nulls, distinct count,
+    min/max — the aggregate complement to the per-value histogram.
+
+    Counts/nulls/min/max come from ONE wide aggregate over a single
+    scan (no Expand). Distinct counts:
+
+    - ``exact_distinct=True``: a melt + per-column countDistinct —
+      exact, but the melt multiplies scanned rows by the column count.
+      This is the oracle-checkable mode.
+    - ``exact_distinct=False``: ``approx_count_distinct`` (HyperLogLog++)
+      inside the same single wide aggregate — the 100 TB path: one
+      pass, no row multiplication, ~2% relative error.
+
+    min/max are computed on the typed values then rendered (NOT
+    min-of-rendered-strings, which would order numerics
+    lexicographically).
+    """
+    fields = profilable_columns(df)
+    if not fields:
+        return df.sparkSession.createDataFrame([], SUMMARY_SCHEMA)
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for f in fields:
+        c = F.col(f"`{f.name}`")
+        aggs.append(
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long").alias(f"_nulls_{f.name}")
+        )
+        aggs.append(stable_string(F.min(c), f.dataType).alias(f"_min_{f.name}"))
+        aggs.append(stable_string(F.max(c), f.dataType).alias(f"_max_{f.name}"))
+        if not exact_distinct:
+            aggs.append(F.approx_count_distinct(c).alias(f"_nd_{f.name}"))
+    wide = df.agg(*aggs)
+
+    branches = []
+    for f in fields:
+        branches.append(F.lit(f.name))
+        branches.append(F.col(f"`_nulls_{f.name}`"))
+        branches.append(F.col(f"`_min_{f.name}`"))
+        branches.append(F.col(f"`_max_{f.name}`"))
+        branches.append(
+            F.lit(None).cast("long") if exact_distinct else F.col(f"`_nd_{f.name}`")
+        )
+    long = wide.select(
+        F.col("_n").alias("n_rows"),
+        F.stack(F.lit(len(fields)), *branches).alias(
+            "columnName", "n_nulls", "min_value", "max_value", "n_distinct"
+        ),
+    )
+
+    if exact_distinct:
+        melt_branches = []
+        for f in fields:
+            melt_branches.append(F.lit(f.name))
+            melt_branches.append(stable_string(F.col(f"`{f.name}`"), f.dataType))
+        nd = (
+            df.select(
+                F.stack(F.lit(len(fields)), *melt_branches).alias("columnName", "value")
+            )
+            .groupBy("columnName")
+            .agg(F.count_distinct(F.col("value")).alias("_nd_exact"))
+        )
+        long = long.drop("n_distinct").join(nd, "columnName", "left").withColumn(
+            "n_distinct", F.col("_nd_exact")
+        )
+
+    dtype_map = F.create_map(
+        *[x for f in fields for x in (F.lit(f.name), F.lit(f.dataType.simpleString()))]
+    )
+    return long.select(
+        F.lit(database).alias("databaseName"),
+        F.lit(table).alias("tableName"),
+        F.col("columnName"),
+        dtype_map[F.col("columnName")].alias("dataType"),
+        F.col("n_rows"),
+        F.col("n_nulls"),
+        F.col("n_distinct"),
+        F.col("min_value"),
+        F.col("max_value"),
+    )
+
+
 def profile_data(
     tables: dict[str, DataFrame],
     database: str,

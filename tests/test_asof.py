@@ -1,0 +1,53 @@
+"""As-of join semantics (operators.asof)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from lakehouse_tools_spark.operators.asof import asof_join
+
+
+def ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, ts(5)), (1, ts(10)), (2, ts(5))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(0), 100.0), (1, ts(5), 200.0), (1, ts(7), 300.0), (2, ts(6), 400.0)],
+        "k long, rts timestamp, v double",
+    )
+    out = {
+        (r.k, r.ts.minute, r.v)
+        for r in asof_join(left, right, ["k"], "ts", "rts", ["v"]).collect()
+    }
+    assert out == {
+        (1, 5, 200.0),  # update effective AT event time is visible
+        (1, 10, 300.0),  # latest prior
+        (2, 5, None),  # no prior right row -> null
+    }
+
+
+def test_asof_keeps_all_left_rows(spark, tables):
+    ev = tables["events"]
+    from pyspark.sql import functions as F
+
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("v")
+    )
+    out = asof_join(left, right, ["user_id"], "ts", "ts", ["v"])
+    assert out.count() == left.count()
+
+
+def test_asof_single_shuffle(spark, tables):
+    ev = tables["events"]
+    from pyspark.sql import functions as F
+
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.select("user_id", "ts", F.col("value").alias("v"))
+    plan = asof_join(left, right, ["user_id"], "ts", "ts", ["v"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # union + one window shuffle, no join
+    assert "Join" not in plan

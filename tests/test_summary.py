@@ -1,0 +1,47 @@
+"""Summary-stats profiler: exact vs approx (HLL) modes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_tools_spark.operators.profile import profile_summary
+
+
+def test_summary_exact_values(spark, tables):
+    out = {
+        r.columnName: r
+        for r in profile_summary(tables["nation"], "db", "nation").collect()
+    }
+    nk = out["n_nationkey"]
+    assert (nk.n_rows, nk.n_nulls, nk.n_distinct) == (25, 0, 25)
+    assert (nk.min_value, nk.max_value) == ("0", "24")
+    assert out["n_regionkey"].n_distinct == 5
+
+
+def test_summary_typed_minmax_not_lexicographic(spark, tables):
+    out = {
+        r.columnName: r
+        for r in profile_summary(tables["orders"], "db", "orders").collect()
+    }
+    # typed numeric min/max: lexicographic string ordering would put
+    # e.g. "999" above "1000"; the typed path must agree with F.min/max
+    expected = tables["orders"].agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    assert int(out["o_orderkey"].min_value) == expected.lo
+    assert int(out["o_orderkey"].max_value) == expected.hi
+
+
+def test_summary_approx_single_pass_and_close(spark, tables):
+    li = tables["lineitem"]
+    exact = {
+        r.columnName: r.n_distinct
+        for r in profile_summary(li, "db", "lineitem").collect()
+    }
+    approx_df = profile_summary(li, "db", "lineitem", exact_distinct=False)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan  # single wide aggregate, no row multiplication
+    approx = {r.columnName: r.n_distinct for r in approx_df.collect()}
+    # approx_count_distinct default rsd is 5% (1 sigma) — bound at 3x
+    for col, nd in exact.items():
+        assert abs(approx[col] - nd) <= max(0.15 * nd, 2), col
