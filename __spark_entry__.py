@@ -694,6 +694,35 @@ WHERE floor(i.n_inter / (a.sz + b.sz - i.n_inter) * 1000000) / 1000000 >= 0.1
 )
 
 
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return X_dedup.winnow_fingerprints(docs, "text", "doc_id", k=8, window=4)
+
+
+_DEDUP_WINNOW_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_NORM_SQL.format(c="text")} AS txt FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(length(txt) - 8 + 1, 1)),
+           i -> CAST(CAST(concat('0x', substr(md5(substr(txt, i, 8)), 1, 8)) AS BIGINT) AS BIGINT)
+         ) AS hashes
+  FROM base
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(hashes) - 4 + 1, 1)),
+           j -> list_min(hashes[j : j + 3])
+         )) AS f
+  FROM grams
+)
+SELECT DISTINCT doc_id, unnest(f) AS fingerprint FROM fps
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(_spark(spark), sf_dir, "documents")
     return X_dedup.simhash(docs, "text", "doc_id", bits=32)
@@ -1036,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_winnow": q_dedup_winnow,
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_neardup": q_sim_neardup,
@@ -1077,6 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pairs": _DEDUP_LSH_ORACLE,
         "dedup_jaccard": _DEDUP_JACCARD_ORACLE,
         "dedup_simhash": _simhash_oracle(),
+        "dedup_winnow": _DEDUP_WINNOW_ORACLE,
         "sim_topk": _SIM_TOPK_ORACLE,
         "sim_neardup": _SIM_NEARDUP_ORACLE,
         "multimodal_decode": _MULTIMODAL_DECODE_ORACLE,

@@ -23,7 +23,7 @@ Scale notes (the point of this module):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakehouse_tools_spark.functions.portable import floor6
@@ -239,6 +239,63 @@ def jaccard_pairs(
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every character ``k``-gram, then keep the minimum hash of
+    each sliding ``window`` — a guaranteed-coverage subsample of the
+    hash stream used for plagiarism/near-dup detection.
+
+    Output: distinct ``(doc_id, fingerprint)`` with bigint md5-derived
+    hashes (portable across engines). The k-gram hash array is built
+    once per document (posexplode evaluates its child exactly once);
+    the sliding min is a ROWS-frame window function, so total work is
+    O(n·window) per document — a nested transform-over-slices
+    formulation re-evaluates the gram array per window position and
+    is quadratic (hung even at 500 docs, measured). One shuffle on
+    doc_id; the rolling min and the distinct both reuse it.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        normalize_text(F.col(text_col)).alias("_txt"),
+    )
+    txt = F.col("_txt")
+    n_grams = F.greatest(F.length(txt) - k + 1, F.lit(1))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.conv(
+                    F.substring(F.md5(txt.substr(i, F.lit(k))), 1, 8), 16, 10
+                ).cast("long"),
+            )
+        ).alias("pos", "h"),
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_roll = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        grams.select(
+            "doc_id",
+            F.col("pos"),
+            F.count(F.lit(1)).over(w_doc).alias("_n"),
+            F.min("h").over(w_roll).alias("fingerprint"),
+        )
+        .where(F.col("pos") <= F.greatest(F.col("_n") - window, F.lit(0)))
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:

@@ -101,3 +101,23 @@ def test_simhash_identical_docs_equal(spark):
     ham13 = bin(out[1] ^ out[3]).count("1")
     ham14 = bin(out[1] ^ out[4]).count("1")
     assert ham13 < ham14  # near-dup closer than unrelated doc
+
+
+def test_winnow_fingerprints(spark):
+    from lakehouse_tools_spark.ext.dedup import winnow_fingerprints
+
+    fps = winnow_fingerprints(docs(spark), "text", "doc_id", k=8, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    # normalization: ws/case dup has the identical fingerprint set
+    assert by_doc[1] == by_doc[2]
+    # winnowing subsamples: far fewer fingerprints than k-gram positions
+    n_positions = len("the quick brown fox jumps over the lazy dog") - 8 + 1
+    assert 0 < len(by_doc[1]) < n_positions
+    # near-dup shares fingerprints with 1; unrelated doc shares ~none
+    inter_near = len(by_doc[1] & by_doc[3])
+    inter_far = len(by_doc[1] & by_doc[4])
+    assert inter_near > inter_far
+    # doc shorter than k still yields exactly one fingerprint
+    assert len(by_doc[5]) == 1
