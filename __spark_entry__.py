@@ -482,6 +482,98 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS subquery → LEFT SEMI join
+    (SURVEY §2.4 notes the reference has no semi joins — this covers
+    the shape). Fixture lineitem has no commit/receipt dates, so the
+    exists-predicate is "some line shipped ≥90 days after the order
+    date". Semi join is an equi-join on orderkey with a non-equi
+    residual: both sides shuffle on the key once, the residual is
+    evaluated stream-side, and no lineitem columns survive the join —
+    at 100 TB only (orderkey, shipdate) moves for the probe side.
+    """
+    s = _spark(spark)
+    orders = load_table(s, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(s, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-aggregate subquery
+    (revenue from small-quantity lines vs the per-part average).
+    De-correlated Spark-first: per-part (sum, count) aggregate over
+    the brand's lineitems, broadcast back (one brand ≈ 1% of parts →
+    tiny), so lineitem shuffles once for the partial agg and never
+    again for the re-join. The threshold qty < 0.2·avg is compared
+    multiplied-out (5·cnt·qty < sum) in exact DECIMAL — no division,
+    no float boundary flips between engines.
+    """
+    s = _spark(spark)
+    p = (
+        load_table(s, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = load_table(s, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).drop("p_partkey")
+    stats = li_b.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("_sum_qty"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    small = li_b.join(F.broadcast(stats), "l_partkey").where(
+        _dec("l_quantity") * F.lit(5) * F.col("_cnt") < F.col("_sum_qty")
+    )
+    return small.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7)).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+_Q17_ORACLE = """
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+),
+stats AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(10,2))) AS sum_qty,
+         count(*) AS cnt
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) / 7 AS avg_yearly,
+       count(*) AS n_small
+FROM brand_li l JOIN stats s ON l.l_partkey = s.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(10,2)) * 5 * s.cnt < s.sum_qty
+"""
+
+
 def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets surface (absent in the reference, SURVEY §2.5):
     ROLLUP over (returnflag, linestatus) with subtotal rows."""
@@ -1019,6 +1111,33 @@ FROM events GROUP BY event_type
 # ---------------------------------------------------------------- catalog
 
 
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source (sources/formats.py): write nation out as CSV,
+    read it back with the original schema, return the rows. The oracle
+    is plain ``SELECT * FROM nation`` — any row lost or value perturbed
+    by the text round-trip breaks the hash."""
+    from lakehouse_tools_spark.sources.formats import roundtrip
+
+    df = load_table(_spark(spark), sf_dir, "nation")
+    return roundtrip(df, "/root/repo/spark-warehouse/_io/nation_csv", "csv")
+
+
+_CSV_ROUNDTRIP_ORACLE = "SELECT * FROM nation"
+
+
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source: orders (includes a TIMESTAMP column —
+    the type text formats most often mangle) through write+read with
+    explicit schema; oracle is the parquet original."""
+    from lakehouse_tools_spark.sources.formats import roundtrip
+
+    df = load_table(_spark(spark), sf_dir, "orders")
+    return roundtrip(df, "/root/repo/spark-warehouse/_io/orders_json", "json")
+
+
+_JSON_ROUNDTRIP_ORACLE = "SELECT * FROM orders"
+
+
 def q_catalog_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 + P5: SHOW TABLES minus the self-exclusion list. Catalog
     contents depend on the hosting session → rows-only check; the
@@ -1055,6 +1174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q17": q_tpch_q17,
         "rollup_pricing": q_rollup_pricing,
         "setop_nations": q_setop_nations,
         "sql_passthrough": q_sql_passthrough,
@@ -1079,6 +1200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
+        "source_csv_roundtrip": q_source_csv_roundtrip,
+        "source_json_roundtrip": q_source_json_roundtrip,
         "catalog_show_tables": q_catalog_show_tables,
     }
 
@@ -1097,6 +1220,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": _Q3_ORACLE,
         "tpch_q5": _Q5_ORACLE,
         "tpch_q6": _Q6_ORACLE,
+        "tpch_q4": _Q4_ORACLE,
+        "tpch_q17": _Q17_ORACLE,
+        "source_csv_roundtrip": _CSV_ROUNDTRIP_ORACLE,
+        "source_json_roundtrip": _JSON_ROUNDTRIP_ORACLE,
         "rollup_pricing": _ROLLUP_ORACLE,
         "setop_nations": _SETOP_ORACLE,
         "sql_passthrough": _RAW_SQL,

@@ -1,0 +1,104 @@
+"""Row-format sources/sinks: CSV and JSON(lines).
+
+The reference touches only Delta (SURVEY.md §2.2 S5); a usable engine
+also needs the interchange formats. Two rules keep these scalable:
+
+- **Always pass an explicit schema on read.** Schema inference is a
+  full extra pass over the data (or a sampled lie); at 100 TB it is
+  the difference between one scan and two. ``read_csv``/``read_json``
+  therefore take a required ``StructType`` — callers that genuinely
+  want inference opt in with ``infer=True`` on a sample.
+- **Writes shape downstream parallelism.** The writers expose
+  ``partition_by`` (directory-partitioned layout → partition pruning
+  for whoever reads it next) and pass the incoming DataFrame's
+  partitioning through untouched — no hidden coalesce(1).
+
+CSV/JSON scans still get *predicate* evaluation pushed into the scan
+node but not columnar pruning (row formats must parse whole lines);
+they are ingestion formats here, parquet remains the compute format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: Write/read timestamps in a zone-less canonical form. The session is
+#: pinned to UTC, so this round-trips parquet-born TIMESTAMP values
+#: bit-exactly through text.
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+_COMMON = {"timestampFormat": _TS_FMT}
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    header: bool = True,
+) -> None:
+    w = df.write.mode("overwrite").options(header=str(header).lower(), **_COMMON)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.csv(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    infer: bool = False,
+) -> DataFrame:
+    if schema is None and not infer:
+        raise ValueError(
+            "read_csv requires an explicit schema (or infer=True): "
+            "inference is a second full scan of the input"
+        )
+    r = spark.read.options(header=str(header).lower(), **_COMMON)
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return r.csv(path)
+
+
+def write_json(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+) -> None:
+    w = df.write.mode("overwrite").options(**_COMMON)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    if schema is None and not infer:
+        raise ValueError(
+            "read_json requires an explicit schema (or infer=True): "
+            "inference is a second full scan of the input"
+        )
+    r = spark.read.options(**_COMMON)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def roundtrip(df: DataFrame, path: str, fmt: str) -> DataFrame:
+    """Write ``df`` to ``path`` as ``fmt`` and read it back with the
+    source DataFrame's own schema — the self-check used by the
+    correctness harness (text formats must neither drop rows nor
+    perturb values)."""
+    spark = df.sparkSession
+    if fmt == "csv":
+        write_csv(df, path)
+        return read_csv(spark, path, schema=df.schema)
+    if fmt == "json":
+        write_json(df, path)
+        return read_json(spark, path, schema=df.schema)
+    raise ValueError(f"unsupported format: {fmt!r}")

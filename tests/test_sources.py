@@ -1,0 +1,59 @@
+"""CSV/JSON sources: explicit-schema reads, partitioned writes, roundtrips."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lakehouse_tools_spark.sources.formats import (
+    read_csv,
+    read_json,
+    roundtrip,
+    write_csv,
+    write_json,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_csv_roundtrip_preserves_rows(spark, tables):
+    nation = tables["nation"]
+    out = roundtrip(nation, tempfile.mkdtemp(prefix="lts_csv_"), "csv")
+    assert out.schema == nation.schema
+    assert _rows(out) == _rows(nation)
+
+
+def test_json_roundtrip_preserves_timestamps(spark, tables):
+    orders = tables["orders"].limit(200)
+    out = roundtrip(orders, tempfile.mkdtemp(prefix="lts_json_"), "json")
+    assert out.schema == orders.schema
+    assert _rows(out.select("o_orderkey", "o_orderdate")) == _rows(
+        orders.select("o_orderkey", "o_orderdate")
+    )
+
+
+def test_read_requires_schema_or_optin(spark):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_csv(spark, "/tmp/nowhere")
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_json(spark, "/tmp/nowhere")
+
+
+def test_partitioned_write_enables_pruning(spark):
+    df = spark.createDataFrame(
+        [Row(k=i % 3, v=i) for i in range(30)]
+    )
+    path = tempfile.mkdtemp(prefix="lts_part_")
+    write_json(df, path, partition_by=("k",))
+    back = read_json(spark, path, schema="v long, k int")
+    assert back.count() == 30
+    # partition column filter must prune to one directory, not scan all
+    pruned = back.filter(F.col("k") == 1)
+    assert pruned.count() == 10
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(k" in plan
