@@ -75,6 +75,10 @@ def upsert_into(
         spark.sql(f"ALTER TABLE {_q(retired)} RENAME TO {_q(table)}")
         raise
     spark.sql(f"DROP TABLE {_q(retired)}")
+    # drop any cached file listing for the old generation — readers in
+    # other sessions sharing this catalog (e.g. a streaming micro-batch
+    # clone) would otherwise resolve the name to deleted files
+    spark.catalog.refreshTable(table)
 
 
 def optimize_clustered(
@@ -93,3 +97,4 @@ def optimize_clustered(
     spark.sql(f"ALTER TABLE {_q(table)} RENAME TO {_q(retired)}")
     spark.sql(f"ALTER TABLE {_q(staging)} RENAME TO {_q(table)}")
     spark.sql(f"DROP TABLE {_q(retired)}")
+    spark.catalog.refreshTable(table)

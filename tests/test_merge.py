@@ -69,3 +69,21 @@ def test_merge_is_single_join(spark):
     s = spark.createDataFrame([Row(k="a", v=2)])
     plan = upsert(t, s, ["k"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Join") == 1
+
+
+def test_residual_rerun_duplicates_excluded_keys(spark):
+    # Faithful re-run semantics (dbc cell@8.5 ON-clause NOT IN): an
+    # excluded-key row already in the target can never be matched by
+    # the next run, so each run INSERTs it again — upsert with a
+    # residual is idempotent only for keys passing the residual.
+    t = spark.createDataFrame([Row(k="a", v=1)])
+    s = spark.createDataFrame([Row(k="a", v=10), Row(k="Not partitioned", v=30)])
+    once = upsert(t, s, ["k"], not_in("k", ["", "Not partitioned"]))
+    twice = upsert(once, s, ["k"], not_in("k", ["", "Not partitioned"]))
+    assert rows(twice) == [
+        ("Not partitioned", 30),
+        ("Not partitioned", 30),
+        ("a", 10),
+    ]
+    # without a residual the same re-run is a pure idempotent upsert
+    assert rows(upsert(upsert(t, s, ["k"]), s, ["k"])) == rows(upsert(t, s, ["k"]))
