@@ -863,6 +863,16 @@ SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10
 """
 
 
+def q_sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact top-k through the Arrow/Pandas-UDF path
+    (mapInPandas + numpy batch scoring) — shares the Catalyst path's
+    oracle, so the gate proves the two implementations bit-agree."""
+    emb = load_table(_spark(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = X_sim.cosine_topk_pandas(emb, queries, k=10)
+    return out.select("query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
+
+
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH bucket probe — the
     100 TB path. Non-SQL-expressible compactly → rows-only check;
@@ -1188,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_winnow": q_dedup_winnow,
         "sim_topk": q_sim_topk,
+        "sim_topk_pandas": q_sim_topk_pandas,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_neardup": q_sim_neardup,
         "multimodal_decode": q_multimodal_decode,
@@ -1236,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(),
         "dedup_winnow": _DEDUP_WINNOW_ORACLE,
         "sim_topk": _SIM_TOPK_ORACLE,
+        "sim_topk_pandas": _SIM_TOPK_ORACLE,
         "sim_neardup": _SIM_NEARDUP_ORACLE,
         "multimodal_decode": _MULTIMODAL_DECODE_ORACLE,
         "text_quality": _quality_oracle(),

@@ -57,6 +57,74 @@ def cosine_topk(
     )
 
 
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via an Arrow-batched Pandas path (``mapInPandas``).
+
+    Same contract and same results as :func:`cosine_topk`; this is the
+    escape hatch for scoring Catalyst can't express (a model forward
+    pass, a learned metric). The query matrix rides into every task as
+    a closure (small side, same role as the broadcast in the Catalyst
+    path); each Arrow batch is scored as one numpy matrix op.
+
+    Bit-exactness with the Catalyst/oracle path: products are formed
+    elementwise in float64 and accumulated *sequentially over
+    dimensions* (vectorized over rows) — the same left-fold order as
+    ``F.aggregate`` and DuckDB's ``list_dot_product``. ``np.dot``'s
+    pairwise/SIMD summation would drift in the low bits and flip
+    rounded values on ties.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)  # (nq, dim)
+    qnorm = np.sqrt(_seq_dot(qm, qm))  # (nq,)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)  # (n, dim)
+            cnorm = np.sqrt(_seq_dot(cm, cm))  # (n,)
+            for qi, qid in enumerate(qids):
+                dots = _seq_dot(cm, qm[qi][None, :])  # (n,)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(ids), qid, dtype=np.int64),
+                        "vec_id": ids,
+                        "cos": dots / (qnorm[qi] * cnorm),
+                    }
+                )
+
+    scored = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(score, "query_id long, vec_id long, cos double")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _seq_dot(a, b):
+    """Row-wise dot of (n, dim)·(n|1, dim) accumulated dim-by-dim —
+    vectorized across rows, sequential across dims, so the fold order
+    matches Catalyst's ``aggregate`` exactly."""
+    import numpy as np
+
+    prods = a * b  # broadcasting handles (1, dim)
+    acc = np.zeros(prods.shape[0], dtype=np.float64)
+    for d in range(prods.shape[1]):
+        acc = acc + prods[:, d]
+    return acc
+
+
 def neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -59,3 +59,15 @@ def test_ann_subset_of_corpus_with_positive_recall(spark, tables):
     assert all(r.query_id != r.vec_id for r in ann)
     got = {(r.query_id, r.vec_id) for r in ann}
     assert len(got & exact) > 0  # approximate, but not useless
+
+
+def test_pandas_path_matches_catalyst_path(spark, tables):
+    from lakehouse_tools_spark.ext.similarity import cosine_topk, cosine_topk_pandas
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3)
+    jvm = {tuple(r) for r in cosine_topk(emb, queries, k=5).collect()}
+    arrow = {tuple(r) for r in cosine_topk_pandas(emb, queries, k=5).collect()}
+    # dim-sequential numpy accumulation reproduces the Catalyst fold
+    # bit-for-bit, so ranks AND rounded cosines are identical
+    assert jvm == arrow and len(jvm) == 15
