@@ -873,6 +873,47 @@ def q_sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
 
 
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: zero-shuffle nearest-centroid assignment (cell
+    id computed inline from literal centroid arrays), broadcast probe
+    of the query's cell, exact re-scoring. Centroids are the 8
+    lowest-id corpus vectors — deterministic, so fully
+    oracle-checkable (unlike the hyperplane-LSH variant)."""
+    emb = load_table(_spark(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = X_sim.ivf_topk(emb, queries, k=10, num_centroids=8)
+    return out.select("query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
+
+
+_COS_SQL = "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+
+_SIM_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ca AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_COS_SQL.format(a="v", b="cv")} DESC, cid
+         ) AS rn
+  FROM c, cent
+),
+cassign AS (SELECT vec_id, v, cid AS cell FROM ca WHERE rn = 1),
+qassign AS (SELECT vec_id AS query_id, v AS qv, cell AS qcell
+            FROM cassign WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, c.vec_id, {_COS_SQL.format(a="qv", b="v")} AS cos
+  FROM cassign c JOIN qassign q ON c.cell = q.qcell AND c.vec_id != q.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10
+"""
+
+
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH bucket probe — the
     100 TB path. Non-SQL-expressible compactly → rows-only check;
@@ -1199,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow": q_dedup_winnow,
         "sim_topk": q_sim_topk,
         "sim_topk_pandas": q_sim_topk_pandas,
+        "sim_ivf": q_sim_ivf,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_neardup": q_sim_neardup,
         "multimodal_decode": q_multimodal_decode,
@@ -1248,6 +1290,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnow": _DEDUP_WINNOW_ORACLE,
         "sim_topk": _SIM_TOPK_ORACLE,
         "sim_topk_pandas": _SIM_TOPK_ORACLE,
+        "sim_ivf": _SIM_IVF_ORACLE,
         "sim_neardup": _SIM_NEARDUP_ORACLE,
         "multimodal_decode": _MULTIMODAL_DECODE_ORACLE,
         "text_quality": _quality_oracle(),

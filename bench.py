@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q4",
+    "tpch_q17",
     "rollup_pricing",
     "setop_nations",
     "sql_passthrough",
@@ -50,8 +52,11 @@ BENCH_QUERIES = [
     "dedup_lsh_pairs",
     "dedup_jaccard",
     "dedup_simhash",
+    "dedup_winnow",
     "sim_topk",
+    "sim_topk_pandas",
     "sim_ann_lsh",
+    "sim_ivf",
     "sim_neardup",
     "multimodal_decode",
     "multimodal_features",
@@ -63,6 +68,8 @@ BENCH_QUERIES = [
     "events_sliding",
     "events_sessionize",
     "events_json",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
 ]
 
 

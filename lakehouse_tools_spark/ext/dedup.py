@@ -35,6 +35,23 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def spread_by(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition by key to at least the cluster's core count.
+
+    Document corpora often arrive in few (or one) parquet files; every
+    operator below then does CPU-heavy per-row expansion (gram/shingle
+    hashing) *before* its first shuffle, which would serialize on the
+    input file count. Spreading the small raw-text rows first costs a
+    tiny shuffle and (a) unlocks full parallelism for the expansion,
+    (b) pre-satisfies any downstream window/groupBy on the same key so
+    the much larger expanded stream never shuffles. The ``max`` keeps
+    well-partitioned big inputs at their natural parallelism.
+    """
+    spark = df.sparkSession
+    n = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+    return df.repartition(n, *cols)
+
+
 def fingerprint(col: Column) -> Column:
     """Exact-dup key: md5 of normalized text."""
     return F.md5(normalize_text(col))
@@ -65,9 +82,12 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     subexpression elimination, so an inline ``split(regexp_replace…)``
     would be re-evaluated once per shingle (~8× slower, measured).
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    base = spread_by(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+        ),
+        "doc_id",
     )
     toks = F.col("_toks")
     n = F.size(toks)
@@ -206,6 +226,14 @@ def jaccard_pairs(
     Output: ``(doc_id, doc_id2, jaccard)`` floor-truncated to 6 for stable
     cross-engine comparison.
     """
+    # the shingle relation feeds THREE consumers (sizes, both join
+    # sides); without materialization each branch re-runs the whole
+    # normalize→explode→distinct pipeline (and AQE's per-branch
+    # replanning defeats exchange reuse). One disk-spillable persist
+    # beats three recomputations at every scale.
+    from pyspark import StorageLevel
+
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     s1 = shingles.alias("s1")
     s2 = shingles.alias("s2")
@@ -262,14 +290,26 @@ def winnow_fingerprints(
     is quadratic (hung even at 500 docs, measured). One shuffle on
     doc_id; the rolling min and the distinct both reuse it.
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        normalize_text(F.col(text_col)).alias("_txt"),
+    # spread the *text* by doc_id before the gram expansion: the
+    # per-char hashing is the CPU cost and must not be serialized by
+    # the input file count; and hash(doc_id) is exactly the
+    # distribution the rolling window needs, so the ~20× larger
+    # exploded gram stream never shuffles.
+    base = spread_by(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            normalize_text(F.col(text_col)).alias("_txt"),
+        ),
+        "doc_id",
     )
     txt = F.col("_txt")
     n_grams = F.greatest(F.length(txt) - k + 1, F.lit(1))
+    # the gram count is a function of text length — compute it BEFORE
+    # the explode and carry it per row, instead of re-counting with a
+    # second (unordered) window pass after
     grams = base.select(
         "doc_id",
+        n_grams.alias("_n"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), n_grams),
@@ -279,7 +319,6 @@ def winnow_fingerprints(
             )
         ).alias("pos", "h"),
     )
-    w_doc = Window.partitionBy("doc_id")
     w_roll = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -289,7 +328,7 @@ def winnow_fingerprints(
         grams.select(
             "doc_id",
             F.col("pos"),
-            F.count(F.lit(1)).over(w_doc).alias("_n"),
+            F.col("_n"),
             F.min("h").over(w_roll).alias("fingerprint"),
         )
         .where(F.col("pos") <= F.greatest(F.col("_n") - window, F.lit(0)))
@@ -308,10 +347,14 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     Output: ``(doc_id, simhash)``.
     """
     words = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+        spread_by(
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+            ),
+            "doc_id",
         )
+        .select("doc_id", F.explode("_toks").alias("w"))
         .distinct()
         .select(
             "doc_id",

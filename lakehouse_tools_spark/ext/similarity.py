@@ -192,6 +192,76 @@ def lsh_bucket(
     )
 
 
+def ivf_assign_column(vec_col, centroids: list[list[float]]):
+    """Nearest-centroid id (highest cosine, lowest id on ties) as one
+    inline Catalyst expression — the IVF list assignment.
+
+    The centroid matrix rides in the plan as array literals (like the
+    LSH hyperplanes), so assignment is a zero-shuffle projection over
+    any relation: at 100 TB each row computes C dot products in
+    codegen and never moves.
+    """
+    coss = []
+    for cv in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in cv])
+        coss.append(F.round(cosine_similarity(vec_col, lit_c), 6))
+    best = F.greatest(*coss) if len(coss) > 1 else coss[0]
+    cid = F.lit(None).cast("long")
+    # descending id order so the earliest (lowest-id) tie wins
+    for i in range(len(coss) - 1, -1, -1):
+        cid = F.when(coss[i] == best, F.lit(i).cast("long")).otherwise(cid)
+    return cid
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) probing: partition the
+    corpus into ``num_centroids`` cells by nearest centroid, probe only
+    the query's cell, exact-score the candidates. Same output contract
+    as :func:`cosine_topk`; recall < 1 by design.
+
+    Centroids here are the ``num_centroids`` lowest-id corpus vectors
+    — deterministic and oracle-reproducible; a production deployment
+    would k-means-refine them (the assignment/probe plumbing is
+    unchanged). Assignment is inline (no shuffle, see
+    :func:`ivf_assign_column`); the probe is a broadcast equi-join on
+    cell id, so the scored candidate set shrinks ~C× vs brute force.
+    """
+    cents = [
+        list(r[1])
+        for r in corpus.filter(F.col(id_col) < num_centroids)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    cb = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cvec"),
+        ivf_assign_column(F.col(vec_col), cents).alias("cell"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        ivf_assign_column(F.col(vec_col), cents).alias("qcell"),
+    )
+    scored = cb.join(
+        F.broadcast(qb),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("_qvec"), F.col("_cvec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -71,3 +71,17 @@ def test_pandas_path_matches_catalyst_path(spark, tables):
     # dim-sequential numpy accumulation reproduces the Catalyst fold
     # bit-for-bit, so ranks AND rounded cosines are identical
     assert jvm == arrow and len(jvm) == 15
+
+
+def test_ivf_subset_of_exact_with_positive_recall(spark, tables):
+    from lakehouse_tools_spark.ext.similarity import cosine_topk, ivf_topk
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, queries, k=10).collect()}
+    approx = {(r.query_id, r.vec_id) for r in ivf_topk(emb, queries, k=10, num_centroids=8).collect()}
+    # every IVF hit is a real corpus vector pair and recall is nonzero
+    assert approx and len(approx & exact) > 0
+    # cells partition the corpus: a vector appears in exactly one cell,
+    # so no query can see a candidate twice
+    assert len(approx) == len({(q, v) for q, v in approx})
