@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from lakehouse_tools_spark.sources.tables import ensure_parallelism
+
 PROFILE_DATA_SCHEMA = T.StructType(
     [
         T.StructField("databaseName", T.StringType(), True),
@@ -151,7 +153,10 @@ def profile_table(
     for f in fields:
         branches.append(F.lit(f.name))
         branches.append(stable_string(F.col(f"`{f.name}`"), f.dataType))
-    melted = df.select(
+    # the melt multiplies rows ×len(fields) and renders every value to
+    # text BEFORE the aggregate's map-side combine — spread the scan so
+    # that work isn't bounded by the table's file count
+    melted = ensure_parallelism(df.select(*[f"`{f.name}`" for f in fields])).select(
         F.stack(F.lit(len(fields)), *branches).alias("columnName", "value")
     )
 
@@ -251,7 +256,8 @@ def profile_summary(
             melt_branches.append(F.lit(f.name))
             melt_branches.append(stable_string(F.col(f"`{f.name}`"), f.dataType))
         nd = (
-            df.select(
+            ensure_parallelism(df.select(*[f"`{f.name}`" for f in fields]))
+            .select(
                 F.stack(F.lit(len(fields)), *melt_branches).alias("columnName", "value")
             )
             .groupBy("columnName")

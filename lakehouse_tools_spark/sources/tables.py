@@ -57,6 +57,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, *cols: str) -> DataFrame:
+    """Round-robin (or keyed) repartition up to the cluster's core
+    count — identity if the input already has enough partitions.
+
+    Spark's scan parallelism is bounded by file count / split size; a
+    compact table (one 10 MB parquet file) otherwise serializes every
+    CPU-heavy pre-shuffle stage (melt, explode, render) onto a couple
+    of tasks. At real scale inputs arrive with thousands of splits and
+    this is a no-op — the guard exists for small/compacted inputs.
+    Truly tiny relations (< 1 MB by optimizer estimate) are also left
+    alone: a 32-task shuffle of 25 rows costs more in scheduling than
+    it buys in parallelism.
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size < (1 << 20):
+        return df
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
 ) -> dict[str, DataFrame]:
