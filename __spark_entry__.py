@@ -932,6 +932,15 @@ def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X_sim.neardup_pairs(emb, threshold=0.2)
 
 
+def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs through the LSH-bucketed self-join — the scale
+    path (candidates ∝ n²/2^planes, not n²). Recall < 1 by design →
+    rows-only check here; subset-of-exact and recall are asserted in
+    tests/test_similarity.py."""
+    emb = load_table(_spark(spark), sf_dir, "embeddings")
+    return X_sim.neardup_pairs_lsh(emb, threshold=0.2, num_planes=4)
+
+
 _SIM_NEARDUP_ORACLE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings WHERE vec_id < 300)
@@ -1243,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf": q_sim_ivf,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_neardup": q_sim_neardup,
+        "sim_neardup_lsh": q_sim_neardup_lsh,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "text_quality": q_text_quality,

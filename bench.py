@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "sim_ann_lsh",
     "sim_ivf",
     "sim_neardup",
+    "sim_neardup_lsh",
     "multimodal_decode",
     "multimodal_features",
     "text_quality",

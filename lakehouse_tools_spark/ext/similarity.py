@@ -20,7 +20,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lakehouse_tools_spark.functions.vectors import cosine_similarity, dot_product
+from lakehouse_tools_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
 
 
 def cosine_topk(
@@ -37,17 +37,29 @@ def cosine_topk(
     the final per-query top-k, which AQE sizes by the number of
     queries. Output: ``(query_id, vec_id, cos, rank)``.
     """
+    # norms are per-vector, not per-pair: compute once in each side's
+    # projection so the join scores pay one fold (the dot), not three
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_similarity(F.col("_qvec"), F.col("_cvec")), 6).alias("cos"),
+            F.round(
+                dot_product(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
@@ -137,14 +149,72 @@ def neardup_pairs(
     design — the correctness baseline the LSH path is checked against;
     at scale use :func:`lsh_bucket` + per-bucket pairs.
     """
-    a = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_va"))
-    b = embeddings.select(F.col(id_col).alias("vec_id2"), F.col(vec_col).alias("_vb"))
+    a = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec_id2"),
+        F.col(vec_col).alias("_vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+    )
     return (
         a.join(b, F.col("vec_id") < F.col("vec_id2"))
         .select(
             "vec_id",
             "vec_id2",
-            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+            F.round(
+                dot_product(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def neardup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs at scale: same contract as :func:`neardup_pairs`
+    but candidates come from an equi-self-join on the LSH bucket id
+    instead of the full O(n²) cross product — expected candidate count
+    n²/2^planes, and high-cosine pairs land in the same bucket with
+    high probability (recall < 1 by design, measured in tests).
+
+    The bucket id is an inline projection (no shuffle to compute); the
+    self-join shuffles each side once on the bucket key, and AQE's
+    skew-join splitting handles a hot bucket. Exact cosine re-scoring
+    + threshold runs only on same-bucket pairs.
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+        lsh_bucket_column(F.col(vec_col), num_planes, dim).alias("_b"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec_id2"),
+        F.col(vec_col).alias("_vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+        lsh_bucket_column(F.col(vec_col), num_planes, dim).alias("_b2"),
+    )
+    return (
+        a.join(b, (F.col("_b") == F.col("_b2")) & (F.col("vec_id") < F.col("vec_id2")))
+        .select(
+            "vec_id",
+            "vec_id2",
+            F.round(
+                dot_product(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -192,25 +262,51 @@ def lsh_bucket(
     )
 
 
-def ivf_assign_column(vec_col, centroids: list[list[float]]):
-    """Nearest-centroid id (highest cosine, lowest id on ties) as one
-    inline Catalyst expression — the IVF list assignment.
+def with_ivf_cell(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], out_col: str = "cell"
+) -> DataFrame:
+    """Add the nearest-centroid id (highest cosine, lowest id on ties)
+    — the IVF list assignment — as zero-shuffle projections.
 
     The centroid matrix rides in the plan as array literals (like the
-    LSH hyperplanes), so assignment is a zero-shuffle projection over
-    any relation: at 100 TB each row computes C dot products in
-    codegen and never moves.
+    LSH hyperplanes): at 100 TB each row computes C dot products in
+    codegen and never moves. Two deliberate plan-size moves, each
+    worth ~10× in analysis/codegen time: centroid norms are
+    precomputed driver-side (same sequential fold + sqrt as the
+    engines, so values are bit-identical), and the per-centroid
+    cosines are materialized ONCE into an array column with the
+    argmax taken as ``array_position(array_max)`` — a greatest +
+    when-chain duplicates every 64-literal cosine subtree twice.
+    ``array_position`` returns the first match, so ties pick the
+    lowest centroid id, matching ``ORDER BY cos DESC, cid``.
     """
+    import math
+
+    def _seq_norm(v: list[float]) -> float:
+        acc = 0.0
+        for x in v:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    vec = F.col(vec_col)
+    with_norm = df.withColumn("_vnorm", l2_norm(vec))
     coss = []
     for cv in centroids:
         lit_c = F.array(*[F.lit(float(x)) for x in cv])
-        coss.append(F.round(cosine_similarity(vec_col, lit_c), 6))
-    best = F.greatest(*coss) if len(coss) > 1 else coss[0]
-    cid = F.lit(None).cast("long")
-    # descending id order so the earliest (lowest-id) tie wins
-    for i in range(len(coss) - 1, -1, -1):
-        cid = F.when(coss[i] == best, F.lit(i).cast("long")).otherwise(cid)
-    return cid
+        coss.append(
+            F.round(
+                dot_product(vec, lit_c) / (F.col("_vnorm") * F.lit(_seq_norm(cv))),
+                6,
+            )
+        )
+    return (
+        with_norm.withColumn("_coss", F.array(*coss))
+        .withColumn(
+            out_col,
+            (F.array_position("_coss", F.array_max("_coss")) - 1).cast("long"),
+        )
+        .drop("_vnorm", "_coss")
+    )
 
 
 def ivf_topk(
@@ -240,15 +336,17 @@ def ivf_topk(
         .select(id_col, vec_col)
         .collect()
     ]
-    cb = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_cvec"),
-        ivf_assign_column(F.col(vec_col), cents).alias("cell"),
+    cb = with_ivf_cell(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")),
+        "_cvec",
+        cents,
+        "cell",
     )
-    qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        ivf_assign_column(F.col(vec_col), cents).alias("qcell"),
+    qb = with_ivf_cell(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")),
+        "_qvec",
+        cents,
+        "qcell",
     )
     scored = cb.join(
         F.broadcast(qb),
@@ -282,11 +380,13 @@ def ann_topk_lsh(
     cb = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
         lsh_bucket_column(F.col(vec_col), num_planes, dim).alias("bucket"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         lsh_bucket_column(F.col(vec_col), num_planes, dim).alias("qbucket"),
     )
     scored = cb.join(
@@ -295,7 +395,11 @@ def ann_topk_lsh(
     ).select(
         "query_id",
         "vec_id",
-        F.round(cosine_similarity(F.col("_qvec"), F.col("_cvec")), 6).alias("cos"),
+        F.round(
+            dot_product(F.col("_qvec"), F.col("_cvec"))
+            / (F.col("_qn") * F.col("_cn")),
+            6,
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -85,3 +85,17 @@ def test_ivf_subset_of_exact_with_positive_recall(spark, tables):
     # cells partition the corpus: a vector appears in exactly one cell,
     # so no query can see a candidate twice
     assert len(approx) == len({(q, v) for q, v in approx})
+
+
+def test_neardup_lsh_subset_of_exact(spark, tables):
+    from lakehouse_tools_spark.ext.similarity import neardup_pairs, neardup_pairs_lsh
+
+    emb = tables["embeddings"].filter(F.col("vec_id") < 200)
+    exact = {(r.vec_id, r.vec_id2): r.cos for r in neardup_pairs(emb, threshold=0.2).collect()}
+    lsh = {(r.vec_id, r.vec_id2): r.cos for r in neardup_pairs_lsh(emb, threshold=0.2, num_planes=4).collect()}
+    # every LSH pair is a true above-threshold pair with the same score
+    assert set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]
+    # and the bucket probe finds a usable share of them
+    assert exact and len(lsh) / len(exact) > 0.1
