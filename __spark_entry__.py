@@ -574,6 +574,457 @@ WHERE CAST(l.l_quantity AS DECIMAL(10,2)) * 5 * s.cnt < s.sum_qty
 """
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): lineitem joined through both
+    the supplier-side and customer-side nation dimension, grouped by
+    (supp_nation, cust_nation, year). Scale plan: the two-nation
+    filter is pushed into the broadcast nation dims *before* the join,
+    so the fact stream is pruned at the earliest hash probe; only the
+    orders/customer equi-joins shuffle. The asymmetric-pair filter
+    (supp != cust) runs post-join on two broadcast-resident columns.
+    """
+    s = _spark(spark)
+    t = load_tables(
+        s, sf_dir, ("nation", "customer", "supplier", "orders", "lineitem")
+    )
+    nations = ("NATION_1", "NATION_2")
+    n_s = t["nation"].filter(F.col("n_name").isin(*nations)).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = t["nation"].filter(F.col("n_name").isin(*nations)).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    joined = (
+        li.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(YEAR FROM l_shipdate) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l_shipdate)
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): NATION_1 suppliers' share of
+    PROMO-part volume sold to AMERICA customers, per order year.
+    Numerator and denominator are both exact DECIMAL sums cast to
+    double at the end; the share is one IEEE division truncated with
+    floor6 — bit-identical across engines. The supplier-side nation
+    name rides through the join as a broadcast column so the CASE
+    needs no extra shuffle.
+    """
+    from lakehouse_tools_spark.functions.portable import floor6
+
+    s = _spark(spark)
+    t = load_tables(
+        s,
+        sf_dir,
+        ("region", "nation", "customer", "supplier", "orders", "lineitem", "part"),
+    )
+    part = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    region = t["region"].filter(F.col("r_name") == "AMERICA")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    n_s = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = t["nation"].select("n_nationkey", "n_regionkey")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    by_year = joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_1", revenue).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("nation_volume"),
+        F.sum(revenue).cast("double").alias("total_volume"),
+    )
+    return by_year.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        floor6(F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+    )
+
+
+_Q8_ORACLE = """
+WITH j AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         CAST(SUM(CASE WHEN n1.n_name = 'NATION_1'
+                       THEN CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))
+                       ELSE 0 END) AS DOUBLE) AS nation_volume,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS total_volume
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY EXTRACT(YEAR FROM o_orderdate)
+)
+SELECT o_year, nation_volume, total_volume,
+       floor(nation_volume / total_volume * 1000000) / 1000000 AS mkt_share
+FROM j
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter. Top-k over a grouped join:
+    orders is filtered to the quarter before joining (partition-prunes
+    at scale), lineitem prunes to returnflag='R' at the scan, nation
+    broadcasts. Deterministic cutoff: custkey tiebreak."""
+    s = _spark(spark)
+    t = load_tables(s, sf_dir, ("nation", "customer", "orders", "lineitem"))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority counts): conditional
+    aggregation (CASE inside SUM) over a late-shipment join. The
+    fixture lacks l_shipmode/receiptdate, so "mode" is l_returnflag
+    and "late" is shipped ≥60 days after the order date — the
+    operator shape (equi-join + residual + pivot-style CASE sums) is
+    identical. Map-side the CASE folds into the partial aggregate, so
+    only (returnflag, 2 longs) cross the final exchange.
+    """
+    s = _spark(spark)
+    orders = load_table(s, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(s, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    late = li.join(
+        orders,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+_Q12_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join so zero-order customers survive with c_count=0, then a
+    second aggregation over the first's output. The filter lives on
+    the orders side *before* the join (ON-clause semantics). Two
+    shuffles total — join/agg#1 share the custkey partitioning
+    (groupBy on the join key reuses the exchange), agg#2 is over a
+    tiny distribution."""
+    s = _spark(spark)
+    cust = load_table(s, sf_dir, "customer").select("c_custkey")
+    orders = load_table(s, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): percentage of one month's
+    revenue from PROMO parts. Part broadcasts with only (partkey,
+    type); both sums are exact DECIMAL; the percentage is
+    100·(num/den) — two IEEE ops on identical doubles, floor6'd."""
+    from lakehouse_tools_spark.functions.portable import floor6
+
+    s = _spark(spark)
+    part = load_table(s, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(s, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("promo_revenue_abs"),
+        F.sum(revenue).cast("double").alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg.select(
+        floor6(F.lit(100.0) * F.col("promo_revenue_abs") / F.col("total_revenue"))
+        .alias("promo_revenue_pct"),
+        "promo_revenue_abs",
+        "total_revenue",
+        "n_items",
+    )
+
+
+_Q14_ORACLE = """
+WITH a AS (
+  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))
+                       ELSE 0 END) AS DOUBLE) AS promo_revenue_abs,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS total_revenue,
+         count(*) AS n_items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+)
+SELECT floor(100.0 * promo_revenue_abs / total_revenue * 1000000) / 1000000 AS promo_revenue_pct,
+       promo_revenue_abs, total_revenue, n_items
+FROM a
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): HAVING over a grouped
+    fact, re-joined to its dimensions. The qty>250 aggregate output is
+    tiny (~1% of orders), so AQE downgrades the orders join to a
+    broadcast at runtime — no explicit hint needed, and at 100 TB the
+    same plan holds because the selectivity, not the input size,
+    bounds the build side. Quantity compared in exact DECIMAL."""
+    s = _spark(spark)
+    t = load_tables(s, sf_dir, ("customer", "orders", "lineitem"))
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 250)
+    )
+    j = (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", TS_FMT_SPARK).alias("o_orderdate_s"),
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+_Q18_ORACLE = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '{TS_FMT_SQL}') AS o_orderdate_s,
+       o_totalprice,
+       CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(10,2))) AS sum_qty_dec
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(10,2))) > 250
+)
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    an OR of three brand/size/quantity conjunctions spanning both join
+    sides. Spark pushes the part-only disjunction (brand+size) into
+    the broadcast build and evaluates the cross-side residual at probe
+    time — the scan-level OR predicate is the point of this shape."""
+    s = _spark(spark)
+    part = load_table(s, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(s, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return j.filter(cond).agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q19_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales opportunity): scalar-subquery
+    threshold (average positive balance) + NOT EXISTS anti-join,
+    grouped by nation (the fixture's stand-in for the phone country
+    code). The 1-row average broadcasts via crossJoin; the anti-join
+    streams customers against orders' custkey projection. The average
+    is an exact DECIMAL sum over one division — deterministic, so the
+    > threshold cut is identical in both engines. Fixture custkeys are
+    dense (every customer has ≥1 order), so the NOT EXISTS is scoped
+    to URGENT orders to keep the anti-join non-degenerate."""
+    s = _spark(spark)
+    cust = load_table(s, sf_dir, "customer")
+    orders = (
+        load_table(s, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+    )
+
+
+_Q22_ORACLE = """
+WITH t AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) AS totacctbal
+FROM customer, t
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
 def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets surface (absent in the reference, SURVEY §2.5):
     ROLLUP over (returnflag, linestatus) with subtotal rows."""
@@ -1236,6 +1687,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q4": q_tpch_q4,
         "tpch_q17": q_tpch_q17,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "rollup_pricing": q_rollup_pricing,
         "setop_nations": q_setop_nations,
         "sql_passthrough": q_sql_passthrough,
@@ -1285,6 +1745,15 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6": _Q6_ORACLE,
         "tpch_q4": _Q4_ORACLE,
         "tpch_q17": _Q17_ORACLE,
+        "tpch_q7": _Q7_ORACLE,
+        "tpch_q8": _Q8_ORACLE,
+        "tpch_q10": _Q10_ORACLE,
+        "tpch_q12": _Q12_ORACLE,
+        "tpch_q13": _Q13_ORACLE,
+        "tpch_q14": _Q14_ORACLE,
+        "tpch_q18": _Q18_ORACLE,
+        "tpch_q19": _Q19_ORACLE,
+        "tpch_q22": _Q22_ORACLE,
         "source_csv_roundtrip": _CSV_ROUNDTRIP_ORACLE,
         "source_json_roundtrip": _JSON_ROUNDTRIP_ORACLE,
         "rollup_pricing": _ROLLUP_ORACLE,
