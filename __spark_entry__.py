@@ -1443,6 +1443,68 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- text
 
 
+def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-corpus pipeline (quality filter → language
+    filter → exact-dedup keep-first) fused into one scan + one
+    shuffle; see ext/corpus.py. Thresholds picked so each stage is
+    non-degenerate on the fixture (the quality cut drops ~40%, the
+    language cut drops the de-classified tail)."""
+    from lakehouse_tools_spark.ext.corpus import prepare_corpus
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return prepare_corpus(docs, min_quality=0.725, langs=("en",))
+
+
+def _corpus_oracle(min_quality: float = 0.725, lang: str = "en") -> str:
+    norm = _NORM_SQL.format(c="text")
+    stop = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    langs = sorted(X_text.LANG_MARKERS)
+    scores = ", ".join(
+        "floor(len(list_filter(words, x -> x IN ({m}))) / len(words) * 1000000) / 1000000 AS score_{l}".format(
+            m=", ".join(f"'{w}'" for w in X_text.LANG_MARKERS[lg]), l=lg
+        )
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = " ".join(f"WHEN score_{l} = best THEN '{l}'" for l in langs)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, string_split({norm}, ' ') AS words, md5({norm}) AS fingerprint
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, fingerprint,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(words) AS INT) AS n_tokens,
+         floor(len(list_filter(words, x -> x IN ({stop}))) / len(words) * 1000000) / 1000000 AS stopword_ratio,
+         floor(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / length(text) * 1000000) / 1000000 AS punct_ratio,
+         {scores}
+  FROM base
+),
+scored AS (
+  SELECT doc_id, fingerprint, n_chars, n_tokens,
+         floor(least(1.0, greatest(0.0,
+               0.5 + 0.5 * stopword_ratio - 2.0 * punct_ratio
+               + CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 0.2 ELSE -0.2 END)) * 1000000) / 1000000
+           AS quality_score,
+         {best} AS best,
+         CASE {pred} END AS lang_pred
+  FROM feat
+),
+filt AS (
+  SELECT * FROM scored
+  WHERE quality_score >= {min_quality} AND lang_pred = '{lang}'
+),
+d AS (
+  SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY fingerprint) AS n_dups
+  FROM filt
+)
+SELECT doc_id, fingerprint, lang_pred, quality_score, n_chars, n_tokens, n_dups
+FROM d WHERE rn = 1
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(_spark(spark), sf_dir, "documents")
     return X_text.quality_features(docs, "text", "doc_id")
@@ -1715,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup_lsh": q_sim_neardup_lsh,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
+        "corpus_prepare": q_corpus_prepare,
         "text_quality": q_text_quality,
         "text_language": q_text_language,
         "text_tokens": q_text_tokens,
@@ -1772,6 +1835,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf": _SIM_IVF_ORACLE,
         "sim_neardup": _SIM_NEARDUP_ORACLE,
         "multimodal_decode": _MULTIMODAL_DECODE_ORACLE,
+        "corpus_prepare": _corpus_oracle(),
         "text_quality": _quality_oracle(),
         "text_language": _language_oracle(),
         "text_tokens": _TEXT_TOKENS_ORACLE,

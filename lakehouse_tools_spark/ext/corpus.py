@@ -1,0 +1,81 @@
+"""Corpus preparation: the composite training-data pipeline.
+
+One operator chaining the standard pretraining-corpus stages —
+quality scoring, language ID, exact dedup keep-first — the way a
+100 TB run would want them fused:
+
+- **One scan.** Quality features, language scores, and the content
+  fingerprint are all per-row expressions over the same normalized
+  token array, so they are computed in a single projection (one pass
+  over the text, whole-stage codegen, no Python). Chaining the
+  individual operators instead would scan the corpus three times and
+  join on doc_id.
+- **Filter before shuffle.** The quality/language cut runs in the
+  scan stage; only survivors' *metadata* (id, fingerprint, scores —
+  never the text) reaches the dedup shuffle.
+- **Keep-first dedup** is one hash-partition by fingerprint with two
+  window functions sharing the partitioning (row_number + count), so
+  a single exchange and a single sort.
+
+Beyond the reference surface (SURVEY.md §7.4 extension package); the
+stage semantics match ext.text / ext.dedup exactly, so their unit
+tests and oracles pin this operator's parts too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_tools_spark.ext.dedup import fingerprint, normalize_text, spread_by
+from lakehouse_tools_spark.ext.text import (
+    language_pred_exprs,
+    language_score_exprs,
+    quality_exprs,
+)
+
+
+def prepare_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.35,
+    langs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Quality-filter, language-filter, and exact-dedup a document
+    corpus in one pass; returns one row per surviving document:
+
+    ``(doc_id, fingerprint, lang_pred, quality_score, n_chars,
+    n_tokens, n_dups)``
+
+    ``n_dups`` counts how many quality-passing documents shared the
+    survivor's content (≥1). Keep-first: the smallest id wins —
+    deterministic, and the tie-break every re-run reproduces.
+    """
+    base = spread_by(df, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_words"),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+    q = quality_exprs(F.col("_t"), F.col("_words"))
+    lang_scores = language_score_exprs(F.col("_words"))
+    pred, _best = language_pred_exprs(lang_scores)
+    scored = base.select(
+        "doc_id",
+        "fingerprint",
+        pred.alias("lang_pred"),
+        q["quality_score"].alias("quality_score"),
+        q["n_chars"].cast("int").alias("n_chars"),
+        q["n_words"].cast("int").alias("n_tokens"),
+    )
+    kept = scored.filter(F.col("quality_score") >= F.lit(min_quality))
+    if langs:
+        kept = kept.filter(F.col("lang_pred").isin(*langs))
+    by_fp = Window.partitionBy("fingerprint")
+    dd = kept.select(
+        "*",
+        F.row_number().over(by_fp.orderBy("doc_id")).alias("_rn"),
+        F.count(F.lit(1)).over(by_fp).alias("n_dups"),
+    )
+    return dd.filter(F.col("_rn") == 1).drop("_rn")

@@ -37,6 +37,43 @@ def regex_token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), F.lit(0)))
 
 
+def quality_exprs(t: Column, words: Column) -> dict[str, Column]:
+    """Quality-feature expressions over (raw text, normalized words).
+
+    Exposed separately so single-pass pipelines (ext.corpus) can fuse
+    them with other per-row expressions in one projection."""
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    n_punct = F.size(
+        F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+    )
+    stop_ratio = floor6(n_stop / n_words)
+    punct_ratio = floor6(n_punct / n_chars)
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": floor6((n_chars - (n_words - 1)) / n_words),
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "quality_score": floor6(
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(0.5)
+                    + F.lit(0.5) * stop_ratio
+                    - F.lit(2.0) * punct_ratio
+                    + F.when(
+                        (n_words >= 10) & (n_words <= 5000), 0.2
+                    ).otherwise(-0.2),
+                ),
+            ),
+        ),
+    }
+
+
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document quality features + a composite score.
 
@@ -46,46 +83,43 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     thresholds are caller policy.
     """
     # words materialized in their own projection: the filter() lambda
-    # below defeats subexpression elimination, so an inline split would
-    # be re-evaluated per feature column (see ext.dedup.word_shingles)
+    # inside quality_exprs defeats subexpression elimination, so an
+    # inline split would be re-evaluated per feature column (see
+    # ext.dedup.word_shingles)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_t"),
         F.split(normalize_text(F.col(text_col)), " ").alias("_words"),
     )
-    df, t, words = base, F.col("_t"), F.col("_words")
-    id_col = "doc_id"
-    n_words = F.size(words)
-    n_chars = F.length(t)
-    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
-    n_punct = F.size(
-        F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+    q = quality_exprs(F.col("_t"), F.col("_words"))
+    return base.select(
+        "doc_id", *(q[name].alias(name) for name in (
+            "n_chars", "n_words", "mean_word_len",
+            "stopword_ratio", "punct_ratio", "quality_score",
+        ))
     )
-    mean_wlen = floor6((n_chars - (n_words - 1)) / n_words)
-    stop_ratio = floor6(n_stop / n_words)
-    punct_ratio = floor6(n_punct / n_chars)
-    score = floor6(
-        F.least(
-            F.lit(1.0),
-            F.greatest(
-                F.lit(0.0),
-                F.lit(0.5)
-                + F.lit(0.5) * stop_ratio
-                - F.lit(2.0) * punct_ratio
-                + F.when((n_words >= 10) & (n_words <= 5000), 0.2).otherwise(-0.2),
-            ),
-        ),
+
+
+def language_score_exprs(words: Column) -> dict[str, Column]:
+    """Per-language lexicon-hit score expressions over a words array."""
+    n = F.size(words)
+    out = {}
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array([F.lit(w) for w in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(words, lambda w: F.array_contains(markers, w)))
+        out[lang] = floor6(hits / n)
+    return out
+
+
+def language_pred_exprs(score_cols: dict[str, Column]) -> tuple[Column, Column]:
+    """(lang_pred, best_score) argmax with alphabetical tiebreak, over
+    already-computed per-language score columns."""
+    langs = sorted(score_cols)
+    best = F.greatest(*[score_cols[l] for l in langs])
+    pred = F.coalesce(
+        *[F.when(score_cols[l] == best, F.lit(l)) for l in langs]
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        mean_wlen.alias("mean_word_len"),
-        stop_ratio.alias("stopword_ratio"),
-        punct_ratio.alias("punct_ratio"),
-        score.alias("quality_score"),
-    )
+    return pred, best
 
 
 def language_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -98,20 +132,12 @@ def language_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col).alias("doc_id"),
         F.split(normalize_text(F.col(text_col)), " ").alias("_words"),
     )
-    words = F.col("_words")
-    n = F.size(words)
-    scores = []
-    for lang in sorted(LANG_MARKERS):
-        markers = F.array([F.lit(w) for w in LANG_MARKERS[lang]])
-        hits = F.size(F.filter(words, lambda w: F.array_contains(markers, w)))
-        scores.append(floor6(hits / n).alias(f"score_{lang}"))
-    scored = base.select("doc_id", *scores)
-    best = F.greatest(*[F.col(f"score_{l}") for l in sorted(LANG_MARKERS)])
-    pred = F.coalesce(
-        *[
-            F.when(F.col(f"score_{l}") == best, F.lit(l))
-            for l in sorted(LANG_MARKERS)
-        ]
+    scores = language_score_exprs(F.col("_words"))
+    scored = base.select(
+        "doc_id", *(scores[l].alias(f"score_{l}") for l in sorted(scores))
+    )
+    pred, best = language_pred_exprs(
+        {l: F.col(f"score_{l}") for l in sorted(scores)}
     )
     return scored.select("doc_id", pred.alias("lang_pred"), best.alias("score"))
 

@@ -60,3 +60,36 @@ def test_fingerprints_stable_under_whitespace(spark):
     )
     fps = [r.fingerprint for r in fingerprints(df, "text", "doc_id").collect()]
     assert fps[0] == fps[1]
+
+
+def test_prepare_corpus_keep_first_dedup(spark):
+    from lakehouse_tools_spark.ext.corpus import prepare_corpus
+
+    good = "the cat and the dog went to the house of a friend in town is nice"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=5, text=good),
+            Row(doc_id=3, text=good.upper()),  # same normalized content
+            Row(doc_id=9, text="the " + good),
+            Row(doc_id=1, text="@@@ ### !!!"),  # punct-heavy → filtered
+        ]
+    )
+    out = prepare_corpus(df, min_quality=0.3).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert 1 not in by_id  # quality cut
+    assert 3 in by_id and 5 not in by_id  # keep-first: min id wins
+    assert by_id[3].n_dups == 2
+    assert by_id[9].n_dups == 1
+
+
+def test_prepare_corpus_language_filter(spark):
+    from lakehouse_tools_spark.ext.corpus import prepare_corpus
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat is in the house and it is warm today here now"),
+            Row(doc_id=2, text="der hund ist ein tier und die katze auch hier heute warm"),
+        ]
+    )
+    out = prepare_corpus(df, min_quality=0.0, langs=("en",)).collect()
+    assert [r.doc_id for r in out] == [1]
