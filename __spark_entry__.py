@@ -1599,6 +1599,51 @@ FROM documents
 # ---------------------------------------------------------------- events
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: every event landing inside any
+    error incident's ±5-minute window, aggregated per incident. Runs
+    through operators/ranges.interval_bin_join (10-minute buckets ≈
+    the window length), so the non-equi join executes as a bucketed
+    equi-join instead of a nested-loop — see that module for the
+    scale argument."""
+    from lakehouse_tools_spark.operators.ranges import interval_bin_join
+
+    ev = load_table(_spark(spark), sf_dir, "events")
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("w_end"),
+    )
+    joined = interval_bin_join(
+        ev.select("event_id", "ts", "user_id", "value"),
+        incidents,
+        ts_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=600,
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+_EVENTS_RANGE_JOIN_ORACLE = """
+WITH incidents AS (
+  SELECT event_id AS incident_id,
+         ts - INTERVAL 5 MINUTE AS w_start,
+         ts + INTERVAL 5 MINUTE AS w_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT incident_id, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN incidents i ON e.ts >= i.w_start AND e.ts <= i.w_end
+GROUP BY incident_id
+"""
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(_spark(spark), sf_dir, "events")
     return X_win.tumbling_counts(ev, "5 minutes")
@@ -1782,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language": q_text_language,
         "text_tokens": q_text_tokens,
         "text_fingerprints": q_text_fingerprints,
+        "events_range_join": q_events_range_join,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_sessionize": q_events_sessionize,
@@ -1840,6 +1886,7 @@ def oracle_sql() -> dict[str, str]:
         "text_language": _language_oracle(),
         "text_tokens": _TEXT_TOKENS_ORACLE,
         "text_fingerprints": _TEXT_FP_ORACLE,
+        "events_range_join": _EVENTS_RANGE_JOIN_ORACLE,
         "events_tumbling": _EVENTS_TUMBLING_ORACLE,
         "events_sliding": _EVENTS_SLIDING_ORACLE,
         "events_sessionize": _EVENTS_SESSION_ORACLE,

@@ -1,0 +1,67 @@
+"""Range (interval) join via bucket binning.
+
+Spark has no native range-join operator (a point-in-interval join
+with no equi key would plan as BroadcastNestedLoopJoin or a cartesian
+product — O(n·m) comparisons). The standard scale technique, used
+here, is *interval binning*: quantize time into fixed buckets,
+explode each interval across the buckets it covers, and equi-join on
+the bucket id with the true range predicate as a residual. Candidate
+pairs are then ∝ (points per bucket) × (intervals per bucket) —
+local density, not global size — and the equi-join shuffles,
+broadcasts, and AQE-skew-splits like any other join.
+
+Correctness shape: a point lives in exactly ONE bucket, so no
+post-join dedup is needed; an interval [s, e] explodes to
+floor(e/w) − floor(s/w) + 1 rows, so pick ``bucket_seconds`` near the
+typical interval length (wider → fewer duplicate interval rows,
+narrower → fewer false candidates per bucket).
+
+The reference has no joins beyond MERGE (SURVEY.md §2.4); this is
+part of the extension surface (§7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_bin_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+    extra_keys: tuple[str, ...] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows to every interval row containing them.
+
+    Emits ``points ⋈ intervals`` where
+    ``start_col <= ts_col <= end_col`` (closed bounds), optionally
+    also equi-matching ``extra_keys`` (e.g. a user id — present on
+    both sides). Column names must be disjoint apart from
+    ``extra_keys``.
+
+    Monotonicity of floor guarantees the binned equi-join is a
+    superset of the true range join, so the residual filter is exact:
+    s <= t <= e ⇒ floor(s/w) <= floor(t/w) <= floor(e/w).
+    """
+    w = F.lit(int(bucket_seconds))
+    p = points.withColumn(
+        "_rbucket", F.floor(F.col(ts_col).cast("long") / w).cast("long")
+    )
+    iv = intervals.withColumn(
+        "_rbucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("long") / w).cast("long"),
+                F.floor(F.col(end_col).cast("long") / w).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(iv, ["_rbucket", *extra_keys], how).where(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    )
+    return joined.drop("_rbucket")

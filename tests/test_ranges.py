@@ -1,0 +1,89 @@
+"""interval_bin_join == naive cross-join-filter, on synthetic data
+with bucket-boundary and multi-bucket-spanning intervals."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lakehouse_tools_spark.operators.ranges import interval_bin_join
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(seconds):
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def _fixture(spark):
+    points = spark.createDataFrame(
+        [Row(pid=i, ts=_ts(s), k=i % 2) for i, s in enumerate(
+            [0, 1, 599, 600, 601, 3600, 7199, 7200, 10000]
+        )]
+    )
+    intervals = spark.createDataFrame(
+        [
+            Row(iid=1, s=_ts(0), e=_ts(600), k=0),       # boundary-closed
+            Row(iid=2, s=_ts(500), e=_ts(7200), k=1),    # spans many buckets
+            Row(iid=3, s=_ts(9000), e=_ts(9500), k=0),   # matches nothing
+            Row(iid=4, s=_ts(10000), e=_ts(10000), k=1), # zero-length
+        ]
+    )
+    return points, intervals
+
+
+def test_matches_naive_join(spark):
+    points, intervals = _fixture(spark)
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_bin_join(
+            points.drop("k"), intervals.drop("k"), "ts", "s", "e", bucket_seconds=600
+        ).collect()
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals.drop("k"))
+        .where((F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e")))
+        .collect()
+    )
+    assert got == naive and len(got) > 0
+    # closed bounds: ts==600 matches [0,600] and zero-length [10000,10000] matches
+    assert (3, 1) in got and (8, 4) in got
+
+
+def test_bucket_width_invariance(spark):
+    points, intervals = _fixture(spark)
+    results = [
+        sorted(
+            (r["pid"], r["iid"])
+            for r in interval_bin_join(
+                points.drop("k"), intervals.drop("k"), "ts", "s", "e", bucket_seconds=w
+            ).collect()
+        )
+        for w in (60, 600, 3600, 86400)
+    ]
+    assert all(r == results[0] for r in results)
+
+
+def test_extra_keys(spark):
+    points, intervals = _fixture(spark)
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_bin_join(
+            points, intervals, "ts", "s", "e", bucket_seconds=600, extra_keys=("k",)
+        ).collect()
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in points.withColumnRenamed("k", "pk")
+        .crossJoin(intervals)
+        .where(
+            (F.col("ts") >= F.col("s"))
+            & (F.col("ts") <= F.col("e"))
+            & (F.col("pk") == F.col("k"))
+        )
+        .collect()
+    )
+    assert got == naive and len(got) > 0
