@@ -1375,6 +1375,19 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
 
 
+def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (query bucket + all Hamming-distance-1
+    buckets) — higher recall than sim_ann_lsh at the same corpus
+    layout. Approximate → rows-only check; recall dominance over the
+    single-probe path is asserted in tests/test_similarity.py."""
+    emb = load_table(_spark(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = X_sim.ann_topk_lsh_multiprobe(emb, queries, k=10, num_planes=4, dim=64)
+    return out.select(
+        "query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact baseline)."""
     emb = load_table(_spark(spark), sf_dir, "embeddings").filter(
@@ -1818,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_pandas": q_sim_topk_pandas,
         "sim_ivf": q_sim_ivf,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_multiprobe": q_sim_ann_multiprobe,
         "sim_neardup": q_sim_neardup,
         "sim_neardup_lsh": q_sim_neardup_lsh,
         "multimodal_decode": q_multimodal_decode,

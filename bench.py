@@ -42,6 +42,15 @@ BENCH_QUERIES = [
     "tpch_q6",
     "tpch_q4",
     "tpch_q17",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
     "rollup_pricing",
     "setop_nations",
     "sql_passthrough",
@@ -56,6 +65,7 @@ BENCH_QUERIES = [
     "sim_topk",
     "sim_topk_pandas",
     "sim_ann_lsh",
+    "sim_ann_multiprobe",
     "sim_ivf",
     "sim_neardup",
     "sim_neardup_lsh",
@@ -65,6 +75,8 @@ BENCH_QUERIES = [
     "text_language",
     "text_tokens",
     "text_fingerprints",
+    "corpus_prepare",
+    "events_range_join",
     "events_tumbling",
     "events_sliding",
     "events_sessionize",

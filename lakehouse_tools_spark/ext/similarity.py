@@ -403,3 +403,64 @@ def ann_topk_lsh(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_topk_lsh_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB'07 shape): probe the
+    query's own bucket plus every bucket at Hamming distance 1 (one
+    hyperplane sign flipped) — the buckets a near neighbor most likely
+    fell into when it straddled one boundary.
+
+    Recall rises toward exact at the cost of scoring ≈(planes+1)× more
+    candidates; the corpus side is untouched (still one bucket per
+    vector, one scan, no index rebuild), which is the multi-probe
+    selling point at 100 TB: recall is tuned query-side only. The
+    probe fan-out explodes the tiny broadcast query relation, never
+    the corpus. A corpus vector has exactly one bucket and the
+    query's probe set is distinct, so no candidate dedup is needed.
+    """
+    cb = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+        lsh_bucket_column(F.col(vec_col), num_planes, dim).alias("bucket"),
+    )
+    probes = F.array(
+        F.col("_qbucket"),
+        *[
+            F.col("_qbucket").bitwiseXOR(F.lit(1 << p)).cast("long")
+            for p in range(num_planes)
+        ],
+    )
+    qb = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
+            lsh_bucket_column(F.col(vec_col), num_planes, dim).alias("_qbucket"),
+        )
+        .withColumn("probe", F.explode(probes))
+        .drop("_qbucket")
+    )
+    scored = cb.join(
+        F.broadcast(qb),
+        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot_product(F.col("_qvec"), F.col("_cvec"))
+            / (F.col("_qn") * F.col("_cn")),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -58,6 +58,7 @@ def test_entry_contract(spark):
     # every oracle-less query is an intentional rows-only check
     assert set(qs) - set(oracles) == {
         "sim_ann_lsh",
+        "sim_ann_multiprobe",
         "sim_neardup_lsh",
         "catalog_show_tables",
         "multimodal_features",

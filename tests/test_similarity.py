@@ -99,3 +99,28 @@ def test_neardup_lsh_subset_of_exact(spark, tables):
         assert cos == exact[pair]
     # and the bucket probe finds a usable share of them
     assert exact and len(lsh) / len(exact) > 0.1
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, tables):
+    from lakehouse_tools_spark.ext.similarity import ann_topk_lsh_multiprobe
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    single = {
+        (r.query_id, r.vec_id)
+        for r in ann_topk_lsh(emb, queries, k=5, num_planes=2, dim=64).collect()
+    }
+    multi_rows = ann_topk_lsh_multiprobe(
+        emb, queries, k=5, num_planes=2, dim=64
+    ).collect()
+    multi = {(r.query_id, r.vec_id) for r in multi_rows}
+    # distance-1 probing can only widen the candidate set
+    assert len(multi & exact) >= len(single & exact)
+    assert all(r.query_id != r.vec_id for r in multi_rows)
+    # per-query output is still capped at k and ranked 1..n
+    by_q = {}
+    for r in multi_rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 5
