@@ -1657,6 +1657,37 @@ GROUP BY incident_id
 """
 
 
+def q_events_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming e2e: readStream file source →
+    10-minute watermark → 5-minute tumbling windows → memory sink,
+    drained with availableNow. Append mode emits exactly the windows
+    the final watermark passed (window_end <= max event time − 10
+    min), so the late-data policy is visible in the result and the
+    batch oracle reproduces it with that cut."""
+    from lakehouse_tools_spark.sources.tables import load_stream
+    from lakehouse_tools_spark.streaming.sink import run_to_memory
+
+    s = _spark(spark)
+    stream = load_stream(s, sf_dir, "events")
+    agg = X_win.tumbling_counts(
+        X_win.with_watermark(stream, "ts", "10 minutes"), "5 minutes"
+    )
+    return run_to_memory(agg, "events_stream_wm")
+
+
+_EVENTS_STREAM_WM_ORACLE = f"""
+WITH m AS (SELECT max(ts) AS mx FROM events),
+agg AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
+         count(*) AS n_events, round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(ws, '{TS_FMT_SQL}') AS window_start, event_type, n_events, sum_value
+FROM agg, m
+WHERE ws + INTERVAL '5 minutes' <= mx - INTERVAL '10 minutes'
+"""
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(_spark(spark), sf_dir, "events")
     return X_win.tumbling_counts(ev, "5 minutes")
@@ -1842,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_fingerprints": q_text_fingerprints,
         "events_range_join": q_events_range_join,
+        "events_stream_watermark": q_events_stream_watermark,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_sessionize": q_events_sessionize,
@@ -1901,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens": _TEXT_TOKENS_ORACLE,
         "text_fingerprints": _TEXT_FP_ORACLE,
         "events_range_join": _EVENTS_RANGE_JOIN_ORACLE,
+        "events_stream_watermark": _EVENTS_STREAM_WM_ORACLE,
         "events_tumbling": _EVENTS_TUMBLING_ORACLE,
         "events_sliding": _EVENTS_SLIDING_ORACLE,
         "events_sessionize": _EVENTS_SESSION_ORACLE,

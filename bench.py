@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "text_fingerprints",
     "corpus_prepare",
     "events_range_join",
+    "events_stream_watermark",
     "events_tumbling",
     "events_sliding",
     "events_sessionize",

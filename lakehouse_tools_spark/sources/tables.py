@@ -95,3 +95,32 @@ def register_views(
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``readStream`` twin of :func:`load_table`: same path, same
+    type normalization, but a Structured Streaming file source.
+
+    The file source needs an explicit schema (no streaming inference),
+    so the raw schema is probed with a zero-row batch read. At real
+    scale the path is a growing table directory and the source
+    discovers new files per micro-batch; the fixture's static files
+    simply make every query an ``availableNow`` catch-up run.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file source's base path must be a directory; fixtures are
+    # single files, so address them through a glob (base = parent
+    # dir). At real scale `path` IS a table directory and the plain
+    # path works as-is.
+    if os.path.isfile(path):
+        path = path[:-1] + f"[{path[-1]}]"
+    df = spark.readStream.schema(schema).parquet(path)
+    for f in schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    for c in NANOS_TS_COLUMNS.get(name, ()):
+        if isinstance(schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df

@@ -67,3 +67,28 @@ def upsert_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a streaming DataFrame to completion (``availableNow``)
+    into an in-memory sink table and return it as a batch DataFrame.
+
+    In ``append`` mode with a watermark, only windows the final
+    watermark has passed (window.end <= max event time − delay) are
+    emitted — i.e. the result *observably encodes* the late-data
+    policy, which is what makes a one-shot streaming run testable
+    against a batch oracle. ``availableNow`` runs a trailing no-data
+    batch precisely so that the final watermark advance flushes
+    everything it owes.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

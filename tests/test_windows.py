@@ -74,3 +74,34 @@ def test_streaming_tumbling_runs(spark, tmp_path):
         assert set(agg.columns) == {"window_start", "event_type", "n_events", "sum_value"}
     finally:
         q.stop()
+
+
+def test_streaming_watermark_matches_batch_cut(spark):
+    """The availableNow streaming run must emit exactly the windows
+    whose end the final watermark (max ts - delay) passed."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_tools_spark.sources.tables import load_stream, load_table
+    from lakehouse_tools_spark.streaming.sink import run_to_memory
+    from lakehouse_tools_spark.streaming.windows import tumbling_counts, with_watermark
+
+    sf = "/root/testdata/sf0.001"
+    stream = load_stream(spark, sf, "events")
+    agg = tumbling_counts(with_watermark(stream, "ts", "10 minutes"), "5 minutes")
+    got = {tuple(r) for r in run_to_memory(agg, "ev_wm_unit").collect()}
+
+    ev = load_table(spark, sf, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    cut = mx - dt.timedelta(minutes=10)
+    want = {
+        tuple(r)
+        for r in tumbling_counts(ev, "5 minutes")
+        .filter(
+            F.to_timestamp("window_start") + F.expr("INTERVAL 5 MINUTES")
+            <= F.lit(cut)
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
