@@ -1388,6 +1388,22 @@ def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with spherical-k-means-refined centroids and nprobe=2 —
+    the production ANN layout (train centroids once, probe several
+    cells). Approximate → rows-only; centroid determinism and the
+    nprobe recall monotonicity are pinned in tests/test_similarity.py."""
+    emb = load_table(_spark(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = X_sim.kmeans_refine_centroids(
+        emb, X_sim.seed_centroids(emb, 8), iters=2
+    )
+    out = X_sim.ivf_topk(emb, queries, k=10, centroids=cents, nprobe=2)
+    return out.select(
+        "query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact baseline)."""
     emb = load_table(_spark(spark), sf_dir, "embeddings").filter(
@@ -1863,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf": q_sim_ivf,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_multiprobe": q_sim_ann_multiprobe,
+        "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "sim_neardup": q_sim_neardup,
         "sim_neardup_lsh": q_sim_neardup_lsh,
         "multimodal_decode": q_multimodal_decode,

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "sim_ann_lsh",
     "sim_ann_multiprobe",
     "sim_ivf",
+    "sim_ivf_kmeans",
     "sim_neardup",
     "sim_neardup_lsh",
     "multimodal_decode",

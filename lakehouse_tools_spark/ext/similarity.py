@@ -263,7 +263,11 @@ def lsh_bucket(
 
 
 def with_ivf_cell(
-    df: DataFrame, vec_col: str, centroids: list[list[float]], out_col: str = "cell"
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    out_col: str = "cell",
+    out_scores: str | None = None,
 ) -> DataFrame:
     """Add the nearest-centroid id (highest cosine, lowest id on ties)
     — the IVF list assignment — as zero-shuffle projections.
@@ -299,14 +303,82 @@ def with_ivf_cell(
                 6,
             )
         )
-    return (
+    out = (
         with_norm.withColumn("_coss", F.array(*coss))
         .withColumn(
             out_col,
             (F.array_position("_coss", F.array_max("_coss")) - 1).cast("long"),
         )
-        .drop("_vnorm", "_coss")
+        .drop("_vnorm")
     )
+    if out_scores is None:
+        return out.drop("_coss")
+    return out.withColumnRenamed("_coss", out_scores)
+
+
+def seed_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic centroid seed: the ``num_centroids`` lowest-id
+    corpus vectors (oracle-reproducible, no RNG state)."""
+    return [
+        list(r[1])
+        for r in corpus.filter(F.col(id_col) < num_centroids)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+
+
+def kmeans_refine_centroids(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical-k-means refinement (Lloyd's iterations) of an IVF
+    centroid set.
+
+    Each iteration: assign every vector to its max-cosine centroid
+    (inline, no shuffle — see :func:`with_ivf_cell`), then recompute
+    each cell's mean vector via posexplode + (cell, dim) aggregate —
+    one shuffle of (cell, dim, partial-sum) triples, never the
+    vectors themselves. The k×dim result collects to the driver
+    (tiny) and rides into the next iteration's plan as literals, so
+    at 100 TB each iteration is one scan + one narrow aggregate.
+    Empty cells keep their previous centroid. Deterministic: seed is
+    deterministic, assignment ties break by lowest cell id, and means
+    are per-(cell,dim) aggregates of the same value multiset
+    regardless of row order at f64 — refined centroids only feed
+    *approximate* probing, so last-bit drift cannot flip any
+    oracle-checked output anyway.
+    """
+    cents = [list(c) for c in centroids]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = with_ivf_cell(
+            corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+            "_v",
+            cents,
+            "_cell",
+        )
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["_cell"]), [0.0] * dim)[int(r["_pos"])] = float(
+                r["_m"]
+            )
+        cents = [by_cell.get(i, cents[i]) for i in range(len(cents))]
+    return cents
 
 
 def ivf_topk(
@@ -316,38 +388,51 @@ def ivf_topk(
     num_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) probing: partition the
-    corpus into ``num_centroids`` cells by nearest centroid, probe only
-    the query's cell, exact-score the candidates. Same output contract
-    as :func:`cosine_topk`; recall < 1 by design.
+    corpus into ``num_centroids`` cells by nearest centroid, probe the
+    query's ``nprobe`` closest cells, exact-score the candidates. Same
+    output contract as :func:`cosine_topk`; recall < 1 by design.
 
-    Centroids here are the ``num_centroids`` lowest-id corpus vectors
-    — deterministic and oracle-reproducible; a production deployment
-    would k-means-refine them (the assignment/probe plumbing is
-    unchanged). Assignment is inline (no shuffle, see
-    :func:`ivf_assign_column`); the probe is a broadcast equi-join on
-    cell id, so the scored candidate set shrinks ~C× vs brute force.
+    Default centroids are the ``num_centroids`` lowest-id corpus
+    vectors — deterministic and oracle-reproducible; pass
+    ``centroids=kmeans_refine_centroids(...)`` for the recall-tuned
+    layout (the assignment/probe plumbing is identical). ``nprobe``
+    trades candidates for recall the standard IVF way: the probe set
+    for nprobe=p is a superset of nprobe=p−1, so recall is monotone
+    in p — and only the tiny broadcast query side fans out, the
+    corpus layout is untouched. Assignment is inline (no shuffle, see
+    :func:`with_ivf_cell`); the probe is a broadcast equi-join on
+    cell id, so the scored candidate set shrinks ~C/p× vs brute force.
     """
-    cents = [
-        list(r[1])
-        for r in corpus.filter(F.col(id_col) < num_centroids)
-        .orderBy(id_col)
-        .select(id_col, vec_col)
-        .collect()
-    ]
+    cents = centroids or seed_centroids(corpus, num_centroids, id_col, vec_col)
     cb = with_ivf_cell(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")),
         "_cvec",
         cents,
         "cell",
     )
-    qb = with_ivf_cell(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")),
-        "_qvec",
-        cents,
-        "qcell",
-    )
+    q0 = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    if nprobe <= 1:
+        qb = with_ivf_cell(q0, "_qvec", cents, "qcell")
+    else:
+        scored_cells = with_ivf_cell(
+            q0, "_qvec", cents, "qcell", out_scores="_qcoss"
+        ).select(
+            "query_id",
+            "_qvec",
+            F.posexplode("_qcoss").alias("qcell_cand", "_qcos"),
+        )
+        wp = Window.partitionBy("query_id").orderBy(
+            F.col("_qcos").desc(), F.col("qcell_cand").asc()
+        )
+        qb = (
+            scored_cells.withColumn("_pr", F.row_number().over(wp))
+            .filter(F.col("_pr") <= nprobe)
+            .select("query_id", "_qvec", F.col("qcell_cand").alias("qcell"))
+        )
     scored = cb.join(
         F.broadcast(qb),
         (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),

@@ -59,6 +59,7 @@ def test_entry_contract(spark):
     assert set(qs) - set(oracles) == {
         "sim_ann_lsh",
         "sim_ann_multiprobe",
+        "sim_ivf_kmeans",
         "sim_neardup_lsh",
         "catalog_show_tables",
         "multimodal_features",

@@ -124,3 +124,34 @@ def test_multiprobe_recall_dominates_single_probe(spark, tables):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 5
+
+
+def test_kmeans_centroids_deterministic_and_nprobe_monotone(spark, tables):
+    from lakehouse_tools_spark.ext.similarity import (
+        ivf_topk,
+        kmeans_refine_centroids,
+        seed_centroids,
+    )
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3)
+    seed = seed_centroids(emb, 4)
+    r1 = kmeans_refine_centroids(emb, seed, iters=2)
+    r2 = kmeans_refine_centroids(emb, seed, iters=2)
+    assert r1 == r2 and len(r1) == 4 and len(r1[0]) == 64
+
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    recalls = []
+    for p in (1, 2, 4):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(emb, queries, k=5, centroids=r1, nprobe=p).collect()
+        }
+        recalls.append(len(got & exact))
+    assert recalls == sorted(recalls)  # superset probing → monotone recall
+    # probing every cell == exact (candidate set is the whole corpus)
+    full = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, queries, k=5, centroids=r1, nprobe=4).collect()
+    }
+    assert full == exact
