@@ -193,6 +193,37 @@ def q_profiler_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return create_data_profile(spark, tables, DB, mode="intended").profile_data
 
 
+def q_profile_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass sketch profiler: nulls/min/max/HLL-distinct for
+    every column in ONE wide aggregate — no melt, no row
+    multiplication; the shape that survives 100 TB. HLL estimates are
+    engine-specific → rows-only check; the ≤3σ closeness bound vs the
+    exact mode is asserted in tests/test_summary.py."""
+    from lakehouse_tools_spark.operators.profile import profile_summary
+
+    s = _spark(spark)
+    parts = [
+        profile_summary(load_table(s, sf_dir, t), DB, t, exact_distinct=False)
+        for t in ("orders", "lineitem")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def q_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quartiles per numeric column via mergeable GK
+    sketches, one wide aggregate per table. Sketch outputs are
+    engine-specific → rows-only; rank-error tolerance vs exact
+    percentiles is asserted in tests/test_summary.py."""
+    from lakehouse_tools_spark.operators.profile import numeric_quantiles
+
+    s = _spark(spark)
+    parts = [
+        numeric_quantiles(load_table(s, sf_dir, t), DB, t)
+        for t in ("orders", "lineitem")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
 def q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Summary-stats profiler (rows/nulls/distinct/min/max) on orders
     + lineitem; exact-distinct mode for the oracle, approx mode tested
@@ -1844,6 +1875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_as_written": q_profile_as_written,
         "schema_information": q_schema_information,
         "profile_summary": q_profile_summary,
+        "profile_summary_approx": q_profile_summary_approx,
+        "profile_quantiles": q_profile_quantiles,
         "profiler_e2e": q_profiler_e2e,
         "asof_join": q_asof_join,
         "merge_upsert": q_merge_upsert,

@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "profile_intended",
     "profile_as_written",
     "profile_summary",
+    "profile_summary_approx",
+    "profile_quantiles",
     "schema_information",
     "asof_join",
     "merge_upsert",

@@ -283,6 +283,74 @@ def profile_summary(
     )
 
 
+QUANTILE_SCHEMA = T.StructType(
+    [
+        T.StructField("databaseName", T.StringType()),
+        T.StructField("tableName", T.StringType()),
+        T.StructField("columnName", T.StringType()),
+        T.StructField("dataType", T.StringType()),
+        T.StructField("q25", T.DoubleType()),
+        T.StructField("q50", T.DoubleType()),
+        T.StructField("q75", T.DoubleType()),
+    ]
+)
+
+
+def numeric_quantiles(
+    df: DataFrame,
+    database: str,
+    table: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Approximate quartiles per numeric column — the sketch profiler.
+
+    All columns' Greenwald-Khanna sketches (``percentile_approx``)
+    build in ONE wide aggregate over a single scan: mergeable partial
+    sketches per partition, merged at the driver-side final aggregate
+    — the only shape that works at 100 TB (an exact percentile needs
+    a full sort per column). Rank error ≤ n/accuracy. Returned values
+    are real data elements, melted to one row per column.
+    """
+    fields = [
+        f for f in df.schema.fields if isinstance(f.dataType, T.NumericType)
+    ]
+    if not fields:
+        return df.sparkSession.createDataFrame([], QUANTILE_SCHEMA)
+    qs = F.array(*[F.lit(float(p)) for p in probs])
+    wide = df.agg(
+        *[
+            F.percentile_approx(F.col(f"`{f.name}`"), qs, F.lit(accuracy)).alias(
+                f"_q_{f.name}"
+            )
+            for f in fields
+        ]
+    )
+    branches = []
+    for f in fields:
+        q = F.col(f"`_q_{f.name}`")
+        branches.append(F.lit(f.name))
+        for i in range(3):
+            branches.append(q[i].cast("double"))
+    long = wide.select(
+        F.stack(F.lit(len(fields)), *branches).alias(
+            "columnName", "q25", "q50", "q75"
+        )
+    )
+    dtype_map = F.create_map(
+        *[x for f in fields for x in (F.lit(f.name), F.lit(f.dataType.simpleString()))]
+    )
+    return long.select(
+        F.lit(database).alias("databaseName"),
+        F.lit(table).alias("tableName"),
+        F.col("columnName"),
+        dtype_map[F.col("columnName")].alias("dataType"),
+        F.col("q25"),
+        F.col("q50"),
+        F.col("q75"),
+    )
+
+
 def profile_data(
     tables: dict[str, DataFrame],
     database: str,

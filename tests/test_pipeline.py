@@ -57,6 +57,8 @@ def test_entry_contract(spark):
     assert set(oracles) <= set(qs)
     # every oracle-less query is an intentional rows-only check
     assert set(qs) - set(oracles) == {
+        "profile_summary_approx",
+        "profile_quantiles",
         "sim_ann_lsh",
         "sim_ann_multiprobe",
         "sim_ivf_kmeans",

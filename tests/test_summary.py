@@ -45,3 +45,37 @@ def test_summary_approx_single_pass_and_close(spark, tables):
     # approx_count_distinct default rsd is 5% (1 sigma) — bound at 3x
     for col, nd in exact.items():
         assert abs(approx[col] - nd) <= max(0.15 * nd, 2), col
+
+
+def test_numeric_quantiles_within_rank_error(spark, tables):
+    from lakehouse_tools_spark.operators.profile import numeric_quantiles
+
+    li = tables["lineitem"]
+    out = {r.columnName: r for r in numeric_quantiles(li, "db", "lineitem").collect()}
+    n = li.count()
+    for col in ("l_quantity", "l_extendedprice"):
+        vals = sorted(r[0] for r in li.select(col).collect())
+        for prob, attr in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+            got = getattr(out[col], attr)
+            # rank of the returned element must be within n/accuracy
+            # (+1 slack for ties/rounding) of the target rank
+            import bisect
+
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = prob * n
+            tol = n / 10000 + 2
+            assert lo - tol <= target <= hi + tol, (col, prob, got)
+    # quartiles are ordered
+    for r in out.values():
+        assert r.q25 <= r.q50 <= r.q75
+
+
+def test_numeric_quantiles_single_pass(spark, tables):
+    from lakehouse_tools_spark.operators.profile import numeric_quantiles
+
+    plan = (
+        numeric_quantiles(tables["orders"], "db", "orders")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan  # one wide aggregate, no melt
