@@ -1056,6 +1056,32 @@ GROUP BY c_nationkey
 """
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over an extreme-skew key
+    (l_returnflag: 3 values across the whole fact table). The first
+    exchange hashes (key, salt) so no reducer owns a hot key's full
+    volume; the second reduces 3×16 partial rows. Result is provably
+    identical to the direct groupBy — sums are exact DECIMAL, so the
+    two-phase addition order cannot drift — which is exactly what the
+    oracle checks."""
+    from lakehouse_tools_spark.functions.skew import salted_agg
+
+    li = load_table(_spark(spark), sf_dir, "lineitem").select(
+        "l_returnflag", _dec("l_quantity").alias("_q")
+    )
+    out = salted_agg(li, ["l_returnflag"], ["_q"], buckets=16)
+    return out.select(
+        "l_returnflag", "n", F.col("sum__q").cast("double").alias("sum_qty")
+    )
+
+
+_SKEW_SALTED_ORACLE = """
+SELECT l_returnflag, count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets surface (absent in the reference, SURVEY §2.5):
     ROLLUP over (returnflag, linestatus) with subtotal rows."""
@@ -1735,6 +1761,25 @@ WHERE ws + INTERVAL '5 minutes' <= mx - INTERVAL '10 minutes'
 """
 
 
+def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator e2e: per-user sessionization
+    with explicit state via applyInPandasWithState (event-time timeout
+    flushes sessions the watermark passed). Genuinely non-SQL-
+    expressible → rows-only here; batch agreement with the native
+    session_window and multi-batch flush order are pinned in
+    tests/test_stateful.py."""
+    from lakehouse_tools_spark.sources.tables import load_stream
+    from lakehouse_tools_spark.streaming.sink import run_to_memory
+    from lakehouse_tools_spark.streaming.stateful import stateful_sessionize
+
+    s = _spark(spark)
+    stream = load_stream(s, sf_dir, "events")
+    sessions = stateful_sessionize(
+        X_win.with_watermark(stream, "ts", "10 minutes"), gap_minutes=5
+    )
+    return run_to_memory(sessions, "events_stream_sessions")
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(_spark(spark), sf_dir, "events")
     return X_win.tumbling_counts(ev, "5 minutes")
@@ -1896,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "skew_salted_agg": q_skew_salted_agg,
         "rollup_pricing": q_rollup_pricing,
         "setop_nations": q_setop_nations,
         "sql_passthrough": q_sql_passthrough,
@@ -1924,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "events_range_join": q_events_range_join,
         "events_stream_watermark": q_events_stream_watermark,
+        "events_stream_sessionize": q_events_stream_sessionize,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_sessionize": q_events_sessionize,
@@ -1961,6 +2008,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q22": _Q22_ORACLE,
         "source_csv_roundtrip": _CSV_ROUNDTRIP_ORACLE,
         "source_json_roundtrip": _JSON_ROUNDTRIP_ORACLE,
+        "skew_salted_agg": _SKEW_SALTED_ORACLE,
         "rollup_pricing": _ROLLUP_ORACLE,
         "setop_nations": _SETOP_ORACLE,
         "sql_passthrough": _RAW_SQL,

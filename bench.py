@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",
+    "skew_salted_agg",
     "rollup_pricing",
     "setop_nations",
     "sql_passthrough",
@@ -81,6 +82,7 @@ BENCH_QUERIES = [
     "corpus_prepare",
     "events_range_join",
     "events_stream_watermark",
+    "events_stream_sessionize",
     "events_tumbling",
     "events_sliding",
     "events_sessionize",

@@ -59,6 +59,7 @@ def test_entry_contract(spark):
     assert set(qs) - set(oracles) == {
         "profile_summary_approx",
         "profile_quantiles",
+        "events_stream_sessionize",
         "sim_ann_lsh",
         "sim_ann_multiprobe",
         "sim_ivf_kmeans",
