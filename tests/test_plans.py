@@ -84,3 +84,40 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert joined.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "20971520")
+
+
+def test_q19_part_disjunction_pushed_to_scan(spark):
+    # the part-only half of each OR conjunct (brand+size) must reach
+    # the part scan as a pushed Or filter; lineitem reads 4 columns
+    p = plan_of(E.q_tpch_q19(spark, SF))
+    assert re.search(r"PushedFilters: \[[^\]]*Or\(", p)
+    assert "struct<l_partkey:bigint,l_quantity:double,l_extendedprice:double,l_discount:double>" in p
+
+
+def test_q7_nation_filter_prunes_before_join(spark):
+    # the two-nation In() filter must be pushed into the nation scans,
+    # not evaluated post-join
+    p = plan_of(E.q_tpch_q7(spark, SF))
+    assert re.search(r"PushedFilters: \[[^\]]*In\(n_name", p)
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_q13_single_exchange_for_join_and_first_agg(spark):
+    # groupBy on the join key must reuse the join's hash partitioning:
+    # exchanges = join input sides only, no extra one before agg#1
+    p = plan_of(E.q_tpch_q13(spark, SF))
+    n_exchange = p.count("Exchange hashpartitioning")
+    assert n_exchange <= 3, p  # cust side + orders side + final tiny agg
+    assert "LeftOuter" in p or "left_outer" in p.lower()
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    p = plan_of(E.q_events_range_join(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_corpus_prepare_single_scan(spark):
+    # quality + language + fingerprint fused: documents scanned once
+    p = plan_of(E.q_corpus_prepare(spark, SF))
+    assert p.count("documents.parquet") <= 1 or p.count("FileScan") == 1
