@@ -1514,16 +1514,41 @@ FROM documents
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-histogram featurizer over binary content (rows-only: the
-    per-byte loop is not SQL-expressible; determinism and
-    normalization are asserted in tests/test_multimodal.py)."""
+    """Byte-histogram featurizer over binary content, exploded to
+    ``(media_id, bin, weight)`` rows so the driver can hash it and
+    DuckDB can reproduce it (hex-pair byte extraction over the same
+    UTF-8 blob). Each weight is one exact IEEE division count/n, so
+    the hash matches bit-for-bit across engines."""
     from lakehouse_tools_spark.ext.multimodal import (
         byte_histogram_features,
         media_from_documents,
     )
 
     docs = load_table(_spark(spark), sf_dir, "documents")
-    return byte_histogram_features(media_from_documents(docs), bins=16)
+    feats = byte_histogram_features(media_from_documents(docs), bins=16)
+    return feats.select("media_id", F.posexplode("features").alias("bin", "weight"))
+
+
+_MULTIMODAL_FEATURES_ORACLE = """
+WITH b AS (
+  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+         octet_length(CAST(text AS BLOB)) AS n
+  FROM documents
+), ex AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(hx, 2 * i - 1, 2)) AS INT) // 16 AS bin
+  FROM b, LATERAL (SELECT unnest(range(1, n + 1)) AS i) t
+), cnt AS (
+  SELECT doc_id, bin, count(*) AS c FROM ex GROUP BY doc_id, bin
+), grid AS (
+  SELECT doc_id, n, CAST(g.bin AS INT) AS bin
+  FROM b, LATERAL (SELECT unnest(range(0, 16)) AS bin) g
+)
+SELECT grid.doc_id AS media_id, grid.bin AS bin,
+       CASE WHEN grid.n = 0 THEN 0.0
+            ELSE CAST(coalesce(cnt.c, 0) AS DOUBLE) / grid.n END AS weight
+FROM grid LEFT JOIN cnt ON grid.doc_id = cnt.doc_id AND grid.bin = cnt.bin
+"""
 
 
 # ---------------------------------------------------------------- text
@@ -2025,6 +2050,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf": _SIM_IVF_ORACLE,
         "sim_neardup": _SIM_NEARDUP_ORACLE,
         "multimodal_decode": _MULTIMODAL_DECODE_ORACLE,
+        "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
         "corpus_prepare": _corpus_oracle(),
         "text_quality": _quality_oracle(),
         "text_language": _language_oracle(),
@@ -2036,6 +2062,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": _EVENTS_SLIDING_ORACLE,
         "events_sessionize": _EVENTS_SESSION_ORACLE,
         "events_json": _EVENTS_JSON_ORACLE,
-        # sim_ann_lsh, catalog_show_tables, multimodal_features:
-        # rows-only by design.
+        # sim_ann_lsh, catalog_show_tables: rows-only by design.
     }

@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -144,6 +145,8 @@ def byte_histogram_features(df: DataFrame, bins: int = 16) -> DataFrame:
     no codec needed, output width fixed so downstream similarity
     search (ext.similarity) can consume it directly.
     """
+    if 256 % bins:
+        raise ValueError(f"bins must divide 256 evenly, got {bins}")
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -159,11 +162,11 @@ def byte_histogram_features(df: DataFrame, bins: int = 16) -> DataFrame:
                 if content is None or len(content) == 0:
                     feats.append([0.0] * bins)
                     continue
-                counts = [0] * bins
-                for b in content:
-                    counts[b // width] += 1
-                n = len(content)
-                feats.append([c / n for c in counts])
+                # whole-buffer vectorized: one bincount per item, never a
+                # per-byte Python loop (megabyte items stay C-speed)
+                arr = np.frombuffer(content, dtype=np.uint8)
+                counts = np.bincount(arr // width, minlength=bins)
+                feats.append((counts / arr.size).tolist())
             yield pd.DataFrame(
                 {"media_id": batch["media_id"].astype("int64"), "features": feats}
             )
