@@ -1269,19 +1269,40 @@ FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship near-dup pipeline: LSH candidates → Jaccard verify,
+    composed. The shingle relation is computed ONCE (persisted inside
+    jaccard_pairs) and feeds both the MinHash signatures and the
+    intersection join; the intersection is computed only for LSH
+    candidate pairs — the scale path, never the quadratic
+    all-pairs self-join (that form stays in tests/test_dedup.py as
+    the recall baseline)."""
     docs = load_table(_spark(spark), sf_dir, "documents")
     sh = X_dedup.word_shingles(docs, "text", "doc_id", k=3)
-    return X_dedup.jaccard_pairs(sh, threshold=0.1)
+    wide = X_dedup.minhash_wide_from_shingles(sh, num_hashes=8)
+    cand = X_dedup.lsh_candidate_pairs_wide(wide, bands=4, rows_per_band=2)
+    return X_dedup.jaccard_pairs(sh, candidates=cand, threshold=0.1)
 
 
 _DEDUP_JACCARD_ORACLE = (
     "WITH "
-    + _SHINGLES_CTE
+    + _MINHASH_CTE
     + """,
+bnd AS (
+  SELECT doc_id, CAST(hash_id // 2 AS INT) AS band,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS bucket
+  FROM m GROUP BY doc_id, CAST(hash_id // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b2.doc_id AS doc_id2
+  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                        AND a.doc_id < b2.doc_id
+),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT s1.doc_id AS doc_id, s2.doc_id AS doc_id2, count(*) AS n_inter
-  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  SELECT c.doc_id AS doc_id, c.doc_id2 AS doc_id2, count(*) AS n_inter
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_id
+  JOIN sh s2 ON s2.doc_id = c.doc_id2 AND s2.shingle = s1.shingle
   GROUP BY 1, 2
 )
 SELECT i.doc_id, i.doc_id2,

@@ -115,14 +115,23 @@ def minhash_wide(
     pre-shuffle volume by the signature width; at 10^9 docs that is
     the difference between one pass and eight).
     """
-    sh = word_shingles(df, text_col, id_col, k)
+    return minhash_wide_from_shingles(
+        word_shingles(df, text_col, id_col, k), num_hashes
+    )
+
+
+def minhash_wide_from_shingles(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """Wide MinHash signatures from an existing ``(doc_id, shingle)``
+    relation — lets a pipeline that also needs the shingles (e.g.
+    LSH-candidates → Jaccard-verify) compute them ONCE and reuse the
+    persisted relation for both consumers."""
     aggs = [
         F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(
             f"_h{i}"
         )
         for i in range(num_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return shingles.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(
@@ -217,11 +226,16 @@ def jaccard_pairs(
 ) -> DataFrame:
     """n-gram Jaccard similarity for document pairs.
 
-    With ``candidates`` (from LSH) only those pairs are scored —
-    the shingle relation is semi-join-pruned before the intersect
-    join. Without, all pairs sharing ≥1 shingle are scored (the
-    exact quadratic baseline; fine at test scale, LSH is the scale
-    path). Jaccard = |A∩B| / (|A|+|B|−|A∩B|); sizes come from one
+    With ``candidates`` (from LSH) the intersection is computed ONLY
+    for candidate pairs: candidates join to each side's shingle set
+    directly, so the work is |candidates| × shingles-per-doc — never
+    the bucket-hot self-join. (A post-hoc semi-join on the self-join
+    output would NOT prune: Catalyst cannot push a pair-level semi
+    below a join whose keys reference both sides, so the O(n²)
+    candidate space would still materialize.) Without ``candidates``,
+    all pairs sharing ≥1 shingle are scored — the exact quadratic
+    baseline; fine at test scale, LSH is the scale path.
+    Jaccard = |A∩B| / (|A|+|B|−|A∩B|); sizes come from one
     aggregate, the intersection from one equi-join on shingle.
     Output: ``(doc_id, doc_id2, jaccard)`` floor-truncated to 6 for stable
     cross-engine comparison.
@@ -235,21 +249,32 @@ def jaccard_pairs(
 
     shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    s1 = shingles.alias("s1")
-    s2 = shingles.alias("s2")
-    inter = (
-        s1.join(
-            s2,
-            (F.col("s1.shingle") == F.col("s2.shingle"))
-            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
-        )
-        .groupBy(
-            F.col("s1.doc_id").alias("doc_id"), F.col("s2.doc_id").alias("doc_id2")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_id", "doc_id2"], "left_semi")
+        inter = (
+            candidates.select("doc_id", "doc_id2")
+            .join(shingles, "doc_id")
+            .join(
+                shingles.select(F.col("doc_id").alias("doc_id2"), "shingle"),
+                ["doc_id2", "shingle"],
+            )
+            .groupBy("doc_id", "doc_id2")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        s1 = shingles.alias("s1")
+        s2 = shingles.alias("s2")
+        inter = (
+            s1.join(
+                s2,
+                (F.col("s1.shingle") == F.col("s2.shingle"))
+                & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+            )
+            .groupBy(
+                F.col("s1.doc_id").alias("doc_id"),
+                F.col("s2.doc_id").alias("doc_id2"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     za = sizes.select(F.col("doc_id"), F.col("sz").alias("sz1"))
     zb = sizes.select(F.col("doc_id").alias("doc_id2"), F.col("sz").alias("sz2"))
     out = (

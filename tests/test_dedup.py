@@ -95,6 +95,29 @@ def test_jaccard_values(spark):
     assert j[(1, 3)] == 0.75
 
 
+def test_jaccard_candidates_path_matches_restricted_baseline(spark):
+    # the LSH-pruned path must agree exactly with the quadratic
+    # all-pairs baseline restricted to the candidate set — the
+    # recall contract of the composed flagship query
+    from lakehouse_tools_spark.ext.dedup import (
+        lsh_candidate_pairs_wide,
+        minhash_wide_from_shingles,
+    )
+
+    sh = word_shingles(docs(spark), "text", "doc_id", k=3)
+    cand = lsh_candidate_pairs_wide(minhash_wide_from_shingles(sh, 8), 4, 2)
+    pruned = {
+        (r.doc_id, r.doc_id2): r.jaccard
+        for r in jaccard_pairs(sh, candidates=cand).collect()
+    }
+    base = {
+        (r.doc_id, r.doc_id2): r.jaccard for r in jaccard_pairs(sh).collect()
+    }
+    cset = {(r.doc_id, r.doc_id2) for r in cand.collect()}
+    assert pruned == {p: v for p, v in base.items() if p in cset}
+    assert (1, 2) in pruned  # identical pair survives the composition
+
+
 def test_simhash_identical_docs_equal(spark):
     out = {r.doc_id: r.simhash for r in simhash(docs(spark), "text", "doc_id").collect()}
     assert out[1] == out[2]

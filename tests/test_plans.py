@@ -117,6 +117,16 @@ def test_range_join_is_equi_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_jaccard_flagship_is_lsh_pruned_not_quadratic(spark):
+    # the composed LSH→Jaccard query must compute intersections via
+    # the candidate join (keys include doc_id2 AND shingle) and never
+    # plan the quadratic shingle-only self-join (keys = [shingle] with
+    # a doc_id< residual) — the O(n²) hot-bucket scale-killer
+    p = plan_of(E.q_dedup_jaccard(spark, SF))
+    assert re.search(r"\[doc_id2#\d+L?, shingle#\d+\]", p), p
+    assert not re.search(r"Join \[shingle#\d+\], \[shingle#\d+\]", p), p
+
+
 def test_corpus_prepare_single_scan(spark):
     # quality + language + fingerprint fused: documents scanned once
     p = plan_of(E.q_corpus_prepare(spark, SF))
