@@ -319,6 +319,47 @@ WHERE s.v IN ('{MERGE_RESIDUAL_EXCL[0]}', '{MERGE_RESIDUAL_EXCL[1]}')
 """
 
 
+def q_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with WHEN NOT MATCHED BY SOURCE AND cond THEN DELETE —
+    the reference's To-Do (dbc cell@1.0:37). Target = nations k<20;
+    source = k in [5,15) uppercased under the residual. Stale target
+    rows (unmatched) are deleted only where k >= 10, so the output
+    exercises all four branches: kept-stale (k<5, plus the k=7
+    residual-failer's original row), updated (matched), inserted
+    (residual-failers), deleted (k in [15,20))."""
+    nation = load_table(_spark(spark), sf_dir, "nation")
+    tgt = nation.filter(F.col("n_nationkey") < 20).select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("v")
+    )
+    src = nation.filter(
+        (F.col("n_nationkey") >= 5) & (F.col("n_nationkey") < 15)
+    ).select(F.col("n_nationkey").alias("k"), F.upper("n_name").alias("v"))
+    return upsert(
+        tgt,
+        src,
+        ["k"],
+        not_in("v", MERGE_RESIDUAL_EXCL),
+        full_sync=True,
+        delete_condition=lambda t: t["k"] >= 10,
+    )
+
+
+_MERGE_FULL_SYNC_ORACLE = f"""
+WITH t AS (SELECT n_nationkey AS k, n_name AS v FROM nation WHERE n_nationkey < 20),
+     s AS (SELECT n_nationkey AS k, upper(n_name) AS v FROM nation
+           WHERE n_nationkey >= 5 AND n_nationkey < 15),
+     sm AS (SELECT * FROM s WHERE v NOT IN ('{MERGE_RESIDUAL_EXCL[0]}', '{MERGE_RESIDUAL_EXCL[1]}'))
+SELECT t.k AS k, t.v AS v FROM t
+WHERE t.k NOT IN (SELECT k FROM sm) AND NOT (t.k >= 10)
+UNION ALL
+SELECT sm.k AS k, sm.v AS v FROM t JOIN sm ON t.k = sm.k
+UNION ALL
+SELECT s.k AS k, s.v AS v FROM s
+WHERE s.v IN ('{MERGE_RESIDUAL_EXCL[0]}', '{MERGE_RESIDUAL_EXCL[1]}')
+   OR s.k NOT IN (SELECT k FROM t)
+"""
+
+
 def q_zorder_rowset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 row-preservation property: the clustering layout rewrite
     (OPTIMIZE ZORDER analog, dbc cell@9.0/10.0) changes layout only."""
@@ -1971,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profiler_e2e": q_profiler_e2e,
         "asof_join": q_asof_join,
         "merge_upsert": q_merge_upsert,
+        "merge_full_sync": q_merge_full_sync,
         "zorder_rowset": q_zorder_rowset,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2036,6 +2078,7 @@ def oracle_sql() -> dict[str, str]:
         "profiler_e2e": _profile_intended_oracle(tuple(FIXTURE_SCHEMAS)),
         "asof_join": _ASOF_ORACLE,
         "merge_upsert": _MERGE_ORACLE,
+        "merge_full_sync": _MERGE_FULL_SYNC_ORACLE,
         "zorder_rowset": _ZORDER_ORACLE,
         "tpch_q1": _Q1_ORACLE,
         "tpch_q3": _Q3_ORACLE,

@@ -42,6 +42,10 @@ from pyspark.sql import functions as F
 #: the self-join-shaped plans below.
 SourcePredicate = Callable[[DataFrame], Column]
 
+#: A predicate over target columns (for conditional full-sync
+#: deletes), same function-of-relation convention as SourcePredicate.
+TargetPredicate = Callable[[DataFrame], Column]
+
 
 def upsert(
     target: DataFrame,
@@ -49,10 +53,27 @@ def upsert(
     keys: list[str],
     source_residual: SourcePredicate | None = None,
     check_source_unique: bool = False,
+    full_sync: bool = False,
+    delete_condition: TargetPredicate | None = None,
 ) -> DataFrame:
     """Apply MERGE (UPDATE SET * / INSERT *) semantics, returning the
     merged relation. ``source_residual`` is the extra ON-clause
     predicate evaluated against ``source`` columns (J1's NOT IN).
+
+    ``full_sync=True`` adds WHEN NOT MATCHED BY SOURCE THEN DELETE —
+    the reference's own acknowledged To-Do (``dbc cell@1.0:37``:
+    "remove databases and columns when removed in catalog"; its MERGE
+    lacks the clause, ``dbc cell@8.5:4-5``): target rows whose key no
+    longer appears in the (residual-passing) source are dropped.
+    ``delete_condition`` narrows the delete to target rows satisfying
+    it (Delta's WHEN NOT MATCHED BY SOURCE **AND cond** THEN DELETE) —
+    the shape the reference's profiler needs: when re-profiling one
+    database, delete only that database's stale rows, never other
+    databases' entries. Implementation cost is zero extra shuffles:
+    the deletes are a marker filter on the same single outer join,
+    and with no delete_condition the filter is null-rejecting on the
+    source side so Catalyst's EliminateOuterJoin rewrites the full
+    outer to a right outer join.
 
     ``check_source_unique=True`` runs an assertion job (an agg over
     the source keys) before merging — off by default to keep the
@@ -94,13 +115,26 @@ def upsert(
         F.col("_residual_ok"),
         *[F.col(f"`{c}`").alias(f"_s_{c}") for c in cols],
     )
-    t = target.select(*[F.col(f"`{c}`").alias(f"_t_{c}") for c in cols])
+    t_cols = [F.col(f"`{c}`").alias(f"_t_{c}") for c in cols]
+    if full_sync and delete_condition is not None:
+        t = target.withColumn("_del_ok", delete_condition(target)).select(
+            F.col("_del_ok"), *t_cols
+        )
+    else:
+        t = target.select(*t_cols)
 
     cond = F.col("_residual_ok")
     for k in keys:
         cond = cond & F.col(f"`_t_{k}`").eqNullSafe(F.col(f"`_s_{k}`"))
 
     joined = t.join(s, cond, "full_outer")
+    if full_sync:
+        # WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE: drop
+        # target-only rows (those matching delete_condition, if any).
+        keep = F.col("_src_present").isNotNull()
+        if delete_condition is not None:
+            keep = keep | ~F.coalesce(F.col("_del_ok"), F.lit(False))
+        joined = joined.filter(keep)
     return joined.select(
         *[
             F.when(

@@ -71,6 +71,52 @@ def test_merge_is_single_join(spark):
     assert plan.count("Join") == 1
 
 
+def test_full_sync_deletes_target_only_rows(spark):
+    # WHEN NOT MATCHED BY SOURCE THEN DELETE: with no delete
+    # condition the merged relation mirrors the source exactly
+    t = spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2), Row(k="z", v=9)])
+    s = spark.createDataFrame([Row(k="b", v=20), Row(k="c", v=30)])
+    out = upsert(t, s, ["k"], full_sync=True)
+    assert rows(out) == [("b", 20), ("c", 30)] == rows(s)
+
+
+def test_full_sync_conditional_delete_protects_rows(spark):
+    # Delta's WHEN NOT MATCHED BY SOURCE AND cond THEN DELETE: only
+    # unmatched target rows satisfying the condition are dropped —
+    # the per-database stale-row cleanup the reference's To-Do needs
+    t = spark.createDataFrame(
+        [Row(k="a", v=1), Row(k="b", v=2), Row(k="z", v=9), Row(k="y", v=8)]
+    )
+    s = spark.createDataFrame([Row(k="b", v=20)])
+    out = upsert(
+        t, s, ["k"], full_sync=True, delete_condition=lambda tt: tt["k"] > "x"
+    )
+    # z/y unmatched AND >x -> deleted; a unmatched but <=x -> kept
+    assert rows(out) == [("a", 1), ("b", 20)]
+
+
+def test_full_sync_idempotent(spark):
+    t = spark.createDataFrame([Row(k="a", v=1), Row(k="z", v=9)])
+    s = spark.createDataFrame([Row(k="a", v=10), Row(k="c", v=30)])
+    once = upsert(t, s, ["k"], full_sync=True)
+    twice = upsert(once, s, ["k"], full_sync=True)
+    assert rows(once) == rows(twice) == [("a", 10), ("c", 30)]
+
+
+def test_full_sync_eliminates_full_outer_join(spark):
+    # unconditional full_sync is null-rejecting on the source side:
+    # Catalyst must downgrade the full outer to a right outer join
+    t = spark.createDataFrame([Row(k="a", v=1)])
+    s = spark.createDataFrame([Row(k="b", v=2)])
+    plan = (
+        upsert(t, s, ["k"], full_sync=True)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "FullOuter" not in plan, plan
+
+
 def test_residual_rerun_duplicates_excluded_keys(spark):
     # Faithful re-run semantics (dbc cell@8.5 ON-clause NOT IN): an
     # excluded-key row already in the target can never be matched by
