@@ -179,6 +179,35 @@ def q_profile_as_written(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_data(tables, DB, mode="as_written")
 
 
+def q_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped histogram: K most-frequent values per column with a
+    deterministic tiebreak (count desc, value asc nulls first). The
+    100 TB guard for key columns, where the uncapped profile is the
+    size of the input; output is bounded by K×n_columns and the plan
+    stays join-free (row_number window over the aggregated counts)."""
+    tables = load_tables(_spark(spark), sf_dir, PROFILE_TABLES)
+    return profile_data(tables, DB, mode="intended", top_k=5)
+
+
+def _profile_topk_oracle(tables: tuple[str, ...], k: int = 5) -> str:
+    parts = []
+    for t in tables:
+        for c, dt in FIXTURE_SCHEMAS[t]:
+            r = _render_sql(f'"{c}"', dt)
+            parts.append(
+                "SELECT databaseName, tableName, columnName, dataType, value, "
+                "num_records, len FROM ("
+                f"SELECT '{DB}' AS databaseName, '{t}' AS tableName, "
+                f"'{c}' AS columnName, '{dt}' AS dataType, {r} AS value, "
+                f"CAST(count(*) AS FLOAT) AS num_records, "
+                f"CAST(length({r}) AS FLOAT) AS len, "
+                f"row_number() OVER (ORDER BY count(*) DESC, {r} ASC NULLS FIRST) AS rn "
+                f"FROM {t} GROUP BY {r}"
+                f") WHERE rn <= {k}"
+            )
+    return " UNION ALL ".join(parts)
+
+
 def q_schema_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = load_tables(_spark(spark), sf_dir, PROFILE_TABLES)
     return schema_information(tables, DB, spark)
@@ -2005,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_intended": q_profile_intended,
         "profile_as_written": q_profile_as_written,
+        "profile_topk": q_profile_topk,
         "schema_information": q_schema_information,
         "profile_summary": q_profile_summary,
         "profile_summary_approx": q_profile_summary_approx,
@@ -2073,6 +2103,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "profile_intended": _profile_intended_oracle(PROFILE_TABLES),
         "profile_as_written": _profile_as_written_oracle(PROFILE_TABLES),
+        "profile_topk": _profile_topk_oracle(PROFILE_TABLES),
         "schema_information": _schema_info_oracle(PROFILE_TABLES),
         "profile_summary": _profile_summary_oracle(),
         "profiler_e2e": _profile_intended_oracle(tuple(FIXTURE_SCHEMAS)),

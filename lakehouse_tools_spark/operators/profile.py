@@ -31,7 +31,7 @@ Output schemas match the reference's public contract
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -106,6 +106,7 @@ def profile_table(
     database: str,
     table: str,
     mode: str = "intended",
+    top_k: int | None = None,
 ) -> DataFrame:
     """Profile every (profilable) column of one table in a single pass.
 
@@ -113,11 +114,21 @@ def profile_table(
     (``dbc cell@8.0:30-36``) with one melt + aggregate job. Columns are
     melted with ``stack`` (codegen'd, no shuffle), then a single
     ``groupBy(columnName, value)`` aggregates with map-side combine.
+
+    ``top_k`` caps the histogram to the K most frequent values per
+    column (ties broken by value ascending, nulls first — a
+    deterministic total order). Without it, a key column's profile is
+    one row per distinct value — i.e. the size of the input at 100 TB;
+    with it, output is bounded by K×n_columns. The cap is one
+    row_number window over the already-aggregated (tiny) counts —
+    an extra narrow shuffle on columnName, still zero joins.
     """
     fields = profilable_columns(df)
     if not fields:
         return df.sparkSession.createDataFrame([], PROFILE_DATA_SCHEMA)
 
+    if top_k is not None and mode != "intended":
+        raise ValueError("top_k is only meaningful for the intended-mode histogram")
     if mode == "as_written":
         # Reference bug fidelity (dbc cell@8.0:34): GROUP BY the *raw*
         # column, but project the quoted column name as value/len.
@@ -163,6 +174,16 @@ def profile_table(
     counts = melted.groupBy("columnName", "value").agg(
         F.count(F.lit(1)).alias("_n")
     )
+
+    if top_k is not None:
+        w = Window.partitionBy("columnName").orderBy(
+            F.col("_n").desc(), F.col("value").asc_nulls_first()
+        )
+        counts = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top_k)
+            .drop("_rn")
+        )
 
     dtype_map = F.create_map(
         *[x for f in fields for x in (F.lit(f.name), F.lit(f.dataType.simpleString()))]
@@ -355,6 +376,7 @@ def profile_data(
     tables: dict[str, DataFrame],
     database: str,
     mode: str = "intended",
+    top_k: int | None = None,
 ) -> DataFrame:
     """Profile a set of tables → one ``profileData`` DataFrame.
 
@@ -365,7 +387,10 @@ def profile_data(
     per-table in ``as_written`` mode, so a cheap ``unionByName`` chain
     suffices here (no global distinct shuffle).
     """
-    parts = [profile_table(df, database, name, mode) for name, df in tables.items()]
+    parts = [
+        profile_table(df, database, name, mode, top_k=top_k)
+        for name, df in tables.items()
+    ]
     if not parts:
         raise ValueError("no tables to profile")
     out = parts[0]

@@ -58,6 +58,18 @@ def test_profile_has_no_joins(spark):
     assert "Join" not in p
 
 
+def test_profile_topk_join_free_and_bounded(spark):
+    # the top-k cap is one row_number window over the aggregated
+    # counts — still zero joins, and the output is bounded by
+    # K x n_columns regardless of column cardinality
+    df = E.q_profile_topk(spark, SF)
+    p = plan_of(df)
+    assert "Join" not in p
+    assert "Window" in p
+    ncols = sum(len(cols) for t, cols in E.FIXTURE_SCHEMAS.items() if t in E.PROFILE_TABLES)
+    assert df.count() <= 5 * ncols
+
+
 def test_exact_dedup_shuffles_fingerprints_not_text(spark):
     p = plan_of(E.q_dedup_exact(spark, SF))
     m = re.search(r"Exchange hashpartitioning\(([^,]*)", p)
