@@ -23,11 +23,41 @@ writer instead of a bespoke streaming path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from lakehouse_tools_spark.operators.merge import SourcePredicate
 from lakehouse_tools_spark.operators.writer import upsert_into
+
+
+def latest_per_key(
+    df: DataFrame, keys: list[str], order_by: list[str] | None = None
+) -> DataFrame:
+    """One row per key, chosen *deterministically*.
+
+    ``dropDuplicates(keys)`` keeps whichever row a partition happens to
+    deliver first — a replayed micro-batch could keep a different
+    version of a key, which would break the idempotent-replay argument
+    the streaming sink depends on. Instead rank with ``row_number``
+    over a total order: ``order_by`` columns descending (newest wins —
+    pass the event-time column), then every remaining non-key column
+    descending as tiebreak so the order is total even when ``order_by``
+    ties. Same shuffle as ``dropDuplicates`` (one hash partition on the
+    keys), so determinism is free at scale.
+    """
+    order_by = list(order_by or [])
+    tiebreak = [c for c in df.columns if c not in keys and c not in order_by]
+    order_cols = [F.col(c).desc_nulls_last() for c in order_by + tiebreak]
+    if not order_cols:
+        # every column is a key: duplicates are identical rows
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def upsert_stream(
@@ -37,12 +67,18 @@ def upsert_stream(
     checkpoint: str,
     source_residual: SourcePredicate | None = None,
     available_now: bool = True,
+    order_by: list[str] | None = None,
 ) -> StreamingQuery:
     """Land a streaming DataFrame into ``table`` by keyed upsert.
 
     ``available_now=True`` drains everything currently available and
     stops (batch-like backfill); ``False`` runs continuously with the
-    default micro-batch trigger.
+    default micro-batch trigger. ``order_by`` names the column(s)
+    defining "newest" when a micro-batch carries several versions of
+    one key (typically the event-time column); the winner is picked by
+    :func:`latest_per_key`, so a replayed batch keeps the *same*
+    version — that determinism is what upgrades at-least-once replay
+    into effectively-exactly-once for keyed upserts.
     """
 
     owner = stream_df.sparkSession
@@ -51,8 +87,8 @@ def upsert_stream(
         if batch_df.isEmpty():
             return
         # a micro-batch can contain several versions of one key; keep
-        # the last arrival per key so the upsert is deterministic
-        deduped = batch_df.dropDuplicates(keys)
+        # the newest per key, deterministically, so replay is idempotent
+        deduped = latest_per_key(batch_df, keys, order_by)
         upsert_into(batch_df.sparkSession, table, deduped, keys, source_residual)
         # the swap ran in the micro-batch's cloned session; the session
         # that owns the stream has its own relation cache and would

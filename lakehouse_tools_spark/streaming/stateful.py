@@ -72,25 +72,43 @@ def _session_fn(gap_us: int):
 
         open_sess = list(state.get) if state.exists else None
         closed: list[tuple[int, int, float]] = []
-        max_us = 0
         for batch in batches:
             ts_us = (batch["ts"].astype("int64") // 1000).tolist()
             vals = batch["value"].tolist()
             for t_us, v in sorted(zip(ts_us, vals)):
-                max_us = max(max_us, t_us)
                 if open_sess is None:
                     open_sess = [t_us, t_us, 1, float(v)]
                 elif t_us - open_sess[1] >= gap_us:
+                    # strictly after the open interval: close it, start new
                     closed.append((open_sess[0], open_sess[2], open_sess[3]))
                     open_sess = [t_us, t_us, 1, float(v)]
+                elif open_sess[0] - t_us >= gap_us:
+                    # late event strictly BEFORE the open interval (arrived
+                    # in a later micro-batch, still inside the watermark):
+                    # it can never merge with the open session, and the open
+                    # session already owns all later time — emit it as its
+                    # own closed session. (Several such stragglers that
+                    # would natively merge with each other are emitted
+                    # individually — the one divergence from session_window,
+                    # bounded to sub-watermark out-of-order arrivals.)
+                    closed.append((t_us, 1, float(v)))
                 else:
-                    open_sess[1] = t_us
+                    # inside (or gap-adjacent to) the open interval: merge.
+                    # min/max, NOT assignment — a late event must never move
+                    # the session end backwards or the next on-time event
+                    # would wrongly split the session.
+                    open_sess[0] = min(open_sess[0], t_us)
+                    open_sess[1] = max(open_sess[1], t_us)
                     open_sess[2] += 1
                     open_sess[3] += float(v)
         if open_sess is not None:
             state.update(tuple(open_sess))
-            # flush the open session once the watermark passes last+gap
-            state.setTimeoutTimestamp((open_sess[1] + gap_us) // 1000)
+            # flush the open session once the watermark passes last+gap;
+            # if the watermark is already past it (late stragglers were
+            # the only input), clamp — a timeout timestamp at/behind the
+            # watermark is rejected, and wm+1 fires on the next batch
+            due_ms = (open_sess[1] + gap_us) // 1000
+            state.setTimeoutTimestamp(max(due_ms, state.getCurrentWatermarkMs() + 1))
         if closed:
             yield pd.DataFrame(
                 {

@@ -56,6 +56,58 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     assert (2, "2024-01-01 00:00:00", 1, 1.0) in rows
 
 
+def test_stateful_late_event_does_not_split_session(spark, tmp_path):
+    # A late-but-within-watermark event landing INSIDE the open session
+    # interval must merge via min/max — it must not drag the session end
+    # backwards (which would make the next on-time event split the
+    # session). An event strictly BEFORE the interval becomes its own
+    # closed session.
+    src = str(tmp_path / "late_src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minute, user=1, value=1.0):
+        return (i, t0 + dt.timedelta(minutes=minute), user, value)
+
+    # user1: batch1 = 0,4 -> open [0..4]; batch2 = 2 (late, inside) and
+    # 8 (on-time, within gap of 4) -> ONE session 0..8 n=4.
+    # user2: batch1 = 50; batch2 = 21 (late, strictly before) -> the
+    # straggler is emitted as its own closed singleton.
+    _write_batch(spark, src, [ev(1, 0), ev(2, 4), ev(3, 50, user=2)])
+    _write_batch(spark, src, [ev(4, 2), ev(5, 8), ev(6, 21, user=2)])
+    # batch3 closes user1's 0..8 (gap) and user2's 50 (gap)
+    _write_batch(spark, src, [ev(7, 120), ev(8, 120, user=2)])
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stateful_sessionize(
+        with_watermark(stream, "ts", "30 minutes"), gap_minutes=5
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stateful_late")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = {
+        (r.user_id, r.session_start, r.n_events, r.sum_value)
+        for r in spark.sql("select * from t_stateful_late").collect()
+    }
+    assert (1, "2024-01-01 00:00:00", 4, 4.0) in rows  # merged, not split
+    # the buggy end-moves-backwards behavior would have produced these:
+    assert (1, "2024-01-01 00:00:00", 3, 3.0) not in rows
+    assert (1, "2024-01-01 00:08:00", 1, 1.0) not in rows
+    assert (2, "2024-01-01 00:21:00", 1, 1.0) in rows  # straggler singleton
+    assert (2, "2024-01-01 00:50:00", 1, 1.0) in rows
+
+
 def test_stateful_agrees_with_native_session_window(spark, tables):
     # Batch cross-check: the explicit-state operator must produce the
     # same sessions as F.session_window on identical inputs. Run the

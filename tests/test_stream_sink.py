@@ -18,6 +18,41 @@ def _state(spark, tbl):
     return {(r.k, r.v) for r in spark.table(tbl).collect()}
 
 
+def test_latest_per_key_is_deterministic_and_newest_wins(spark):
+    from lakehouse_tools_spark.streaming.sink import latest_per_key
+
+    rows = [("a", i, 100 - i) for i in range(50)] + [("b", 7, 7)]
+    df = spark.createDataFrame(rows, "k string, ts long, v long")
+    # newest by ts wins regardless of physical row order
+    for nparts in (1, 7, 32):
+        got = {
+            (r.k, r.ts, r.v)
+            for r in latest_per_key(df.repartition(nparts), ["k"], ["ts"]).collect()
+        }
+        assert got == {("a", 49, 51), ("b", 7, 7)}
+    # without order_by: still deterministic (canonical tiebreak order)
+    a = sorted(map(tuple, latest_per_key(df.repartition(3), ["k"]).collect()))
+    b = sorted(map(tuple, latest_per_key(df.repartition(17), ["k"]).collect()))
+    assert a == b
+
+
+def test_upsert_stream_dedups_within_batch_newest_wins(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    tbl = "t_stream_upsert_dedup"
+    ddl = "k string, ts long, v long"
+    create_or_replace(spark, spark.createDataFrame([], ddl), tbl)
+    # one micro-batch with 3 versions of key a: ts=3 must win
+    spark.createDataFrame(
+        [("a", 1, 10), ("a", 3, 30), ("a", 2, 20)], ddl
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = upsert_stream(
+        spark.readStream.schema(ddl).parquet(src), tbl, ["k"], ckpt, order_by=["ts"]
+    )
+    q.awaitTermination(120)
+    assert {(r.k, r.ts, r.v) for r in spark.table(tbl).collect()} == {("a", 3, 30)}
+
+
 def test_upsert_stream_inserts_and_updates(spark, tmp_path):
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
