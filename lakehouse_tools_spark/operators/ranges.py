@@ -47,13 +47,28 @@ def interval_bin_join(
     Monotonicity of floor guarantees the binned equi-join is a
     superset of the true range join, so the residual filter is exact:
     s <= t <= e ⇒ floor(s/w) <= floor(t/w) <= floor(e/w).
+
+    ``how`` is ``inner`` or ``left`` (points preserved). The range
+    residual lives INSIDE the join condition — a post-join filter
+    would silently drop ``left``'s null-extended rows and degenerate
+    it to inner. ``left`` needs no dedup because a point lives in
+    exactly one bucket (one left row per input point). ``right``/
+    ``full`` are rejected: the interval side is exploded per bucket,
+    so its unmatched rows would null-extend once per covered bucket
+    and need an extra dedup pass nothing here wants to pay for.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how={how!r}: only 'inner' and 'left' are supported "
+            "(interval rows are exploded per bucket, so right/full "
+            "would duplicate unmatched intervals)"
+        )
     w = F.lit(int(bucket_seconds))
     p = points.withColumn(
         "_rbucket", F.floor(F.col(ts_col).cast("long") / w).cast("long")
     )
     iv = intervals.withColumn(
-        "_rbucket",
+        "_rbucket_iv",
         F.explode(
             F.sequence(
                 F.floor(F.col(start_col).cast("long") / w).cast("long"),
@@ -61,7 +76,18 @@ def interval_bin_join(
             )
         ),
     )
-    joined = p.join(iv, ["_rbucket", *extra_keys], how).where(
-        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    # interval-side copies of the equi keys, so the join condition can
+    # be a single expression (equi part extracted by Catalyst, range
+    # part kept as the join residual)
+    for k in extra_keys:
+        iv = iv.withColumnRenamed(k, f"_iv_{k}")
+    cond = F.col("_rbucket") == F.col("_rbucket_iv")
+    for k in extra_keys:
+        cond = cond & (F.col(k) == F.col(f"_iv_{k}"))
+    cond = (
+        cond
+        & (F.col(ts_col) >= F.col(start_col))
+        & (F.col(ts_col) <= F.col(end_col))
     )
-    return joined.drop("_rbucket")
+    joined = p.join(iv, cond, how)
+    return joined.drop("_rbucket", "_rbucket_iv", *[f"_iv_{k}" for k in extra_keys])

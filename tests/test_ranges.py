@@ -67,6 +67,39 @@ def test_bucket_width_invariance(spark):
     assert all(r == results[0] for r in results)
 
 
+def test_left_join_preserves_unmatched_points(spark):
+    points, intervals = _fixture(spark)
+    left = interval_bin_join(
+        points.drop("k"), intervals.drop("k"), "ts", "s", "e",
+        bucket_seconds=600, how="left",
+    )
+    rows = left.collect()
+    naive = {
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals.drop("k"))
+        .where((F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e")))
+        .collect()
+    }
+    matched = {(r["pid"], r["iid"]) for r in rows if r["iid"] is not None}
+    assert matched == naive
+    # every point appears; points inside no interval exactly once, null-extended
+    unmatched_pids = {r["pid"] for r in points.collect()} - {p for p, _ in naive}
+    null_rows = [(r["pid"], r["iid"]) for r in rows if r["iid"] is None]
+    assert sorted(p for p, _ in null_rows) == sorted(unmatched_pids)
+    assert len(rows) == len(naive) + len(unmatched_pids)
+
+
+def test_right_and_full_rejected(spark):
+    import pytest
+
+    points, intervals = _fixture(spark)
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            interval_bin_join(
+                points.drop("k"), intervals.drop("k"), "ts", "s", "e", how=how
+            )
+
+
 def test_extra_keys(spark):
     points, intervals = _fixture(spark)
     got = sorted(
