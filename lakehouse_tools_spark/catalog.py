@@ -81,6 +81,13 @@ def list_tables(
     return df.filter(~lowered.isin([e.lower() for e in exclusions]) & (F.col("database") != ""))
 
 
+def drop_temp_view(spark: SparkSession, name: str) -> bool:
+    """C11 — ``DROP TEMPORARY VIEW`` (reference ``dbc cell@8.875:1-2``,
+    its post-run cleanup). Returns whether the view existed; no SQL
+    string splicing, no error on a missing view (IF EXISTS shape)."""
+    return spark.catalog.dropTempView(name)
+
+
 def table_names(
     spark: SparkSession,
     database: str | None = None,

@@ -3,8 +3,12 @@ plain-parquet backend (SURVEY.md §7.5).
 
 The reference persists via ``CREATE OR REPLACE TABLE … USING DELTA``
 (dbc cell@7.0/7.125), ``MERGE INTO`` (cell@8.5/8.75) and ``OPTIMIZE …
-ZORDER BY`` (cell@9.0/10.0). delta-spark is not installed in this
-environment, so the durable layer is managed parquet tables with the
+ZORDER BY`` (cell@9.0/10.0). Backend selection is runtime-detected
+(:mod:`lakehouse_tools_spark.backend`): with delta-spark importable
+every operator here routes to the native Delta implementation
+(``DeltaTable.merge`` / ``optimize().executeZOrderBy``); without it —
+this environment has no delta-spark and no PyPI route, see
+``backend.py`` — the durable layer is managed parquet tables with the
 same semantics:
 
 - ``create_or_replace``: saveAsTable(overwrite) with an explicit
@@ -28,9 +32,15 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from lakehouse_tools_spark.backend import table_format
 from lakehouse_tools_spark.operators.maintenance import zorder_layout
-from lakehouse_tools_spark.operators.merge import SourcePredicate, upsert
+from lakehouse_tools_spark.operators.merge import (
+    SourcePredicate,
+    TargetPredicate,
+    upsert,
+)
 
 
 def _q(name: str) -> str:
@@ -40,12 +50,50 @@ def _q(name: str) -> str:
 def create_or_replace(
     spark: SparkSession, df: DataFrame, table: str, num_files: int | None = None
 ) -> None:
-    """C8 — ``CREATE OR REPLACE TABLE`` as a managed parquet table.
+    """C8 — ``CREATE OR REPLACE TABLE`` as a managed table (Delta when
+    delta-spark is present, else parquet — backend.table_format()).
 
     ``num_files`` caps output files (the OSS stand-in for Delta's
     optimizeWrite, dbc cell@1.5:1)."""
     out = df.coalesce(num_files) if num_files else df
-    out.write.mode("overwrite").format("parquet").saveAsTable(table)
+    out.write.mode("overwrite").format(table_format()).saveAsTable(table)
+
+
+def _delta_merge(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    keys: list[str],
+    source_residual: SourcePredicate | None,
+    full_sync: bool,
+    delete_condition: TargetPredicate | None,
+) -> None:
+    """Native ``DeltaTable.merge`` path — semantically identical to
+    :func:`operators.merge.upsert` + swap (residual in ON ⇒
+    residual-failing source rows INSERT; null-safe key equality;
+    full_sync ⇒ WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE).
+    Only reachable when delta-spark is importable (backend.py)."""
+    from delta.tables import DeltaTable
+
+    s = source.alias("s")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.expr(f"t.`{k}` <=> s.`{k}`")
+    if source_residual is not None:
+        cond = cond & source_residual(s)
+    builder = (
+        DeltaTable.forName(spark, table)
+        .alias("t")
+        .merge(s, cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+    )
+    if full_sync:
+        t_view = spark.table(table).alias("t")
+        builder = builder.whenNotMatchedBySourceDelete(
+            condition=delete_condition(t_view) if delete_condition else None
+        )
+    builder.execute()
 
 
 def upsert_into(
@@ -54,19 +102,34 @@ def upsert_into(
     source: DataFrame,
     keys: list[str],
     source_residual: SourcePredicate | None = None,
+    full_sync: bool = False,
+    delete_condition: TargetPredicate | None = None,
 ) -> None:
     """J1 — MERGE INTO a stored table, atomically.
 
-    The merged relation is materialized to a staging table first
+    Delta backend: one ACID ``DeltaTable.merge``. Parquet backend: the
+    merged relation is materialized to a staging table first
     (computing it directly over the target while overwriting the
     target would read-after-delete the very files being replaced),
     then swapped in with metastore renames.
     """
+    if table_format() == "delta":
+        _delta_merge(
+            spark, table, source, keys, source_residual, full_sync, delete_condition
+        )
+        return
     target = spark.table(table)
-    merged = upsert(target, source, keys, source_residual)
+    merged = upsert(
+        target,
+        source,
+        keys,
+        source_residual,
+        full_sync=full_sync,
+        delete_condition=delete_condition,
+    )
     staging = f"{table}__stage_{uuid.uuid4().hex[:8]}"
     retired = f"{table}__old_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").format("parquet").saveAsTable(staging)
+    merged.write.mode("overwrite").format(table_format()).saveAsTable(staging)
     spark.sql(f"ALTER TABLE {_q(table)} RENAME TO {_q(retired)}")
     try:
         spark.sql(f"ALTER TABLE {_q(staging)} RENAME TO {_q(table)}")
@@ -99,7 +162,8 @@ def save_bucketed(
     into a local join; the one-time cost is the bucketed write's own
     shuffle. ``sort_cols`` additionally pre-sorts within buckets so
     sort-merge joins skip the sort. (Delta/Iceberg expose the same
-    idea as clustered/partition-transform writes.)
+    idea as clustered/partition-transform writes; Delta has no
+    ``bucketBy``, so this writer stays parquet on every backend.)
     """
     w = df.write.mode("overwrite").format("parquet")
     w = w.bucketBy(num_buckets, *bucket_cols)
@@ -116,11 +180,17 @@ def optimize_clustered(
 ) -> None:
     """O1 — OPTIMIZE … ZORDER BY: rewrite the stored table clustered
     on ``zorder_cols`` (row set unchanged; parquet min/max row-group
-    stats then skip-prune predicates on prefixes of the Z columns)."""
+    stats then skip-prune predicates on prefixes of the Z columns).
+    Delta backend: the native ``optimize().executeZOrderBy``."""
+    if table_format() == "delta":
+        from delta.tables import DeltaTable
+
+        DeltaTable.forName(spark, table).optimize().executeZOrderBy(*zorder_cols)
+        return
     clustered = zorder_layout(spark.table(table), zorder_cols, num_partitions)
     staging = f"{table}__stage_{uuid.uuid4().hex[:8]}"
     retired = f"{table}__old_{uuid.uuid4().hex[:8]}"
-    clustered.write.mode("overwrite").format("parquet").saveAsTable(staging)
+    clustered.write.mode("overwrite").format(table_format()).saveAsTable(staging)
     spark.sql(f"ALTER TABLE {_q(table)} RENAME TO {_q(retired)}")
     spark.sql(f"ALTER TABLE {_q(staging)} RENAME TO {_q(table)}")
     spark.sql(f"DROP TABLE {_q(retired)}")

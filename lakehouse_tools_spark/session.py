@@ -67,11 +67,14 @@ def get_session(
     extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or get) a SparkSession with the engine conf map applied."""
+    from lakehouse_tools_spark import backend
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cpus}]")
-    for key, value in {**DEFAULT_CONFS, **(extra_confs or {})}.items():
+    confs = {**DEFAULT_CONFS, **backend.delta_builder_confs(), **(extra_confs or {})}
+    for key, value in confs.items():
         builder = builder.config(key, value)
-    spark = builder.getOrCreate()
+    spark = backend.finalize_builder(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return configure(spark)

@@ -6,8 +6,17 @@ from lakehouse_tools_spark.catalog import (
     DEFAULT_EXCLUSIONS,
     describe_columns,
     current_database,
+    drop_temp_view,
     list_databases,
 )
+
+
+def test_drop_temp_view(spark, tables):
+    tables["region"].createOrReplaceTempView("t_c11_view")
+    assert spark.catalog.tableExists("t_c11_view")
+    assert drop_temp_view(spark, "t_c11_view") is True
+    assert not spark.catalog.tableExists("t_c11_view")
+    assert drop_temp_view(spark, "t_c11_view") is False  # IF EXISTS shape
 
 
 def test_list_databases(spark):

@@ -65,5 +65,4 @@ def test_entry_contract(spark):
         "sim_ivf_kmeans",
         "sim_neardup_lsh",
         "catalog_show_tables",
-        "multimodal_features",
     }
