@@ -45,10 +45,13 @@ def spread_by(df: DataFrame, *cols: str) -> DataFrame:
     tiny shuffle and (a) unlocks full parallelism for the expansion,
     (b) pre-satisfies any downstream window/groupBy on the same key so
     the much larger expanded stream never shuffles. The ``max`` keeps
-    well-partitioned big inputs at their natural parallelism.
+    well-partitioned big inputs at their natural parallelism (file
+    count ≈ split count for the compacted inputs this guards; public
+    ``inputFiles()``, not an ``.rdd`` partition probe, so the plan
+    never converts to RDD and Spark Connect keeps working).
     """
     spark = df.sparkSession
-    n = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+    n = max(spark.sparkContext.defaultParallelism, len(df.inputFiles()))
     return df.repartition(n, *cols)
 
 

@@ -137,6 +137,17 @@ def _seq_dot(a, b):
     return acc
 
 
+def _seq_norm(v) -> float:
+    """Driver-side L2 norm with the same sequential fold + sqrt as
+    ``functions.vectors.l2_norm`` — bit-identical across engines."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -272,39 +283,47 @@ def with_ivf_cell(
     """Add the nearest-centroid id (highest cosine, lowest id on ties)
     — the IVF list assignment — as zero-shuffle projections.
 
-    The centroid matrix rides in the plan as array literals (like the
-    LSH hyperplanes): at 100 TB each row computes C dot products in
-    codegen and never moves. Two deliberate plan-size moves, each
-    worth ~10× in analysis/codegen time: centroid norms are
-    precomputed driver-side (same sequential fold + sqrt as the
-    engines, so values are bit-identical), and the per-centroid
-    cosines are materialized ONCE into an array column with the
-    argmax taken as ``array_position(array_max)`` — a greatest +
-    when-chain duplicates every 64-literal cosine subtree twice.
-    ``array_position`` returns the first match, so ties pick the
-    lowest centroid id, matching ``ORDER BY cos DESC, cid``.
+    The centroid matrix is ONE plan literal: a ``CreateArray`` of
+    literal ``struct<c,n>`` rows, which ConstantFolding collapses to
+    a single ``array<struct>`` Literal before codegen — at 100 TB
+    each row computes C dot products in codegen and never moves. The
+    per-centroid cosines come from a single ``transform`` lambda over
+    that matrix, so the generated code is O(1) in the number of
+    centroids — the previous per-centroid fold subtrees made
+    analysis+codegen time linear in C (seconds of driver latency per
+    plan at C=8, a blown 64 KB codegen budget by C≈100) where the
+    lambda compiles once and loops at runtime. Centroid norms are
+    precomputed driver-side with the same sequential fold + sqrt as
+    the engines, so cosine values are bit-identical to the literal
+    formulation. Argmax is ``array_position(array_max)`` —
+    first-match ⇒ ties pick the lowest centroid id, matching
+    ``ORDER BY cos DESC, cid``.
     """
-    import math
+    # one F.expr = one py4j round trip; per-element F.lit would cost
+    # C×dim driver↔JVM calls (~1.2 s at 8×64) before the query even
+    # starts. CAST('<repr>' AS DOUBLE) round-trips the exact IEEE
+    # value. ConstantFolding collapses the whole tree to one Literal.
+    def _d(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
 
-    def _seq_norm(v: list[float]) -> float:
-        acc = 0.0
-        for x in v:
-            acc = acc + float(x) * float(x)
-        return math.sqrt(acc)
-
+    cmat = F.expr(
+        "array("
+        + ",".join(
+            "struct(array("
+            + ",".join(_d(x) for x in cv)
+            + f") as c, {_d(_seq_norm(cv))} as n)"
+            for cv in centroids
+        )
+        + ")"
+    )
     vec = F.col(vec_col)
     with_norm = df.withColumn("_vnorm", l2_norm(vec))
-    coss = []
-    for cv in centroids:
-        lit_c = F.array(*[F.lit(float(x)) for x in cv])
-        coss.append(
-            F.round(
-                dot_product(vec, lit_c) / (F.col("_vnorm") * F.lit(_seq_norm(cv))),
-                6,
-            )
-        )
+    coss = F.transform(
+        cmat,
+        lambda s: F.round(dot_product(vec, s["c"]) / (F.col("_vnorm") * s["n"]), 6),
+    )
     out = (
-        with_norm.withColumn("_coss", F.array(*coss))
+        with_norm.withColumn("_coss", coss)
         .withColumn(
             out_col,
             (F.array_position("_coss", F.array_max("_coss")) - 1).cast("long"),
@@ -357,27 +376,35 @@ def kmeans_refine_centroids(
     *approximate* probing, so last-bit drift cannot flip any
     oracle-checked output anyway.
     """
+    from pyspark import StorageLevel
+
     cents = [list(c) for c in centroids]
     dim = len(cents[0])
-    for _ in range(iters):
-        assigned = with_ivf_cell(
-            corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
-            "_v",
-            cents,
-            "_cell",
-        )
-        means = (
-            assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
-            .groupBy("_cell", "_pos")
-            .agg(F.avg("_x").alias("_m"))
-            .collect()
-        )
-        by_cell: dict[int, list[float]] = {}
-        for r in means:
-            by_cell.setdefault(int(r["_cell"]), [0.0] * dim)[int(r["_pos"])] = float(
-                r["_m"]
+    # every iteration re-reads the same (id, vector) projection with
+    # different centroid literals; persist it once so iterations 2..N
+    # read columnar cache instead of re-scanning (and re-decoding) the
+    # source. MEMORY_AND_DISK spills rather than OOMs when the
+    # projected corpus outgrows executor memory.
+    base = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for _ in range(iters):
+            assigned = with_ivf_cell(base, "_v", cents, "_cell")
+            means = (
+                assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
+                .groupBy("_cell", "_pos")
+                .agg(F.avg("_x").alias("_m"))
+                .collect()
             )
-        cents = [by_cell.get(i, cents[i]) for i in range(len(cents))]
+            by_cell: dict[int, list[float]] = {}
+            for r in means:
+                by_cell.setdefault(int(r["_cell"]), [0.0] * dim)[int(r["_pos"])] = (
+                    float(r["_m"])
+                )
+            cents = [by_cell.get(i, cents[i]) for i in range(len(cents))]
+    finally:
+        base.unpersist()
     return cents
 
 

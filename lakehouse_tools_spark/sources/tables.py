@@ -59,23 +59,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def ensure_parallelism(df: DataFrame, *cols: str) -> DataFrame:
     """Round-robin (or keyed) repartition up to the cluster's core
-    count — identity if the input already has enough partitions.
+    count — identity if the input already has enough splits.
 
     Spark's scan parallelism is bounded by file count / split size; a
     compact table (one 10 MB parquet file) otherwise serializes every
     CPU-heavy pre-shuffle stage (melt, explode, render) onto a couple
     of tasks. At real scale inputs arrive with thousands of splits and
     this is a no-op — the guard exists for small/compacted inputs.
-    Truly tiny relations (< 1 MB by optimizer estimate) are also left
-    alone: a 32-task shuffle of 25 rows costs more in scheduling than
-    it buys in parallelism.
+    Truly tiny relations (< 1 MB of source files) are also left alone:
+    a 32-task shuffle of 25 rows costs more in scheduling than it buys
+    in parallelism.
+
+    Public API only — ``df.inputFiles()`` + driver-side file sizes —
+    no ``.rdd`` partition probe (forces a plan→RDD conversion per
+    call) and no ``_jdf`` stats reach-in (breaks under Spark Connect).
+    Relations not backed by files (in-memory test data, post-shuffle
+    intermediates) are left untouched: a shuffle already spread them.
     """
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    files = df.inputFiles()
+    if not files or len(files) >= n:
         return df
-    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if size < (1 << 20):
+    total = 0
+    for p in files:
+        if p.startswith("file:"):
+            try:
+                total += os.path.getsize(p[len("file:"):])
+                continue
+            except OSError:
+                pass
+        # remote or unreadable path: size unknown — assume big enough
+        # to be worth spreading (the repartition is what we're here for)
+        total = None
+        break
+    if total is not None and total < (1 << 20):
         return df
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
