@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lakehouse_tools_spark import session as lts_session
+from lakehouse_tools_spark.ext import chunking as X_chunk
 from lakehouse_tools_spark.ext import dedup as X_dedup
+from lakehouse_tools_spark.ext import redact as X_redact
+from lakehouse_tools_spark.ext import sampling as X_sample
 from lakehouse_tools_spark.ext import similarity as X_sim
 from lakehouse_tools_spark.ext import text as X_text
 from lakehouse_tools_spark.operators.maintenance import zorder_layout
@@ -1798,6 +1801,137 @@ FROM documents
 """
 
 
+# ----------------------------------------------------- sampling / chunking
+
+#: DuckDB twin of sampling.hash_u32 (memory: hex→int parity trick).
+_HASH_U32_SQL = (
+    "CAST(concat('0x', substr(md5(concat(CAST({key} AS VARCHAR), '{salt}')), 1, 8))"
+    " AS BIGINT)"
+)
+
+_STRATA_FRACTIONS = {"en": 0.5, "de": 0.25}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified mixture sampling: keep 50% of en docs,
+    25% of de, drop the rest — as ONE shuffle-free filter (the md5
+    keep/drop decision pushes down next to the scan; see
+    ext/sampling.py for the 100 TB rationale vs df.sample)."""
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return X_sample.stratified_sample(
+        docs, "lang", _STRATA_FRACTIONS, "doc_id"
+    ).select("doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def _sample_stratified_oracle() -> str:
+    h = _HASH_U32_SQL.format(key="doc_id", salt="")
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in sorted(_STRATA_FRACTIONS.items())
+    )
+    return f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE {h} / 4294967296.0 < CASE lang {cases} ELSE 0.0 END
+"""
+
+
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced cap: at most 40 docs per language, winners
+    picked by (uniform hash, id) so the kept set is stable across
+    runs, engines, and physical row order."""
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return X_sample.balanced_sample(docs, "lang", 40, "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+def _sample_balanced_oracle() -> str:
+    h = _HASH_U32_SQL.format(key="doc_id", salt="")
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {h} ASC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 40
+"""
+
+
+def q_chunk_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding character-window chunking (512/384 ⇒ 128-char overlap)
+    — the pre-tokenization step of an LLM pipeline. Shuffle-free
+    posexplode projection (tests pin the no-Exchange plan)."""
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return X_chunk.chunk_chars(docs, size=512, stride=384)
+
+
+_CHUNK_CHARS_ORACLE = """
+SELECT doc_id, g AS chunk_id, substr(text, g * 384 + 1, 512) AS chunk,
+       CAST(length(substr(text, g * 384 + 1, 512)) AS INT) AS n_chars
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(floor((length(text) - 1) / 384) AS BIGINT))) AS g
+  FROM documents WHERE length(text) > 0
+)
+"""
+
+
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (128-token windows, stride 96) over
+    whitespace-normalized text."""
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return X_chunk.chunk_tokens(docs, size=128, stride=96)
+
+
+_CHUNK_TOKENS_ORACLE = f"""
+SELECT doc_id, g AS chunk_id,
+       array_to_string(list_slice(words, g * 96 + 1, g * 96 + 128), ' ') AS chunk,
+       CAST(len(list_slice(words, g * 96 + 1, g * 96 + 128)) AS INT) AS n_tokens
+FROM (
+  SELECT doc_id, words,
+         unnest(generate_series(0, CAST(floor((len(words) - 1) / 96) AS BIGINT))) AS g
+  FROM (
+    SELECT doc_id, string_split({_NORM_SQL.format(c="text")}, ' ') AS words
+    FROM documents WHERE length(text) > 0
+  )
+)
+"""
+
+
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub + audit counts. The fixture corpus is synthetic (no
+    real PII), so the query grafts a deterministic email/phone header
+    onto each doc — both engines build the identical input — and the
+    oracle proves the Java-regex and RE2 scrubs agree byte-for-byte."""
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.com ph 415-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return X_redact.redact(seeded)
+
+
+def _text_redact_oracle() -> str:
+    seeded = (
+        "concat('contact u', CAST(doc_id AS VARCHAR), '@ex.com ph 415-555-', "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' ', text)"
+    )
+    stages, cur = [], seeded
+    for _, pattern, repl in X_redact.PII_PATTERNS:
+        stages.append(cur)
+        cur = f"regexp_replace({cur}, '{pattern}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all({stage}, '{p}')) AS INT) AS n_{name}"
+        for stage, (name, p, _) in zip(stages, X_redact.PII_PATTERNS)
+    )
+    return f"SELECT doc_id, {cur} AS redacted, {counts} FROM documents"
+
+
 # ---------------------------------------------------------------- events
 
 
@@ -2086,6 +2220,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language": q_text_language,
         "text_tokens": q_text_tokens,
         "text_fingerprints": q_text_fingerprints,
+        "text_redact": q_text_redact,
+        "sample_stratified": q_sample_stratified,
+        "sample_balanced": q_sample_balanced,
+        "chunk_chars": q_chunk_chars,
+        "chunk_tokens": q_chunk_tokens,
         "events_range_join": q_events_range_join,
         "events_stream_watermark": q_events_stream_watermark,
         "events_stream_sessionize": q_events_stream_sessionize,
@@ -2151,6 +2290,11 @@ def oracle_sql() -> dict[str, str]:
         "text_language": _language_oracle(),
         "text_tokens": _TEXT_TOKENS_ORACLE,
         "text_fingerprints": _TEXT_FP_ORACLE,
+        "text_redact": _text_redact_oracle(),
+        "sample_stratified": _sample_stratified_oracle(),
+        "sample_balanced": _sample_balanced_oracle(),
+        "chunk_chars": _CHUNK_CHARS_ORACLE,
+        "chunk_tokens": _CHUNK_TOKENS_ORACLE,
         "events_range_join": _EVENTS_RANGE_JOIN_ORACLE,
         "events_stream_watermark": _EVENTS_STREAM_WM_ORACLE,
         "events_tumbling": _EVENTS_TUMBLING_ORACLE,

@@ -7,4 +7,11 @@ functions and joins wherever semantics allow, Arrow-batched pandas
 UDFs only where they don't (multimodal decode).
 """
 
-from lakehouse_tools_spark.ext import dedup, similarity, text  # noqa: F401
+from lakehouse_tools_spark.ext import (  # noqa: F401
+    chunking,
+    dedup,
+    redact,
+    sampling,
+    similarity,
+    text,
+)

@@ -1,0 +1,98 @@
+"""Deterministic sampling for training-data pipelines.
+
+Building a training mixture at 100 TB needs sampling that is (a) a
+pure filter — no shuffle, no RNG state, pushes down next to the scan —
+and (b) reproducible: the same row set on every run, every engine,
+any partitioning. ``df.sample()`` fails both (partition-seeded RNG:
+resample on retry/re-partition). The standard fix, used here, is
+*hash sampling*: keep a row iff a uniform hash of its stable key
+lands under the target fraction. md5-prefix → 32-bit integer gives a
+u ∈ [0, 2³²) uniform enough for mixture ratios, and both Spark and
+ANSI engines can compute it byte-identically (the oracle does).
+
+- :func:`hash_sample` — Bernoulli-style keep-``fraction`` filter.
+- :func:`stratified_sample` — per-stratum fractions (downweight the
+  dominant source, upweight the rare one) as ONE filter: the fraction
+  is looked up from a map literal, so the plan is still join-free.
+- :func:`balanced_sample` — hard cap of N rows per group (class
+  balancing), deterministic winners: one window shuffle on the group
+  key, rank by (hash, key) so the kept set is stable under any input
+  order. The shuffle carries only rows that could win at most-skewed
+  groups; at scale prefer :func:`stratified_sample` when a fractional
+  target is acceptable (no shuffle at all).
+
+``salt`` decorrelates independent samples over the same keys (e.g.
+train/eval splits: same fraction, different salts → disjoint-ish,
+reproducible sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 2^32 — the md5-prefix hash space.
+_HASH_SPACE = float(1 << 32)
+
+
+def hash_u32(col: Column, salt: str = "") -> Column:
+    """Uniform 32-bit integer from md5 of (key ++ salt) — the
+    engine-portable uniform hash (DuckDB:
+    ``CAST(concat('0x', substr(md5(..),1,8)) AS BIGINT)``)."""
+    keyed = F.concat(col.cast("string"), F.lit(salt))
+    return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
+
+
+def hash_fraction(col: Column, salt: str = "") -> Column:
+    """Uniform u ∈ [0, 1) from a stable key."""
+    return hash_u32(col, salt) / F.lit(_HASH_SPACE)
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Keep ≈``fraction`` of rows, deterministically, as a pure filter
+    (no shuffle; Catalyst pushes it to the scan)."""
+    return df.filter(hash_fraction(F.col(key_col), salt) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum hash sampling: stratum → keep-fraction, unlisted
+    strata keep ``default_fraction``. Single filter, join-free — the
+    stratum's fraction comes from a constant-folded map literal."""
+    fmap = F.create_map(
+        *[
+            x
+            for k, v in sorted(fractions.items())
+            for x in (F.lit(k), F.lit(float(v)))
+        ]
+    )
+    frac = F.coalesce(
+        fmap.getItem(F.col(strata_col)), F.lit(float(default_fraction))
+    )
+    return df.filter(hash_fraction(F.col(key_col), salt) < frac)
+
+
+def balanced_sample(
+    df: DataFrame, group_col: str, n_per_group: int, key_col: str, salt: str = ""
+) -> DataFrame:
+    """At most ``n_per_group`` rows per group — class-balanced
+    downsampling with deterministic winners: rank by (uniform hash,
+    key) inside each group and keep the first N. The (hash, key)
+    order is a total order independent of physical row order, so the
+    kept set is reproducible across runs and engines."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash_u32(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_bsrn", F.row_number().over(w))
+        .filter(F.col("_bsrn") <= n_per_group)
+        .drop("_bsrn")
+    )

@@ -1,0 +1,74 @@
+"""Deterministic sampling operators (ext/sampling.py)."""
+
+from __future__ import annotations
+
+from lakehouse_tools_spark.ext.sampling import (
+    balanced_sample,
+    hash_sample,
+    stratified_sample,
+)
+
+
+def test_hash_sample_deterministic_and_close(spark, tables):
+    docs = tables["documents"]
+    n = docs.count()
+    a = {r.doc_id for r in hash_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(7), 0.3, "doc_id")
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b  # physical layout must not change the sample
+    assert 0.2 < len(a) / n < 0.4  # md5 prefix is uniform enough
+
+
+def test_hash_sample_salt_decorrelates(spark, tables):
+    docs = tables["documents"]
+    a = {r.doc_id for r in hash_sample(docs, 0.5, "doc_id", salt="s1").select("doc_id").collect()}
+    b = {r.doc_id for r in hash_sample(docs, 0.5, "doc_id", salt="s2").select("doc_id").collect()}
+    assert a != b
+    n = docs.count()
+    # independent halves overlap in about a quarter
+    assert 0.15 < len(a & b) / n < 0.35
+
+
+def test_hash_sample_monotone_in_fraction(spark, tables):
+    docs = tables["documents"]
+    small = {r.doc_id for r in hash_sample(docs, 0.2, "doc_id").select("doc_id").collect()}
+    big = {r.doc_id for r in hash_sample(docs, 0.6, "doc_id").select("doc_id").collect()}
+    assert small <= big  # nested samples: same hash, larger cut
+
+
+def test_stratified_sample_respects_per_stratum_fractions(spark, tables):
+    docs = tables["documents"]
+    fr = {"en": 0.5, "de": 0.1}
+    out = stratified_sample(docs, "lang", fr, "doc_id")
+    got = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    base = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    for lang, f in fr.items():
+        if base.get(lang, 0) >= 50:
+            assert abs(got.get(lang, 0) / base[lang] - f) < 0.15
+    # unlisted strata dropped by default
+    assert set(got) <= set(fr)
+
+
+def test_balanced_sample_caps_and_is_stable(spark, tables):
+    docs = tables["documents"]
+    out = balanced_sample(docs, "lang", 5, "doc_id")
+    counts = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    base = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    for lang, c in counts.items():
+        assert c == min(5, base[lang])
+    again = balanced_sample(docs.repartition(13), "lang", 5, "doc_id")
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+
+
+def test_hash_sample_is_filter_only(spark, tables):
+    plan = (
+        hash_sample(tables["documents"], 0.3, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure filter: no shuffle
