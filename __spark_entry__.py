@@ -1896,6 +1896,63 @@ FROM (
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two deterministic snapshots of orders
+    (Delta CDF semantics: insert / update_preimage / update_postimage
+    / delete from ONE full-outer join — operators/diff.py). Snapshots
+    are hash-sampled subsets with a hash-selected price bump, so both
+    engines construct identical versions."""
+    from lakehouse_tools_spark.operators.diff import snapshot_diff
+
+    orders = load_table(_spark(spark), sf_dir, "orders")
+    key = F.col("o_orderkey")
+    old = orders.filter(X_sample.hash_fraction(key, "old") < 0.95)
+    bumped = X_sample.hash_fraction(key, "upd") < 0.10
+    new = orders.filter(X_sample.hash_fraction(key, "new") < 0.95).withColumn(
+        "o_totalprice",
+        F.when(bumped, F.col("o_totalprice") + F.lit(1.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+def _snapshot_diff_oracle() -> str:
+    def h(salt: str) -> str:
+        return _HASH_U32_SQL.format(key="o_orderkey", salt=salt) + " / 4294967296.0"
+
+    cols = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+    return f"""
+WITH old_s AS (
+  SELECT {cols} FROM orders WHERE {h("old")} < 0.95
+),
+new_s AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN {h("upd")} < 0.10 THEN o_totalprice + 1.0 ELSE o_totalprice END
+           AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE {h("new")} < 0.95
+)
+SELECT 'insert' AS _change_type, {cols} FROM new_s
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM old_s)
+UNION ALL
+SELECT 'delete' AS _change_type, {cols} FROM old_s
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM new_s)
+UNION ALL
+SELECT 'update_preimage' AS _change_type,
+       o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+       o.o_orderdate, o.o_orderpriority
+FROM old_s o JOIN new_s n USING (o_orderkey)
+WHERE o.o_totalprice IS DISTINCT FROM n.o_totalprice
+UNION ALL
+SELECT 'update_postimage' AS _change_type,
+       n.o_orderkey, n.o_custkey, n.o_orderstatus, n.o_totalprice,
+       n.o_orderdate, n.o_orderpriority
+FROM old_s o JOIN new_s n USING (o_orderkey)
+WHERE o.o_totalprice IS DISTINCT FROM n.o_totalprice
+"""
+
+
 def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub + audit counts. The fixture corpus is synthetic (no
     real PII), so the query grafts a deterministic email/phone header
@@ -2221,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_fingerprints": q_text_fingerprints,
         "text_redact": q_text_redact,
+        "snapshot_diff": q_snapshot_diff,
         "sample_stratified": q_sample_stratified,
         "sample_balanced": q_sample_balanced,
         "chunk_chars": q_chunk_chars,
@@ -2291,6 +2349,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens": _TEXT_TOKENS_ORACLE,
         "text_fingerprints": _TEXT_FP_ORACLE,
         "text_redact": _text_redact_oracle(),
+        "snapshot_diff": _snapshot_diff_oracle(),
         "sample_stratified": _sample_stratified_oracle(),
         "sample_balanced": _sample_balanced_oracle(),
         "chunk_chars": _CHUNK_CHARS_ORACLE,
