@@ -1953,6 +1953,83 @@ WHERE o.o_totalprice IS DISTINCT FROM n.o_totalprice
 """
 
 
+_SCD_T0 = "2024-01-01 00:00:00"
+_SCD_T1 = "2024-02-01 00:00:00"
+
+
+def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance (operators/scd.py): bootstrap
+    the customer dimension from snapshot A, apply snapshot B at T1
+    with full-snapshot semantics (close_missing). Hash-sampled
+    membership and a hash-selected segment change give inserts,
+    updates (closed old + open new version), closes, and untouched
+    rows — all from one full-outer join."""
+    import datetime as dt
+
+    from lakehouse_tools_spark.operators.scd import scd2_apply, scd2_init
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 2, 1)
+    cust = load_table(_spark(spark), sf_dir, "customer")
+    key = F.col("c_custkey")
+    snap_a = cust.filter(X_sample.hash_fraction(key, "a") < 0.9)
+    seg_changed = X_sample.hash_fraction(key, "seg") < 0.15
+    snap_b = cust.filter(X_sample.hash_fraction(key, "b") < 0.9).withColumn(
+        "c_mktsegment",
+        F.when(seg_changed, F.concat(F.col("c_mktsegment"), F.lit("_X"))).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    dim = scd2_init(snap_a, t0)
+    return scd2_apply(dim, snap_b, ["c_custkey"], t1, close_missing=True)
+
+
+def _scd2_oracle() -> str:
+    def h(salt: str) -> str:
+        return _HASH_U32_SQL.format(key="c_custkey", salt=salt) + " / 4294967296.0"
+
+    cols = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
+    t0, t1 = f"TIMESTAMP '{_SCD_T0}'", f"TIMESTAMP '{_SCD_T1}'"
+    return f"""
+WITH snap_a AS (
+  SELECT {cols} FROM customer WHERE {h("a")} < 0.9
+),
+snap_b AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         CASE WHEN {h("seg")} < 0.15 THEN c_mktsegment || '_X' ELSE c_mktsegment END
+           AS c_mktsegment
+  FROM customer WHERE {h("b")} < 0.9
+),
+matched AS (
+  SELECT a.c_custkey AS k, a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b
+  FROM snap_a a JOIN snap_b b ON a.c_custkey = b.c_custkey
+)
+-- B-only keys: first version at T1
+SELECT {cols}, {t1} AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+       TRUE AS is_current
+FROM snap_b WHERE c_custkey NOT IN (SELECT c_custkey FROM snap_a)
+UNION ALL
+-- A-only keys: closed at T1 (close_missing)
+SELECT {cols}, {t0}, {t1}, FALSE
+FROM snap_a WHERE c_custkey NOT IN (SELECT c_custkey FROM snap_b)
+UNION ALL
+-- changed keys: closed old version ...
+SELECT a.c_custkey, a.c_name, a.c_nationkey, a.c_acctbal, a.c_mktsegment,
+       {t0}, {t1}, FALSE
+FROM snap_a a JOIN matched m ON a.c_custkey = m.k AND m.seg_a <> m.seg_b
+UNION ALL
+-- ... plus the open new version
+SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal, b.c_mktsegment,
+       {t1}, CAST(NULL AS TIMESTAMP), TRUE
+FROM snap_b b JOIN matched m ON b.c_custkey = m.k AND m.seg_a <> m.seg_b
+UNION ALL
+-- unchanged keys: untouched
+SELECT a.c_custkey, a.c_name, a.c_nationkey, a.c_acctbal, a.c_mktsegment,
+       {t0}, CAST(NULL AS TIMESTAMP), TRUE
+FROM snap_a a JOIN matched m ON a.c_custkey = m.k AND m.seg_a = m.seg_b
+"""
+
+
 def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub + audit counts. The fixture corpus is synthetic (no
     real PII), so the query grafts a deterministic email/phone header
@@ -2279,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "text_redact": q_text_redact,
         "snapshot_diff": q_snapshot_diff,
+        "scd2_customers": q_scd2_customers,
         "sample_stratified": q_sample_stratified,
         "sample_balanced": q_sample_balanced,
         "chunk_chars": q_chunk_chars,
@@ -2350,6 +2428,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": _TEXT_FP_ORACLE,
         "text_redact": _text_redact_oracle(),
         "snapshot_diff": _snapshot_diff_oracle(),
+        "scd2_customers": _scd2_oracle(),
         "sample_stratified": _sample_stratified_oracle(),
         "sample_balanced": _sample_balanced_oracle(),
         "chunk_chars": _CHUNK_CHARS_ORACLE,
