@@ -31,13 +31,17 @@ BENCH_QUERIES = [
     "profiler_e2e",
     "profile_intended",
     "profile_as_written",
+    "profile_topk",
     "profile_summary",
     "profile_summary_approx",
     "profile_quantiles",
     "schema_information",
     "asof_join",
     "merge_upsert",
+    "merge_full_sync",
     "zorder_rowset",
+    "snapshot_diff",
+    "scd2_customers",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
@@ -79,6 +83,11 @@ BENCH_QUERIES = [
     "text_language",
     "text_tokens",
     "text_fingerprints",
+    "text_redact",
+    "sample_stratified",
+    "sample_balanced",
+    "chunk_chars",
+    "chunk_tokens",
     "corpus_prepare",
     "events_range_join",
     "events_stream_watermark",

@@ -251,19 +251,44 @@ def jaccard_pairs(
     from pyspark import StorageLevel
 
     shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
+        # prune BOTH shingle sides (and the size aggregate) to docs
+        # that appear in some candidate pair before any shuffle: the
+        # candidate doc-id sets are small relative to the corpus by
+        # LSH's design, so these are broadcast semi-joins — the
+        # (doc_id2, shingle) equi-join then shuffles only candidate
+        # docs' shingles, not the whole corpus's. Without the prune
+        # the full shingle relation shuffles for the second join even
+        # though only candidate pairs are scored.
+        # candidates now has FOUR consumers (both id sets, the size
+        # prune, the pair join); without materialization each one
+        # re-runs the entire upstream LSH pipeline. The pair list is
+        # tiny by construction — persist it.
+        cand = candidates.select("doc_id", "doc_id2").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        left_ids = cand.select("doc_id").distinct()
+        right_ids = cand.select("doc_id2").distinct()
+        sh1 = shingles.join(F.broadcast(left_ids), "doc_id", "left_semi")
+        sh2 = shingles.select(F.col("doc_id").alias("doc_id2"), "shingle").join(
+            F.broadcast(right_ids), "doc_id2", "left_semi"
+        )
+        pair_ids = left_ids.unionByName(
+            right_ids.withColumnRenamed("doc_id2", "doc_id")
+        ).distinct()
+        sizes = (
+            shingles.join(F.broadcast(pair_ids), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("sz"))
+        )
         inter = (
-            candidates.select("doc_id", "doc_id2")
-            .join(shingles, "doc_id")
-            .join(
-                shingles.select(F.col("doc_id").alias("doc_id2"), "shingle"),
-                ["doc_id2", "shingle"],
-            )
+            cand.join(sh1, "doc_id")
+            .join(sh2, ["doc_id2", "shingle"])
             .groupBy("doc_id", "doc_id2")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
     else:
+        sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
         s1 = shingles.alias("s1")
         s2 = shingles.alias("s2")
         inter = (
