@@ -250,13 +250,36 @@ def lsh_bucket_column(vec_col, num_planes: int = 8, dim: int = 64):
     hyperplanes packs into an int bucket — computable inline on any
     relation (no join, no shuffle). Expected bucket population
     n/2^planes keeps per-bucket exact scoring cheap.
+
+    The plane matrix is one constant-folded ``array<array<double>>``
+    literal (single ``F.expr`` — no per-element py4j chatter) and the
+    sign bits come from ONE indexed ``transform`` lambda, so the
+    generated code is O(1) in ``num_planes`` — same plan-size move as
+    :func:`with_ivf_cell`, same bit-identical bucket values (the fold
+    inside the lambda is the same sequential dot).
     """
-    bucket = F.lit(0).cast("long")
-    for p in range(num_planes):
-        plane = F.array(*[F.lit(_hyperplane_value(p, d)) for d in range(dim)])
-        sign = (dot_product(vec_col, plane) >= 0).cast("long")
-        bucket = bucket.bitwiseOR(F.shiftleft(sign, p))
-    return bucket
+    pm = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                f"CAST('{_hyperplane_value(p, d)!r}' AS DOUBLE)" for d in range(dim)
+            )
+            + ")"
+            for p in range(num_planes)
+        )
+        + ")"
+    )
+    # shiftleft needs a literal shift amount; sign * 2^i is the same
+    # bit for a lambda-index shift (exact in double pow for i <= 52)
+    bits = F.transform(
+        pm,
+        lambda plane, i: (dot_product(vec_col, plane) >= 0).cast("long")
+        * F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+    )
 
 
 def lsh_bucket(
