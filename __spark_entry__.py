@@ -1584,6 +1584,46 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components (iterative
+    min-label propagation, ext/graph.py) over the exact near-dup pair
+    graph — the transitive-closure step that turns pairwise "is-dup"
+    verdicts into one canonical representative per group. The oracle
+    computes the same closure with a recursive CTE."""
+    from lakehouse_tools_spark.ext.graph import connected_components
+
+    emb = load_table(_spark(spark), sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    pairs = X_sim.neardup_pairs(emb, threshold=0.2).select("vec_id", "vec_id2")
+    return connected_components(
+        pairs, emb, src_col="vec_id", dst_col="vec_id2", id_col="vec_id"
+    )
+
+
+_DEDUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 300
+),
+pairs AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.2
+),
+sym AS (
+  SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs
+),
+reach AS (
+  SELECT vec_id AS v, vec_id AS u FROM e
+  UNION
+  SELECT r.v, s.b AS u FROM reach r JOIN sym s ON s.a = r.u
+)
+SELECT v AS vec_id, min(u) AS cluster_id FROM reach GROUP BY v
+"""
+
+
 # ---------------------------------------------------------------- multimodal
 
 
@@ -2347,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "sim_neardup": q_sim_neardup,
         "sim_neardup_lsh": q_sim_neardup_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "corpus_prepare": q_corpus_prepare,
@@ -2419,6 +2460,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_pandas": _SIM_TOPK_ORACLE,
         "sim_ivf": _SIM_IVF_ORACLE,
         "sim_neardup": _SIM_NEARDUP_ORACLE,
+        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "multimodal_decode": _MULTIMODAL_DECODE_ORACLE,
         "multimodal_features": _MULTIMODAL_FEATURES_ORACLE,
         "corpus_prepare": _corpus_oracle(),

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "sim_ivf_kmeans",
     "sim_neardup",
     "sim_neardup_lsh",
+    "dedup_clusters",
     "multimodal_decode",
     "multimodal_features",
     "text_quality",

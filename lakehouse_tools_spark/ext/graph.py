@@ -1,0 +1,107 @@
+"""Connected components — duplicate-cluster assignment at scale.
+
+Pair lists (exact dups, LSH near-dups, embedding near-dups) answer
+"are these two documents duplicates?"; deduplication needs the
+transitive closure: WHICH GROUP does each document belong to, so one
+canonical representative per group survives. That is connected
+components over the pair graph.
+
+Algorithm: iterative min-label propagation (the standard
+MapReduce/Pregel formulation). Every vertex starts labeled with its
+own id; each round every vertex takes the min of its label and its
+neighbors' labels; fixpoint in ≤ diameter rounds. Duplicate clusters
+are small and dense (LSH emits most intra-cluster pairs), so the
+diameter is tiny — 2-4 rounds in practice. Each round is one
+edge⋈label join + one min-aggregate — shuffles proportional to |E|,
+labels only (8 B), never payloads. The loop is driver-side but the
+data never is: the convergence check is a cheap count of changed
+labels. Labels persist per round (two live generations, previous
+unpersisted) so round N+1 reads cache, not the full lineage.
+
+Determinism: min() over a fixed vertex-id order — same clusters in
+any engine (the driver oracle computes the same closure with a
+recursive CTE).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src_col: str = "doc_id",
+    dst_col: str = "doc_id2",
+    id_col: str = "doc_id",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """``(id_col, cluster_id)`` for every vertex; ``cluster_id`` is
+    the minimum vertex id of the component (singletons map to
+    themselves). Raises if the propagation hasn't converged after
+    ``max_rounds`` — with min-label propagation that means a
+    component of diameter > max_rounds, which duplicate graphs don't
+    produce (raise the cap for genuinely chain-shaped graphs).
+    """
+    # symmetrize in ONE pass over the (possibly expensive) edge plan:
+    # explode [(v,u),(u,v)] per edge rather than unioning two
+    # projections, which would evaluate the edge relation twice
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("_v"), F.col(dst_col).alias("_u")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("_v"), F.col(src_col).alias("_u")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e._v", "_e._u")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        vertices.select(F.col(id_col).alias("_v"))
+        .distinct()
+        .withColumn("_label", F.col("_v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        for _ in range(max_rounds):
+            neigh_min = (
+                sym.join(
+                    labels.select(
+                        F.col("_v").alias("_u"), F.col("_label").alias("_nl")
+                    ),
+                    "_u",
+                )
+                .groupBy("_v")
+                .agg(F.min("_nl").alias("_nmin"))
+            )
+            new_labels = (
+                labels.join(neigh_min, "_v", "left")
+                .select(
+                    "_v",
+                    F.least(
+                        F.col("_label"), F.coalesce(F.col("_nmin"), F.col("_label"))
+                    ).alias("_label"),
+                    (F.col("_nmin") < F.col("_label")).alias("_chg"),
+                )
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            changed = new_labels.filter(F.col("_chg")).limit(1).count()
+            labels.unpersist()
+            labels = new_labels.drop("_chg")
+            if changed == 0:
+                return labels.select(
+                    F.col("_v").alias(id_col), F.col("_label").alias("cluster_id")
+                )
+    finally:
+        sym.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
