@@ -256,6 +256,47 @@ def q_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+_HIST_BINS = 16
+
+
+def q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width numeric histograms over lineitem: bounded
+    distribution profile (≤ bins rows/column), two jobs for all
+    columns (min/max agg → melt + single groupBy). Bin edges are
+    plain double arithmetic, so DuckDB reproduces counts exactly."""
+    from lakehouse_tools_spark.operators.profile import numeric_histogram
+
+    li = load_table(_spark(spark), sf_dir, "lineitem")
+    return numeric_histogram(li, DB, "lineitem", bins=_HIST_BINS)
+
+
+def _profile_histogram_oracle() -> str:
+    num_cols = [
+        c for c, dt in FIXTURE_SCHEMAS["lineitem"]
+        if dt in ("bigint", "int", "double")
+    ]
+    parts = []
+    for c in num_cols:
+        st = (
+            f"(SELECT CAST(min({c}) AS DOUBLE) AS mn, "
+            f"(CAST(max({c}) AS DOUBLE) - CAST(min({c}) AS DOUBLE)) / {_HIST_BINS} AS w "
+            f"FROM lineitem WHERE {c} IS NOT NULL) st"
+        )
+        parts.append(
+            f"SELECT '{DB}' AS databaseName, 'lineitem' AS tableName, "
+            f"'{c}' AS columnName, CAST(b AS INT) AS bin, "
+            f"mn + b * w AS lo, mn + (b + 1) * w AS hi, CAST(cnt AS BIGINT) AS cnt "
+            f"FROM ("
+            f"SELECT CASE WHEN st.w = 0 THEN 0 ELSE "
+            f"least(CAST(floor((CAST({c} AS DOUBLE) - st.mn) / st.w) AS BIGINT), {_HIST_BINS - 1}) END AS b, "
+            f"st.mn AS mn, st.w AS w, count(*) AS cnt "
+            f"FROM lineitem CROSS JOIN {st} "
+            f"WHERE {c} IS NOT NULL GROUP BY 1, 2, 3"
+            f")"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Summary-stats profiler (rows/nulls/distinct/min/max) on orders
     + lineitem; exact-distinct mode for the oracle, approx mode tested
@@ -2347,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_summary": q_profile_summary,
         "profile_summary_approx": q_profile_summary_approx,
         "profile_quantiles": q_profile_quantiles,
+        "profile_histogram": q_profile_histogram,
         "profiler_e2e": q_profiler_e2e,
         "asof_join": q_asof_join,
         "merge_upsert": q_merge_upsert,
@@ -2420,6 +2462,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_intended": _profile_intended_oracle(PROFILE_TABLES),
         "profile_as_written": _profile_as_written_oracle(PROFILE_TABLES),
         "profile_topk": _profile_topk_oracle(PROFILE_TABLES),
+        "profile_histogram": _profile_histogram_oracle(),
         "schema_information": _schema_info_oracle(PROFILE_TABLES),
         "profile_summary": _profile_summary_oracle(),
         "profiler_e2e": _profile_intended_oracle(tuple(FIXTURE_SCHEMAS)),

@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "profile_summary",
     "profile_summary_approx",
     "profile_quantiles",
+    "profile_histogram",
     "schema_information",
     "asof_join",
     "merge_upsert",

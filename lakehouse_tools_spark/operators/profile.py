@@ -372,6 +372,83 @@ def numeric_quantiles(
     )
 
 
+HISTOGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("databaseName", T.StringType()),
+        T.StructField("tableName", T.StringType()),
+        T.StructField("columnName", T.StringType()),
+        T.StructField("bin", T.IntegerType()),
+        T.StructField("lo", T.DoubleType()),
+        T.StructField("hi", T.DoubleType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def numeric_histogram(
+    df: DataFrame, database: str, table: str, bins: int = 16
+) -> DataFrame:
+    """Equi-width histograms for every numeric column — the bounded
+    distribution profile (≤ ``bins`` rows per column, vs one row per
+    distinct value in the full histogram).
+
+    Two jobs total for ALL columns: one min/max aggregate (tiny
+    collect — the bounds become plan literals), then one melt +
+    ``groupBy(columnName, bin)`` count — the profiler's single-scan
+    shape, never an aggregate per column. Bin membership is
+    ``least(floor((x − min)/w), bins−1)`` in double precision, the
+    same IEEE ops any engine computes, so counts are exactly
+    reproducible (nulls excluded; a constant column lands in bin 0).
+    """
+    fields = [
+        f for f in df.schema.fields if isinstance(f.dataType, T.NumericType)
+    ]
+    if not fields:
+        return df.sparkSession.createDataFrame([], HISTOGRAM_SCHEMA)
+    stats = df.agg(
+        *[F.min(F.col(f"`{f.name}`").cast("double")).alias(f"_mn_{f.name}") for f in fields],
+        *[F.max(F.col(f"`{f.name}`").cast("double")).alias(f"_mx_{f.name}") for f in fields],
+    ).collect()[0]
+    branches, mn_map, w_map = [], [], []
+    kept = []
+    for f in fields:
+        mn, mx = stats[f"_mn_{f.name}"], stats[f"_mx_{f.name}"]
+        if mn is None:  # all-null column: no histogram rows
+            continue
+        kept.append(f)
+        w = (mx - mn) / bins
+        x = F.col(f"`{f.name}`").cast("double")
+        if w == 0.0:
+            b = F.when(x.isNotNull(), F.lit(0).cast("long"))
+        else:
+            b = F.least(
+                F.floor((x - F.lit(mn)) / F.lit(w)).cast("long"),
+                F.lit(bins - 1).cast("long"),
+            )
+        branches.extend([F.lit(f.name), b])
+        mn_map.extend([F.lit(f.name), F.lit(mn)])
+        w_map.extend([F.lit(f.name), F.lit(w)])
+    if not kept:
+        return df.sparkSession.createDataFrame([], HISTOGRAM_SCHEMA)
+    melted = df.select(
+        F.stack(F.lit(len(kept)), *branches).alias("columnName", "bin")
+    ).filter(F.col("bin").isNotNull())
+    counts = melted.groupBy("columnName", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mns = F.create_map(*mn_map)[F.col("columnName")]
+    ws = F.create_map(*w_map)[F.col("columnName")]
+    return counts.select(
+        F.lit(database).alias("databaseName"),
+        F.lit(table).alias("tableName"),
+        F.col("columnName"),
+        F.col("bin").cast("int").alias("bin"),
+        (mns + F.col("bin") * ws).alias("lo"),
+        (mns + (F.col("bin") + 1) * ws).alias("hi"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
 def profile_data(
     tables: dict[str, DataFrame],
     database: str,

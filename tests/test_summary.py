@@ -79,3 +79,51 @@ def test_numeric_quantiles_single_pass(spark, tables):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Expand" not in plan  # one wide aggregate, no melt
+
+
+def test_numeric_histogram_counts_and_bounds(spark, tables):
+    from pyspark.sql import functions as F
+
+    from lakehouse_tools_spark.operators.profile import numeric_histogram
+
+    li = tables["lineitem"]
+    out = numeric_histogram(li, "db1", "lineitem", bins=8)
+    rows = out.collect()
+    per_col = {}
+    for r in rows:
+        per_col.setdefault(r.columnName, []).append(r)
+    numeric = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    ]
+    assert set(per_col) == set(numeric)
+    n = li.count()
+    for c, rs in per_col.items():
+        assert len(rs) <= 8                       # bounded output
+        assert sum(r.cnt for r in rs) == n        # every non-null counted
+        assert all(r.lo < r.hi or r.bin == 7 for r in rs)
+
+
+def test_numeric_histogram_edge_columns(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.profile import numeric_histogram
+
+    df = spark.createDataFrame(
+        [Row(a=1.0, b=None, c=5), Row(a=1.0, b=None, c=5)],
+        "a double, b double, c long",
+    )
+    rows = numeric_histogram(df, "db1", "t", bins=4).collect()
+    by_col = {}
+    for r in rows:
+        by_col.setdefault(r.columnName, []).append(r)
+    assert "b" not in by_col                      # all-null: no rows
+    assert [ (r.bin, r.cnt) for r in by_col["a"] ] == [(0, 2)]  # constant col
+    assert [ (r.bin, r.cnt) for r in by_col["c"] ] == [(0, 2)]
+
+
+def test_numeric_histogram_no_numeric_columns(spark):
+    from lakehouse_tools_spark.operators.profile import numeric_histogram
+
+    df = spark.createDataFrame([("x",)], "s string")
+    assert numeric_histogram(df, "db1", "t").count() == 0
