@@ -2357,6 +2357,19 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_ROUNDTRIP_ORACLE = "SELECT * FROM orders"
 
 
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source: lineitem (timestamps + doubles) through the
+    columnar interchange format; binary-exact round-trip, oracle is
+    the parquet original."""
+    from lakehouse_tools_spark.sources.formats import roundtrip
+
+    df = load_table(_spark(spark), sf_dir, "lineitem")
+    return roundtrip(df, "/root/repo/spark-warehouse/_io/lineitem_orc", "orc")
+
+
+_ORC_ROUNDTRIP_ORACLE = "SELECT * FROM lineitem"
+
+
 def q_catalog_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 + P5: SHOW TABLES minus the self-exclusion list. Catalog
     contents depend on the hosting session → rows-only check; the
@@ -2453,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "source_csv_roundtrip": q_source_csv_roundtrip,
         "source_json_roundtrip": q_source_json_roundtrip,
+        "source_orc_roundtrip": q_source_orc_roundtrip,
         "catalog_show_tables": q_catalog_show_tables,
     }
 
@@ -2487,6 +2501,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q22": _Q22_ORACLE,
         "source_csv_roundtrip": _CSV_ROUNDTRIP_ORACLE,
         "source_json_roundtrip": _JSON_ROUNDTRIP_ORACLE,
+        "source_orc_roundtrip": _ORC_ROUNDTRIP_ORACLE,
         "skew_salted_agg": _SKEW_SALTED_ORACLE,
         "rollup_pricing": _ROLLUP_ORACLE,
         "setop_nations": _SETOP_ORACLE,

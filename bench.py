@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "events_json",
     "source_csv_roundtrip",
     "source_json_roundtrip",
+    "source_orc_roundtrip",
 ]
 
 

@@ -89,11 +89,29 @@ def read_json(
     return r.json(path)
 
 
+def write_orc(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+) -> None:
+    """ORC sink — the other columnar interchange format (Hive-lineage
+    warehouses). Columnar + typed, so unlike the text formats it keeps
+    predicate pushdown AND column pruning on read."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan. Self-describing columnar format: the file carries its
+    schema, no inference pass needed."""
+    return spark.read.orc(path)
+
+
 def roundtrip(df: DataFrame, path: str, fmt: str) -> DataFrame:
     """Write ``df`` to ``path`` as ``fmt`` and read it back with the
     source DataFrame's own schema — the self-check used by the
-    correctness harness (text formats must neither drop rows nor
-    perturb values)."""
+    correctness harness (formats must neither drop rows nor perturb
+    values)."""
     spark = df.sparkSession
     if fmt == "csv":
         write_csv(df, path)
@@ -101,4 +119,7 @@ def roundtrip(df: DataFrame, path: str, fmt: str) -> DataFrame:
     if fmt == "json":
         write_json(df, path)
         return read_json(spark, path, schema=df.schema)
+    if fmt == "orc":
+        write_orc(df, path)
+        return read_orc(spark, path)
     raise ValueError(f"unsupported format: {fmt!r}")

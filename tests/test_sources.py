@@ -57,3 +57,18 @@ def test_partitioned_write_enables_pruning(spark):
     assert pruned.count() == 10
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(k" in plan
+
+
+def test_orc_roundtrip_preserves_rows_and_prunes(spark, tables):
+    li = tables["lineitem"]
+    out = roundtrip(li, tempfile.mkdtemp(prefix="lts_orc_"), "orc")
+    assert out.count() == li.count()
+    assert li.exceptAll(out.select(li.columns)).count() == 0
+    # columnar format: projection reaches the ORC scan
+    plan = (
+        out.select("l_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "l_quantity" not in plan.split("ReadSchema")[-1][:200]
