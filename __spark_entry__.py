@@ -2299,6 +2299,114 @@ FROM g GROUP BY user_id, grp
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide: per-user event-type counts via pivot with an
+    EXPLICIT value list (operators/reshape.py) — one shuffle, fixed
+    schema, no distinct-discovery job; absent cells are 0."""
+    from lakehouse_tools_spark.operators.reshape import pivot_counts
+
+    ev = load_table(_spark(spark), sf_dir, "events")
+    return pivot_counts(ev, "user_id", "event_type", _EVENT_TYPES)
+
+
+def _events_pivot_oracle() -> str:
+    cells = ", ".join(
+        f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    return f"SELECT user_id, {cells} FROM events GROUP BY user_id"
+
+
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of the pivoted counts (stack, shuffle-free) —
+    the inverse reshape; oracle is the long counts computed directly."""
+    from lakehouse_tools_spark.operators.reshape import melt, pivot_counts
+
+    ev = load_table(_spark(spark), sf_dir, "events")
+    wide = pivot_counts(ev, "user_id", "event_type", _EVENT_TYPES)
+    return melt(wide, ["user_id"], _EVENT_TYPES, "event_type", "cnt")
+
+
+def _events_unpivot_oracle() -> str:
+    rows = " UNION ALL ".join(f"SELECT '{t}' AS t" for t in _EVENT_TYPES)
+    return f"""
+SELECT u.user_id, tt.t AS event_type,
+       CAST(count(e.event_id) AS BIGINT) AS cnt
+FROM (SELECT DISTINCT user_id FROM events) u
+CROSS JOIN ({rows}) tt
+LEFT JOIN events e ON e.user_id = u.user_id AND e.event_type = tt.t
+GROUP BY u.user_id, tt.t
+"""
+
+
+def q_events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event cadence: seconds since the previous and until
+    the next event (lag/lead over a total order — ts then event_id,
+    so ties are deterministic)."""
+    from pyspark.sql import Window
+
+    ev = load_table(_spark(spark), sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ts_d = F.col("ts").cast("double")
+    # floor, not cast: DuckDB CAST(DOUBLE AS BIGINT) rounds to
+    # nearest while Spark's cast truncates — floor agrees everywhere
+    # (gaps are non-negative)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.floor(ts_d - F.lag(ts_d).over(w)).cast("long").alias("prev_gap_s"),
+        F.floor(F.lead(ts_d).over(w) - ts_d).cast("long").alias("next_gap_s"),
+    )
+
+
+_EVENTS_LAG_LEAD_ORACLE = """
+SELECT event_id, user_id,
+       CAST(floor(epoch(ts) - lag(epoch(ts)) OVER w) AS BIGINT) AS prev_gap_s,
+       CAST(floor(lead(epoch(ts)) OVER w - epoch(ts)) AS BIGINT) AS next_gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound: each purchase gets the same
+    user's latest prior view value only if it happened within 30
+    minutes (pandas merge_asof tolerance semantics); older matches
+    null out. One shuffle + one window, bound as a post-filter."""
+    from lakehouse_tools_spark.operators.asof import asof_join
+
+    s = _spark(spark)
+    ev = load_table(s, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        left, right, ["user_id"], "ts", "ts", ["view_value"],
+        tolerance_seconds=1800,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+        "view_value",
+    )
+
+
+_ASOF_TOLERANCE_ORACLE = f"""
+SELECT l.event_id, l.user_id, strftime(l.ts, '{TS_FMT_SQL}') AS ts_s,
+       CASE WHEN epoch(l.ts) - epoch(r.ts) <= 1800 THEN r.value END AS view_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over the events.props column (F.get_json_object
     — the semi-structured path a training pipeline needs)."""
@@ -2464,6 +2572,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
+        "events_pivot": q_events_pivot,
+        "events_unpivot": q_events_unpivot,
+        "events_lag_lead": q_events_lag_lead,
+        "asof_tolerance": q_asof_tolerance,
         "source_csv_roundtrip": q_source_csv_roundtrip,
         "source_json_roundtrip": q_source_json_roundtrip,
         "source_orc_roundtrip": q_source_orc_roundtrip,
@@ -2539,5 +2651,9 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": _EVENTS_SLIDING_ORACLE,
         "events_sessionize": _EVENTS_SESSION_ORACLE,
         "events_json": _EVENTS_JSON_ORACLE,
+        "events_pivot": _events_pivot_oracle(),
+        "events_unpivot": _events_unpivot_oracle(),
+        "events_lag_lead": _EVENTS_LAG_LEAD_ORACLE,
+        "asof_tolerance": _ASOF_TOLERANCE_ORACLE,
         # sim_ann_lsh, catalog_show_tables: rows-only by design.
     }

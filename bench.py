@@ -94,6 +94,10 @@ BENCH_QUERIES = [
     "events_range_join",
     "events_stream_watermark",
     "events_stream_sessionize",
+    "events_pivot",
+    "events_unpivot",
+    "events_lag_lead",
+    "asof_tolerance",
     "events_tumbling",
     "events_sliding",
     "events_sessionize",

@@ -34,20 +34,37 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Left as-of join: left columns + the latest-at-or-before values
-    of ``value_cols`` from ``right`` (null when no prior right row).
+    """Left as-of join: left columns + the as-of values of
+    ``value_cols`` from ``right`` (null when no matching right row).
+
+    ``direction='backward'`` (default) matches the greatest
+    ``right_ts <= ts``; ``'forward'`` the smallest ``right_ts >= ts``
+    — same union-tag plan, the window just sorts descending, so both
+    directions cost one shuffle + one sort. ``tolerance_seconds``
+    nulls the match when it is further than the tolerance from the
+    left timestamp (pandas ``merge_asof`` semantics): the matched
+    right timestamp rides along as one extra filled column and the
+    bound is a codegen'd post-filter — no second join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     value_cols = value_cols or [
         c for c in right.columns if c not in keys and c != right_ts
     ]
     lcols = left.columns
+    # the matched right timestamp is carried as a synthetic value
+    # column so the tolerance check needs no extra join
+    fill_cols = [*value_cols, "__rts"]
 
     l = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r___rts"),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
@@ -55,21 +72,36 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(right_ts).alias("_r___rts"),
     ).select(*l.columns)  # align column order for the union
 
+    if direction == "backward":
+        order = [F.col("_ts").asc(), F.col("_side").asc()]
+    else:
+        # reversed time: "latest preceding" in the sort order is the
+        # earliest at-or-after in real time; right still sorts first
+        # at equal timestamps so an exactly-simultaneous row matches
+        order = [F.col("_ts").desc(), F.col("_side").asc()]
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ts"), F.col("_side"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l.unionByName(r).select(
         *l.columns,
         *[
             F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in value_cols
+            for c in fill_cols
         ],
     )
+    out_vals = [F.col(f"_f_{c}") for c in value_cols]
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("_ts").cast("double") - F.col("_f___rts").cast("double")
+        )
+        within = gap <= F.lit(float(tolerance_seconds))
+        out_vals = [F.when(within, v) for v in out_vals]
     return filled.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"_f_{c}").alias(c) for c in value_cols],
+        *[v.alias(c) for v, c in zip(out_vals, value_cols)],
     )

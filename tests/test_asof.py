@@ -51,3 +51,46 @@ def test_asof_single_shuffle(spark, tables):
     plan = asof_join(left, right, ["user_id"], "ts", "ts", ["v"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # union + one window shuffle, no join
     assert "Join" not in plan
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame(
+        [(1, ts(5)), (1, ts(10)), (2, ts(5))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(0), 100.0), (1, ts(5), 200.0), (1, ts(7), 300.0), (2, ts(3), 400.0)],
+        "k long, rts timestamp, v double",
+    )
+    out = {
+        (r.k, r.ts.minute, r.v)
+        for r in asof_join(
+            left, right, ["k"], "ts", "rts", ["v"], direction="forward"
+        ).collect()
+    }
+    assert out == {
+        (1, 5, 200.0),   # simultaneous row matches in forward mode too
+        (1, 10, None),   # nothing at-or-after
+        (2, 5, None),    # only an earlier right row exists
+    }
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame([(1, ts(30))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts(0), 100.0)], "k long, rts timestamp, v double"
+    )
+    loose = asof_join(
+        left, right, ["k"], "ts", "rts", ["v"], tolerance_seconds=3600
+    ).collect()[0]
+    tight = asof_join(
+        left, right, ["k"], "ts", "rts", ["v"], tolerance_seconds=60
+    ).collect()[0]
+    assert loose.v == 100.0 and tight.v is None
+
+
+def test_asof_rejects_bad_direction(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, ts(0))], "k long, ts timestamp")
+    with pytest.raises(ValueError):
+        asof_join(left, left, ["k"], "ts", "ts", direction="nearest")
