@@ -1604,6 +1604,18 @@ def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X_sim.neardup_pairs(emb, threshold=0.2)
 
 
+def q_sim_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH near-dup pairs: right side also probes the
+    Hamming-1 bucket flips, recovering pairs split by a single
+    hyperplane — candidates ×(planes+1), recall → 1. Rows-only by
+    design (bucketing is engine-specific); superset-of-single-probe
+    and subset-of-exact are pinned in tests/test_similarity.py."""
+    emb = load_table(_spark(spark), sf_dir, "embeddings")
+    return X_sim.neardup_pairs_lsh(
+        emb, threshold=0.3, num_planes=8, multi_probe=True
+    )
+
+
 def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs through the LSH-bucketed self-join — the scale
     path (candidates ∝ n²/2^planes, not n²). Recall < 1 by design →
@@ -1975,6 +1987,37 @@ FROM (
   )
 )
 """
+
+
+_MIX_WEIGHTS = {"en": 3.0, "de": 1.0}
+_MIX_TOTAL = 120
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture assembly: sample the en and de sub-corpora to
+    a 3:1 ratio targeting 120 docs, with provenance
+    (ext/sampling.build_mixture — per-source fraction from one count
+    job, then pure pushdown filters; deterministic md5 keep set)."""
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    sources = {
+        lang: docs.filter(F.col("lang") == lang) for lang in _MIX_WEIGHTS
+    }
+    return X_sample.build_mixture(sources, _MIX_WEIGHTS, _MIX_TOTAL, "doc_id")
+
+
+def _corpus_mixture_oracle() -> str:
+    h = _HASH_U32_SQL.format(key="doc_id", salt="")
+    wsum = sum(_MIX_WEIGHTS.values())
+    parts = []
+    for lang in sorted(_MIX_WEIGHTS):
+        wn = _MIX_WEIGHTS[lang] / wsum
+        parts.append(
+            f"SELECT doc_id, text, lang, source, n_chars, '{lang}' AS mix_source "
+            f"FROM documents WHERE lang = '{lang}' AND {h} / 4294967296.0 < "
+            f"least(1.0, {wn!r} * {_MIX_TOTAL} / "
+            f"(SELECT count(*) FROM documents WHERE lang = '{lang}'))"
+        )
+    return " UNION ALL ".join(parts)
 
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2550,7 +2593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "sim_neardup": q_sim_neardup,
         "sim_neardup_lsh": q_sim_neardup_lsh,
+        "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_mixture": q_corpus_mixture,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "corpus_prepare": q_corpus_prepare,
@@ -2640,6 +2685,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": _TEXT_FP_ORACLE,
         "text_redact": _text_redact_oracle(),
         "snapshot_diff": _snapshot_diff_oracle(),
+        "corpus_mixture": _corpus_mixture_oracle(),
         "scd2_customers": _scd2_oracle(),
         "sample_stratified": _sample_stratified_oracle(),
         "sample_balanced": _sample_balanced_oracle(),

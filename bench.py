@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "sim_ivf_kmeans",
     "sim_neardup",
     "sim_neardup_lsh",
+    "sim_neardup_multiprobe",
     "dedup_clusters",
     "multimodal_decode",
     "multimodal_features",
@@ -91,6 +92,7 @@ BENCH_QUERIES = [
     "chunk_chars",
     "chunk_tokens",
     "corpus_prepare",
+    "corpus_mixture",
     "events_range_join",
     "events_stream_watermark",
     "events_stream_sessionize",

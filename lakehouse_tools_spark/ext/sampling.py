@@ -80,6 +80,53 @@ def stratified_sample(
     return df.filter(hash_fraction(F.col(key_col), salt) < frac)
 
 
+def build_mixture(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    total: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Training-mixture assembly: sample each source so the output
+    approximates ``total`` rows in the ``weights`` proportions, and
+    union with a ``mix_source`` provenance column.
+
+    Per-source keep-fraction = min(1, w̄ₛ·total / |s|) (w̄ = weights
+    normalized to sum 1): one count job per source — metadata-scale,
+    the plan per source is then a pure hash-sample filter (no
+    shuffle). An undersized source saturates at fraction 1 (you get
+    all of it) rather than erroring — the standard mixture-building
+    behavior; rebalance weights if exact ratios matter more than
+    coverage. Deterministic end to end: same inputs → same mixture,
+    any engine, any partitioning.
+    """
+    if set(weights) != set(sources):
+        raise ValueError(
+            f"weights/sources keys differ: {sorted(weights)} vs {sorted(sources)}"
+        )
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive number")
+    parts = []
+    for name in sorted(sources):
+        df = sources[name]
+        cnt = df.count()
+        if cnt == 0:
+            continue
+        frac = min(1.0, (weights[name] / wsum) * total / cnt)
+        parts.append(
+            hash_sample(df, frac, key_col, salt).withColumn(
+                "mix_source", F.lit(name)
+            )
+        )
+    if not parts:
+        raise ValueError("all sources are empty")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def balanced_sample(
     df: DataFrame, group_col: str, n_per_group: int, key_col: str, salt: str = ""
 ) -> DataFrame:

@@ -192,6 +192,7 @@ def neardup_pairs_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Near-dup pairs at scale: same contract as :func:`neardup_pairs`
     but candidates come from an equi-self-join on the LSH bucket id
@@ -203,6 +204,15 @@ def neardup_pairs_lsh(
     self-join shuffles each side once on the bucket key, and AQE's
     skew-join splitting handles a hot bucket. Exact cosine re-scoring
     + threshold runs only on same-bucket pairs.
+
+    ``multi_probe=True`` also pairs vectors whose buckets differ in
+    ONE plane's sign bit (a near-dup on the wrong side of a single
+    hyperplane — the dominant recall loss): the right side explodes
+    to its own bucket plus the ``num_planes`` Hamming-1 flips, so the
+    candidate volume grows ×(planes+1) while recall jumps toward 1.
+    Each unordered pair is still discovered exactly once (the left
+    side keeps its exact bucket; exactly one flip of the right bucket
+    can equal it), so no dedup pass is needed.
     """
     a = embeddings.select(
         F.col(id_col).alias("vec_id"),
@@ -216,6 +226,19 @@ def neardup_pairs_lsh(
         l2_norm(F.col(vec_col)).alias("_nb"),
         lsh_bucket_column(F.col(vec_col), num_planes, dim).alias("_b2"),
     )
+    if multi_probe:
+        b = b.withColumn(
+            "_b2",
+            F.explode(
+                F.array(
+                    F.col("_b2"),
+                    *[
+                        F.col("_b2").bitwiseXOR(F.lit(1 << p).cast("long"))
+                        for p in range(num_planes)
+                    ],
+                )
+            ),
+        )
     return (
         a.join(b, (F.col("_b") == F.col("_b2")) & (F.col("vec_id") < F.col("vec_id2")))
         .select(

@@ -64,5 +64,6 @@ def test_entry_contract(spark):
         "sim_ann_multiprobe",
         "sim_ivf_kmeans",
         "sim_neardup_lsh",
+        "sim_neardup_multiprobe",
         "catalog_show_tables",
     }

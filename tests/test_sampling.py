@@ -72,3 +72,48 @@ def test_hash_sample_is_filter_only(spark, tables):
         .toString()
     )
     assert "Exchange" not in plan  # pure filter: no shuffle
+
+
+def test_build_mixture_proportions_and_provenance(spark, tables):
+    from lakehouse_tools_spark.ext.sampling import build_mixture
+
+    docs = tables["documents"]
+    srcs = {
+        "en": docs.filter("lang = 'en'"),
+        "de": docs.filter("lang = 'de'"),
+    }
+    out = build_mixture(srcs, {"en": 3.0, "de": 1.0}, total=120, key_col="doc_id")
+    got = {r[0]: r[1] for r in out.groupBy("mix_source").count().collect()}
+    assert set(got) == {"en", "de"}
+    # 90/30 targets, hash sampling is approximate
+    assert abs(got["en"] - 90) < 30 and abs(got["de"] - 30) < 18
+    # deterministic
+    again = build_mixture(srcs, {"en": 3.0, "de": 1.0}, total=120, key_col="doc_id")
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+
+
+def test_build_mixture_saturates_small_source(spark, tables):
+    from lakehouse_tools_spark.ext.sampling import build_mixture
+
+    docs = tables["documents"]
+    tiny = docs.filter("doc_id < 5")
+    out = build_mixture(
+        {"tiny": tiny, "rest": docs.filter("doc_id >= 5")},
+        {"tiny": 0.5, "rest": 0.5},
+        total=1000,
+        key_col="doc_id",
+    )
+    got = {r[0]: r[1] for r in out.groupBy("mix_source").count().collect()}
+    assert got["tiny"] == tiny.count()  # fraction capped at 1: all of it
+
+
+def test_build_mixture_validates(spark, tables):
+    import pytest
+
+    from lakehouse_tools_spark.ext.sampling import build_mixture
+
+    docs = tables["documents"]
+    with pytest.raises(ValueError):
+        build_mixture({"a": docs}, {"b": 1.0}, 10, "doc_id")
+    with pytest.raises(ValueError):
+        build_mixture({"a": docs}, {"a": 0.0}, 10, "doc_id")

@@ -101,6 +101,24 @@ def test_neardup_lsh_subset_of_exact(spark, tables):
     assert exact and len(lsh) / len(exact) > 0.1
 
 
+def test_neardup_multiprobe_superset_no_dups(spark, tables):
+    from lakehouse_tools_spark.ext.similarity import neardup_pairs, neardup_pairs_lsh
+
+    emb = tables["embeddings"].filter(F.col("vec_id") < 200)
+    exact = {(r.vec_id, r.vec_id2) for r in neardup_pairs(emb, threshold=0.2).collect()}
+    single = {
+        (r.vec_id, r.vec_id2)
+        for r in neardup_pairs_lsh(emb, threshold=0.2, num_planes=4).collect()
+    }
+    multi_rows = neardup_pairs_lsh(
+        emb, threshold=0.2, num_planes=4, multi_probe=True
+    ).collect()
+    multi = {(r.vec_id, r.vec_id2) for r in multi_rows}
+    assert len(multi_rows) == len(multi)        # one discovery per pair
+    assert single <= multi <= exact             # strictly more recall, no junk
+    assert len(multi) > len(single)
+
+
 def test_multiprobe_recall_dominates_single_probe(spark, tables):
     from lakehouse_tools_spark.ext.similarity import ann_topk_lsh_multiprobe
 
