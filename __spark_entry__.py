@@ -1196,6 +1196,121 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join over a skewed key: lineitem (hot l_returnflag
+    values) ⋈ a tiny per-flag dimension. The left salts by a hash of
+    its non-key columns, the dimension replicates ``buckets`` times,
+    the join runs on (key, salt) — the hot key's rows spread over 16
+    partitions. The oracle is the PLAIN join: salting must be
+    invisible in the result."""
+    from lakehouse_tools_spark.functions.skew import salted_join
+
+    li = load_table(_spark(spark), sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    dim = (
+        load_table(_spark(spark), sf_dir, "lineitem")
+        .select("l_returnflag")
+        .distinct()
+        .select(
+            "l_returnflag",
+            F.concat(F.lit("flag_"), F.col("l_returnflag")).alias("flag_desc"),
+        )
+    )
+    return salted_join(li, dim, ["l_returnflag"], buckets=16)
+
+
+_SKEW_SALTED_JOIN_ORACLE = """
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       'flag_' || d.l_returnflag AS flag_desc
+FROM (SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem) l
+JOIN (SELECT DISTINCT l_returnflag FROM lineitem) d
+  ON l.l_returnflag = d.l_returnflag
+"""
+
+
+def q_window_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family in one pass: row_number /
+    rank / dense_rank / ntile / percent_rank / cume_dist per customer
+    over their orders by price — one shuffle, one sort, six outputs
+    (all ANSI-defined, so DuckDB agrees exactly). Order is total
+    (price desc, orderkey asc) so ties are deterministic."""
+    from pyspark.sql import Window
+
+    from lakehouse_tools_spark.functions.portable import floor6
+
+    orders = load_table(_spark(spark), sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+        floor6(F.percent_rank().over(w)).alias("pct_rank"),
+        floor6(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+_WINDOW_RANKING_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER w AS INT) AS rn,
+       CAST(rank() OVER w AS INT) AS rk,
+       CAST(dense_rank() OVER w AS INT) AS drk,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       floor(percent_rank() OVER w * 1000000) / 1000000 AS pct_rank,
+       floor(cume_dist() OVER w * 1000000) / 1000000 AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analytics: per user, did view → click →
+    purchase happen in sequence? Computed as three conditional
+    min-timestamp aggregates in ONE pass over events (no self-joins —
+    the naive 3-way self-join shuffles the fact table three times),
+    then step flags from timestamp ordering."""
+    ev = load_table(_spark(spark), sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    agg = ev.groupBy("user_id").agg(
+        first_ts("view").alias("_v"),
+        first_ts("click").alias("_c"),
+        first_ts("purchase").alias("_p"),
+    )
+    step1 = F.col("_v").isNotNull()
+    step2 = step1 & F.col("_c").isNotNull() & (F.col("_c") >= F.col("_v"))
+    step3 = step2 & F.col("_p").isNotNull() & (F.col("_p") >= F.col("_c"))
+    return agg.select(
+        "user_id",
+        step1.alias("did_view"),
+        step2.alias("viewed_then_clicked"),
+        step3.alias("full_funnel"),
+    )
+
+
+_EVENTS_FUNNEL_ORACLE = """
+SELECT user_id,
+       (v IS NOT NULL) AS did_view,
+       (v IS NOT NULL AND c IS NOT NULL AND c >= v) AS viewed_then_clicked,
+       (v IS NOT NULL AND c IS NOT NULL AND c >= v
+        AND p IS NOT NULL AND p >= c) AS full_funnel
+FROM (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events GROUP BY user_id
+)
+"""
+
+
 def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets surface (absent in the reference, SURVEY §2.5):
     ROLLUP over (returnflag, linestatus) with subtotal rows."""
@@ -2574,6 +2689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
         "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
+        "window_ranking_suite": q_window_ranking_suite,
+        "events_funnel": q_events_funnel,
         "rollup_pricing": q_rollup_pricing,
         "setop_nations": q_setop_nations,
         "sql_passthrough": q_sql_passthrough,
@@ -2660,6 +2778,9 @@ def oracle_sql() -> dict[str, str]:
         "source_json_roundtrip": _JSON_ROUNDTRIP_ORACLE,
         "source_orc_roundtrip": _ORC_ROUNDTRIP_ORACLE,
         "skew_salted_agg": _SKEW_SALTED_ORACLE,
+        "skew_salted_join": _SKEW_SALTED_JOIN_ORACLE,
+        "window_ranking_suite": _WINDOW_RANKING_ORACLE,
+        "events_funnel": _EVENTS_FUNNEL_ORACLE,
         "rollup_pricing": _ROLLUP_ORACLE,
         "setop_nations": _SETOP_ORACLE,
         "sql_passthrough": _RAW_SQL,

@@ -59,11 +59,13 @@ BENCH_QUERIES = [
     "tpch_q19",
     "tpch_q22",
     "skew_salted_agg",
+    "skew_salted_join",
     "rollup_pricing",
     "setop_nations",
     "sql_passthrough",
     "topk_customers",
     "window_rank",
+    "window_ranking_suite",
     "dedup_exact",
     "dedup_minhash",
     "dedup_lsh_pairs",
@@ -104,6 +106,7 @@ BENCH_QUERIES = [
     "events_sliding",
     "events_sessionize",
     "events_json",
+    "events_funnel",
     "source_csv_roundtrip",
     "source_json_roundtrip",
     "source_orc_roundtrip",
