@@ -1311,6 +1311,73 @@ FROM (
 """
 
 
+def q_quality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations (operators/quality.py): declarative
+    rules → per-rule violation counts. All row-level rules on a table
+    share ONE aggregate pass; unique is a groupBy; the foreign-key
+    rule is a left-anti join. The discount range rule is deliberately
+    tight so real violations show up."""
+    from lakehouse_tools_spark.operators.quality import check
+
+    s = _spark(spark)
+    li = load_table(s, sf_dir, "lineitem")
+    orders = load_table(s, sf_dir, "orders")
+    cust = load_table(s, sf_dir, "customer")
+    li_checks = check(
+        li,
+        "lineitem",
+        [
+            ("not_null", "l_orderkey"),
+            ("in_range", "l_discount", 0.0, 0.05),
+            ("matches", "l_returnflag", r"^[ANR]$"),
+            ("unique", ["l_orderkey", "l_linenumber"]),
+        ],
+    )
+    o_checks = check(
+        orders,
+        "orders",
+        [
+            ("not_null", "o_custkey"),
+            ("references", "o_custkey", cust, "c_custkey"),
+        ],
+    )
+    return li_checks.unionByName(o_checks)
+
+
+_QUALITY_CHECK_ORACLE = """
+SELECT 'lineitem' AS tableName, 'not_null' AS rule, 'l_orderkey' AS "column",
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'in_range', 'l_discount',
+       CAST(sum(CASE WHEN l_discount IS NOT NULL
+                      AND (l_discount < 0.0 OR l_discount > 0.05)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'matches', 'l_returnflag',
+       CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+                      AND NOT regexp_matches(l_returnflag, '^[ANR]$')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'unique', 'l_orderkey,l_linenumber',
+       CAST(coalesce((SELECT sum(n) FROM (
+         SELECT count(*) AS n FROM lineitem
+         GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+       )), 0) AS BIGINT)
+UNION ALL
+SELECT 'orders', 'not_null', 'o_custkey',
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders', 'references', 'o_custkey',
+       CAST((SELECT count(*) FROM orders
+             WHERE o_custkey IS NOT NULL
+               AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+"""
+
+
 def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets surface (absent in the reference, SURVEY §2.5):
     ROLLUP over (returnflag, linestatus) with subtotal rows."""
@@ -2690,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
+        "quality_check": q_quality_check,
         "window_ranking_suite": q_window_ranking_suite,
         "events_funnel": q_events_funnel,
         "rollup_pricing": q_rollup_pricing,
@@ -2779,6 +2847,7 @@ def oracle_sql() -> dict[str, str]:
         "source_orc_roundtrip": _ORC_ROUNDTRIP_ORACLE,
         "skew_salted_agg": _SKEW_SALTED_ORACLE,
         "skew_salted_join": _SKEW_SALTED_JOIN_ORACLE,
+        "quality_check": _QUALITY_CHECK_ORACLE,
         "window_ranking_suite": _WINDOW_RANKING_ORACLE,
         "events_funnel": _EVENTS_FUNNEL_ORACLE,
         "rollup_pricing": _ROLLUP_ORACLE,

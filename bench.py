@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "tpch_q22",
     "skew_salted_agg",
     "skew_salted_join",
+    "quality_check",
     "rollup_pricing",
     "setop_nations",
     "sql_passthrough",

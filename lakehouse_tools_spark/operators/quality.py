@@ -1,0 +1,161 @@
+"""Data-quality expectations: declarative rules → violation counts.
+
+The guardrail layer a lakehouse pipeline runs before publishing a
+table (Delta constraints / dbt tests / Great Expectations shape):
+declare rules, get back one row per rule with its violation count —
+empty-violations ⇒ publishable.
+
+Execution shape: all single-table rules (not_null / in_range /
+matches / unique / custom predicate) evaluate in ONE aggregate pass —
+each rule is a ``sum(CASE WHEN violated)`` branch, map-side combined,
+so 20 rules cost the same scan as one. ``unique`` needs its own
+groupBy (a distinct count per key set); ``references`` (foreign key)
+is a broadcast-friendly left-anti join per rule. Nothing collects raw
+rows — violation SAMPLES are a debugging concern for a driver query
+with a LIMIT, not something to ship to the driver by default.
+
+Rules are plain tuples, so the rule set is data (storable next to the
+table it guards)::
+
+    check(df, "orders", [
+        ("not_null", "o_custkey"),
+        ("in_range", "o_totalprice", 0, None),
+        ("matches", "o_orderpriority", r"^[1-5]-"),
+        ("unique", ["o_orderkey"]),
+        ("references", "o_custkey", customers_df, "c_custkey"),
+    ])
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CHECK_SCHEMA = T.StructType(
+    [
+        T.StructField("tableName", T.StringType()),
+        T.StructField("rule", T.StringType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("n_violations", T.LongType()),
+    ]
+)
+
+
+def _violation(rule: tuple) -> tuple[str, str, Column]:
+    """(rule name, column label, per-row violated? predicate)."""
+    kind = rule[0]
+    if kind == "not_null":
+        _, col = rule
+        return kind, col, F.col(col).isNull()
+    if kind == "in_range":
+        _, col, lo, hi = rule
+        c = F.col(col)
+        v = F.lit(False)
+        if lo is not None:
+            v = v | (c < F.lit(lo))
+        if hi is not None:
+            v = v | (c > F.lit(hi))
+        # nulls are not range violations — that's not_null's job
+        return kind, col, F.when(c.isNotNull(), v).otherwise(F.lit(False))
+    if kind == "matches":
+        _, col, pattern = rule
+        c = F.col(col)
+        return (
+            kind,
+            col,
+            F.when(c.isNotNull(), ~c.rlike(pattern)).otherwise(F.lit(False)),
+        )
+    if kind == "predicate":
+        _, label, cond = rule
+        # constraint semantics: a row VIOLATES unless the predicate is
+        # definitely true (null-valued conditions count as violations)
+        return kind, label, ~F.coalesce(cond, F.lit(False))
+    raise ValueError(f"unknown rule kind: {kind!r}")
+
+
+def check(
+    df: DataFrame,
+    table: str,
+    rules: list[tuple],
+) -> DataFrame:
+    """Evaluate ``rules`` against ``df`` → one row per rule:
+    ``(tableName, rule, column, n_violations)``. See module docstring
+    for the rule grammar and the execution shape."""
+    row_rules = [r for r in rules if r[0] in ("not_null", "in_range", "matches", "predicate")]
+    unique_rules = [r for r in rules if r[0] == "unique"]
+    ref_rules = [r for r in rules if r[0] == "references"]
+    if len(row_rules) + len(unique_rules) + len(ref_rules) != len(rules):
+        bad = [r[0] for r in rules if r[0] not in
+               ("not_null", "in_range", "matches", "predicate", "unique", "references")]
+        raise ValueError(f"unknown rule kinds: {bad}")
+
+    spark = df.sparkSession
+    parts: list[DataFrame] = []
+
+    if row_rules:
+        branches = [_violation(r) for r in row_rules]
+        agg = df.agg(
+            *[
+                F.sum(F.when(v, 1).otherwise(0)).alias(f"_v_{i}")
+                for i, (_, _, v) in enumerate(branches)
+            ]
+        )
+        stack_args: list[Column] = []
+        for i, (kind, col, _) in enumerate(branches):
+            stack_args.extend(
+                [F.lit(kind), F.lit(col), F.coalesce(F.col(f"_v_{i}"), F.lit(0))]
+            )
+        parts.append(
+            agg.select(
+                F.stack(F.lit(len(branches)), *stack_args).alias(
+                    "rule", "column", "n_violations"
+                )
+            )
+        )
+
+    for r in unique_rules:
+        _, cols = r
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        dup = (
+            df.groupBy(*[F.col(c) for c in cols])
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("n_violations"))
+            .select(
+                F.lit("unique").alias("rule"),
+                F.lit(",".join(cols)).alias("column"),
+                F.col("n_violations"),
+            )
+        )
+        parts.append(dup)
+
+    for r in ref_rules:
+        _, col, ref_df, ref_col = r
+        orphans = (
+            df.select(F.col(col)).filter(F.col(col).isNotNull())
+            .join(
+                ref_df.select(F.col(ref_col).alias(col)).distinct(),
+                col,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .select(
+                F.lit("references").alias("rule"),
+                F.lit(col).alias("column"),
+                F.col("n_violations"),
+            )
+        )
+        parts.append(orphans)
+
+    if not parts:
+        return spark.createDataFrame([], CHECK_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.lit(table).alias("tableName"),
+        "rule",
+        "column",
+        F.col("n_violations").cast("long").alias("n_violations"),
+    )

@@ -1,0 +1,86 @@
+"""Data-quality expectations (operators/quality.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lakehouse_tools_spark.operators.quality import check
+
+
+def _result(df_rules):
+    return {(r.rule, r.column): r.n_violations for r in df_rules.collect()}
+
+
+def test_row_rules_single_pass(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, v=5.0, s="1-URGENT"),
+            Row(k=None, v=-2.0, s="9-BOGUS"),
+            Row(k=3, v=None, s=None),
+        ]
+    )
+    out = check(
+        df,
+        "t",
+        [
+            ("not_null", "k"),
+            ("in_range", "v", 0.0, 10.0),
+            ("matches", "s", r"^[1-5]-"),
+            ("predicate", "v_lt_k", F.col("v") < 100),
+        ],
+    )
+    got = _result(out)
+    assert got[("not_null", "k")] == 1
+    assert got[("in_range", "v")] == 1       # null v is NOT a range violation
+    assert got[("matches", "s")] == 1        # null s is NOT a match violation
+    assert got[("predicate", "v_lt_k")] == 1  # null comparison -> violated
+
+
+def test_row_rules_share_one_scan(spark, tables):
+    out = check(
+        tables["orders"],
+        "orders",
+        [
+            ("not_null", "o_custkey"),
+            ("in_range", "o_totalprice", 0.0, None),
+            ("matches", "o_orderpriority", r"^[1-5]-"),
+            ("predicate", "price_pos", F.col("o_totalprice") > 0),
+        ],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1  # 4 rules, one table pass
+
+
+def test_unique_and_references(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12), (3, 99)], "k long, fk long"
+    )
+    ref = spark.createDataFrame([(10,), (11,), (12,)], "r long")
+    got = _result(
+        check(df, "t", [("unique", ["k"]), ("references", "fk", ref, "r")])
+    )
+    assert got[("unique", "k")] == 2          # both rows of the dup key count
+    assert got[("references", "fk")] == 1     # 99 is an orphan
+
+
+def test_clean_table_all_zero(spark, tables):
+    got = _result(
+        check(
+            tables["orders"],
+            "orders",
+            [
+                ("not_null", "o_orderkey"),
+                ("unique", ["o_orderkey"]),
+                ("references", "o_custkey", tables["customer"], "c_custkey"),
+            ],
+        )
+    )
+    assert set(got.values()) == {0}
+
+
+def test_unknown_rule_rejected(spark, tables):
+    with pytest.raises(ValueError):
+        check(tables["orders"], "orders", [("no_such_rule", "x")])
