@@ -139,6 +139,28 @@ def test_jaccard_flagship_is_lsh_pruned_not_quadratic(spark):
     assert not re.search(r"Join \[shingle#\d+\], \[shingle#\d+\]", p), p
 
 
+def test_funnel_is_single_scan_no_join(spark):
+    p = plan_of(E.q_events_funnel(spark, SF))
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1
+
+
+def test_pivot_is_join_free_two_phase(spark):
+    p = plan_of(E.q_events_pivot(spark, SF))
+    assert "Join" not in p
+    # Spark's pivot is two-phase: aggregate on (group, pivot) then
+    # regroup on group — exactly two exchanges, never a join and never
+    # a distinct-discovery job (the value list is explicit)
+    assert p.count("Exchange") == 2
+
+
+def test_mixture_is_filters_only(spark):
+    # per-source fraction comes from a count JOB, but the returned
+    # mixture plan itself is a union of pushdown filters — no shuffle
+    p = plan_of(E.q_corpus_mixture(spark, SF))
+    assert "Exchange" not in p and "Join" not in p
+
+
 def test_corpus_prepare_single_scan(spark):
     # quality + language + fingerprint fused: documents scanned once
     p = plan_of(E.q_corpus_prepare(spark, SF))
