@@ -2420,6 +2420,57 @@ GROUP BY incident_id
 """
 
 
+def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/joins.py): purchases ⋈
+    views of the same user with the view in the 30 minutes before the
+    purchase — both sides true readStream relations with watermarks,
+    drained availableNow into a memory sink. The fixture is one file
+    ⇒ one micro-batch ⇒ no state eviction has fired when the join
+    evaluates, so the batch interval join is the exact oracle."""
+    from lakehouse_tools_spark.sources.tables import load_stream
+    from lakehouse_tools_spark.streaming.joins import stream_interval_join
+    from lakehouse_tools_spark.streaming.sink import run_to_memory
+
+    s = _spark(spark)
+    p = X_win.with_watermark(
+        load_stream(s, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id"),
+        "ts",
+        "1 hour",
+    )
+    v = X_win.with_watermark(
+        load_stream(s, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("event_id", "ts", "user_id"),
+        "ts",
+        "1 hour",
+    )
+    joined = stream_interval_join(
+        p, v, "user_id", "ts", "ts", -1800, 0, prefixes=("p_", "v_")
+    )
+    out = run_to_memory(joined, "events_stream_join", output_mode="append")
+    return out.select(
+        "user_id",
+        "p_event_id",
+        "v_event_id",
+        F.date_format("p_ts", TS_FMT_SPARK).alias("p_ts_s"),
+        F.date_format("v_ts", TS_FMT_SPARK).alias("v_ts_s"),
+    )
+
+
+_EVENTS_STREAM_JOIN_ORACLE = f"""
+SELECT p.user_id, p.event_id AS p_event_id, v.event_id AS v_event_id,
+       strftime(p.ts, '{TS_FMT_SQL}') AS p_ts_s,
+       strftime(v.ts, '{TS_FMT_SQL}') AS v_ts_s
+FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE
+ AND v.ts <= p.ts
+"""
+
+
 def q_events_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Structured Streaming e2e: readStream file source →
     10-minute watermark → 5-minute tumbling windows → memory sink,
@@ -2798,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tokens": q_chunk_tokens,
         "events_range_join": q_events_range_join,
         "events_stream_watermark": q_events_stream_watermark,
+        "events_stream_join": q_events_stream_join,
         "events_stream_sessionize": q_events_stream_sessionize,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -2883,6 +2935,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_tokens": _CHUNK_TOKENS_ORACLE,
         "events_range_join": _EVENTS_RANGE_JOIN_ORACLE,
         "events_stream_watermark": _EVENTS_STREAM_WM_ORACLE,
+        "events_stream_join": _EVENTS_STREAM_JOIN_ORACLE,
         "events_tumbling": _EVENTS_TUMBLING_ORACLE,
         "events_sliding": _EVENTS_SLIDING_ORACLE,
         "events_sessionize": _EVENTS_SESSION_ORACLE,
