@@ -111,6 +111,12 @@ PROFILE_TABLES = ("region", "nation", "supplier", "orders")
 _NORM_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
 _STOPWORDS = X_text.LANG_MARKERS["en"]
 
+#: DuckDB twin of sampling.hash_u32 (memory: hex→int parity trick).
+_HASH_U32_SQL = (
+    "CAST(concat('0x', substr(md5(concat(CAST({key} AS VARCHAR), '{salt}')), 1, 8))"
+    " AS BIGINT)"
+)
+
 
 def _spark(spark: SparkSession) -> SparkSession:
     return lts_session.configure(spark)
@@ -132,16 +138,22 @@ def _render_sql(col: str, dtype: str) -> str:
     return f"CAST({col} AS VARCHAR)"
 
 
-def _profile_intended_oracle(tables: tuple[str, ...]) -> str:
+def _profile_intended_oracle(
+    tables: tuple[str, ...], table_sql: dict[str, str] | None = None
+) -> str:
+    """``table_sql`` overrides a table's FROM-relation (e.g. a
+    modified snapshot as an inline subquery) — used by the
+    incremental-reprofile oracle."""
     parts = []
     for t in tables:
+        rel = (table_sql or {}).get(t, t)
         for c, dt in FIXTURE_SCHEMAS[t]:
             r = _render_sql(f'"{c}"', dt)
             parts.append(
                 f"SELECT '{DB}' AS databaseName, '{t}' AS tableName, "
                 f"'{c}' AS columnName, '{dt}' AS dataType, {r} AS value, "
                 f"CAST(count(*) AS FLOAT) AS num_records, "
-                f"CAST(length({r}) AS FLOAT) AS len FROM {t} GROUP BY {r}"
+                f"CAST(length({r}) AS FLOAT) AS len FROM {rel} GROUP BY {r}"
             )
     return " UNION ALL ".join(parts)
 
@@ -209,6 +221,43 @@ def _profile_topk_oracle(tables: tuple[str, ...], k: int = 5) -> str:
                 f") WHERE rn <= {k}"
             )
     return " UNION ALL ".join(parts)
+
+
+def _orders_modified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically-mutated orders snapshot: ~30% of rows (by
+    key hash) get their priority rewritten — shifts the value
+    histogram so the incremental re-profile has real work."""
+    orders = load_table(spark, sf_dir, "orders")
+    changed = X_sample.hash_fraction(F.col("o_orderkey"), "incr") < 0.3
+    return orders.withColumn(
+        "o_orderpriority",
+        F.when(changed, F.lit("9-INCR")).otherwise(F.col("o_orderpriority")),
+    )
+
+
+_ORDERS_MODIFIED_SQL = (
+    "(SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+    "CASE WHEN "
+    + _HASH_U32_SQL.format(key="o_orderkey", salt="incr")
+    + " / 4294967296.0 < 0.3 THEN '9-INCR' ELSE o_orderpriority END "
+    "AS o_orderpriority FROM orders)"
+)
+
+
+def q_profiler_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental catalog re-profile: the base profileData covers
+    all 4 tables; orders then changes (30% of priorities rewritten),
+    and ONLY orders is re-scanned — merged with full_sync scoped to
+    the changed table, so its stale value rows are deleted and the
+    other tables' rows are untouched. The oracle is the FULL profile
+    of the new catalog state: incremental must equal recompute."""
+    from lakehouse_tools_spark.plans.pipeline import incremental_reprofile
+
+    s = _spark(spark)
+    tables = load_tables(s, sf_dir, PROFILE_TABLES)
+    base = profile_data(tables, DB, mode="intended")
+    changed = {"orders": _orders_modified(s, sf_dir)}
+    return incremental_reprofile(s, changed, DB, base)
 
 
 def q_schema_information(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2078,12 +2127,6 @@ FROM documents
 
 # ----------------------------------------------------- sampling / chunking
 
-#: DuckDB twin of sampling.hash_u32 (memory: hex→int parity trick).
-_HASH_U32_SQL = (
-    "CAST(concat('0x', substr(md5(concat(CAST({key} AS VARCHAR), '{salt}')), 1, 8))"
-    " AS BIGINT)"
-)
-
 _STRATA_FRACTIONS = {"en": 0.5, "de": 0.25}
 
 
@@ -2781,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_intended": q_profile_intended,
         "profile_as_written": q_profile_as_written,
         "profile_topk": q_profile_topk,
+        "profiler_incremental": q_profiler_incremental,
         "schema_information": q_schema_information,
         "profile_summary": q_profile_summary,
         "profile_summary_approx": q_profile_summary_approx,
@@ -2872,6 +2916,9 @@ def oracle_sql() -> dict[str, str]:
         "profile_as_written": _profile_as_written_oracle(PROFILE_TABLES),
         "profile_topk": _profile_topk_oracle(PROFILE_TABLES),
         "profile_histogram": _profile_histogram_oracle(),
+        "profiler_incremental": _profile_intended_oracle(
+            PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}
+        ),
         "schema_information": _schema_info_oracle(PROFILE_TABLES),
         "profile_summary": _profile_summary_oracle(),
         "profiler_e2e": _profile_intended_oracle(tuple(FIXTURE_SCHEMAS)),

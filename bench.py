@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "profile_intended",
     "profile_as_written",
     "profile_topk",
+    "profiler_incremental",
     "profile_summary",
     "profile_summary_approx",
     "profile_quantiles",

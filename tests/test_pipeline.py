@@ -67,3 +67,24 @@ def test_entry_contract(spark):
         "sim_neardup_multiprobe",
         "catalog_show_tables",
     }
+
+
+def test_incremental_reprofile_equals_full_recompute(spark, tables):
+    from pyspark.sql import functions as F
+
+    from lakehouse_tools_spark.operators.profile import profile_data
+    from lakehouse_tools_spark.plans.pipeline import incremental_reprofile
+
+    base_tables = {k: tables[k] for k in ("region", "nation", "orders")}
+    base = profile_data(base_tables, "db1")
+    # orders changes: drop URGENT rows entirely (value rows must vanish)
+    new_orders = tables["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    incr = incremental_reprofile(spark, {"orders": new_orders}, "db1", base)
+    full = profile_data({**base_tables, "orders": new_orders}, "db1")
+    assert incr.count() == full.count()
+    assert incr.exceptAll(full).count() == 0
+    assert full.exceptAll(incr).count() == 0
+    # the stale '1-URGENT' histogram row is gone
+    assert incr.filter(
+        (F.col("tableName") == "orders") & (F.col("value") == "1-URGENT")
+    ).count() == 0
