@@ -1219,6 +1219,132 @@ GROUP BY c_nationkey
 """
 
 
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by revenue): an aggregate-of-
+    aggregate — revenue per supplier over one quarter, keep the
+    supplier(s) whose revenue equals the global max. The max is a
+    1-row broadcast crossJoin (the scalar-subquery pattern), so the
+    revenue relation is computed once and never re-shuffled."""
+    s = _spark(spark)
+    li = load_table(s, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+        ).alias("_rev")
+    )
+    from pyspark import StorageLevel
+
+    revenue = revenue.persist(StorageLevel.MEMORY_AND_DISK)
+    mx = revenue.agg(F.max("_rev").alias("_mx"))
+    sup = load_table(s, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+             * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.rev AS DOUBLE) AS total_revenue
+FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rev = (SELECT max(rev) FROM revenue)
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    the fixture's columns (no commit/receipt dates → "late" means
+    shipped >60 days after the order date): for finished orders, count
+    per supplier the orders where THIS supplier shipped late, another
+    supplier participated (EXISTS), and no OTHER supplier shipped late
+    (NOT EXISTS). The exists-pair compiles to one aggregate over the
+    order's lineitems (counts of other-supplier lines / other-supplier
+    late lines) joined back — one shuffle on orderkey instead of two
+    correlated self-joins."""
+    s = _spark(spark)
+    orders = load_table(s, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(s, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .alias("_late"),
+    )
+    from pyspark import StorageLevel
+
+    lo = lo.persist(StorageLevel.MEMORY_AND_DISK)
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_lines"),
+        F.sum(F.when(F.col("_late"), 1).otherwise(0)).alias("_n_late"),
+        F.count_distinct(F.col("l_suppkey")).alias("_n_supps"),
+        F.count_distinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_n_late_supps"
+        ),
+    )
+    waiting = (
+        lo.filter(F.col("_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(per_order, "l_orderkey")
+        # another supplier participated; no other supplier was late
+        .filter((F.col("_n_supps") > 1) & (F.col("_n_late_supps") == 1))
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("l_suppkey").asc())
+        .limit(20)
+        .select(F.col("l_suppkey").alias("s_suppkey"), "numwait")
+    )
+
+
+_Q21_ORACLE = """
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supps
+  FROM lo GROUP BY l_orderkey
+)
+SELECT l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+FROM (
+  SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+  FROM lo JOIN per_order p ON lo.l_orderkey = p.l_orderkey
+  WHERE lo.late AND p.n_supps > 1 AND p.n_late_supps = 1
+)
+GROUP BY l_suppkey
+ORDER BY numwait DESC, l_suppkey ASC
+LIMIT 20
+"""
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over an extreme-skew key
     (l_returnflag: 3 values across the whole fact table). The first
@@ -2850,6 +2976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q21": q_tpch_q21,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
         "quality_check": q_quality_check,
@@ -2941,6 +3069,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18": _Q18_ORACLE,
         "tpch_q19": _Q19_ORACLE,
         "tpch_q22": _Q22_ORACLE,
+        "tpch_q15": _Q15_ORACLE,
+        "tpch_q21": _Q21_ORACLE,
         "source_csv_roundtrip": _CSV_ROUNDTRIP_ORACLE,
         "source_json_roundtrip": _JSON_ROUNDTRIP_ORACLE,
         "source_orc_roundtrip": _ORC_ROUNDTRIP_ORACLE,

@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",
+    "tpch_q15",
+    "tpch_q21",
     "skew_salted_agg",
     "skew_salted_join",
     "quality_check",
