@@ -1994,6 +1994,51 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (ext/dedup.decontaminate): drop
+    corpus docs that match the eval set exactly (md5 fingerprint
+    anti-join) or share ANY word 5-gram with it (broadcast semi-join
+    of corpus shingles against the small eval shingle set — the
+    GPT-3-style n-gram rule). Eval set = 10% of docs by key hash, so
+    both engines build it identically."""
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    eval_set = docs.filter(
+        X_sample.hash_fraction(F.col("doc_id"), "eval") < 0.1
+    )
+    return X_dedup.decontaminate(docs, eval_set, ngram=5)
+
+
+def _corpus_decontaminate_oracle() -> str:
+    h = _HASH_U32_SQL.format(key="doc_id", salt="eval")
+    norm = _NORM_SQL.format(c="text")
+    shingles = f"""
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(words) >= 5
+              THEN array_to_string(list_slice(words, g + 1, g + 5), ' ')
+              ELSE array_to_string(words, ' ') END AS shingle
+  FROM (
+    SELECT doc_id, words,
+           unnest(generate_series(0, CAST(greatest(len(words) - 5, 0) AS BIGINT))) AS g
+    FROM (SELECT doc_id, string_split({norm}, ' ') AS words FROM {{src}})
+  )
+"""
+    return f"""
+WITH eval_docs AS (
+  SELECT doc_id, text FROM documents WHERE {h} / 4294967296.0 < 0.1
+),
+eval_fps AS (SELECT DISTINCT md5({norm}) AS fp FROM eval_docs),
+eval_sh AS (SELECT DISTINCT shingle FROM ({shingles.format(src="eval_docs")})),
+corpus_sh AS ({shingles.format(src="documents")}),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM corpus_sh
+  WHERE shingle IN (SELECT shingle FROM eval_sh)
+)
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE md5({norm}) NOT IN (SELECT fp FROM eval_fps)
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components (iterative
     min-label propagation, ext/graph.py) over the exact near-dup pair
@@ -3005,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
         "dedup_clusters": q_dedup_clusters,
         "corpus_mixture": q_corpus_mixture,
+        "corpus_decontaminate": q_corpus_decontaminate,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "corpus_prepare": q_corpus_prepare,
@@ -3105,6 +3151,7 @@ def oracle_sql() -> dict[str, str]:
         "text_redact": _text_redact_oracle(),
         "snapshot_diff": _snapshot_diff_oracle(),
         "corpus_mixture": _corpus_mixture_oracle(),
+        "corpus_decontaminate": _corpus_decontaminate_oracle(),
         "scd2_customers": _scd2_oracle(),
         "sample_stratified": _sample_stratified_oracle(),
         "sample_balanced": _sample_balanced_oracle(),

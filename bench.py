@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "chunk_tokens",
     "corpus_prepare",
     "corpus_mixture",
+    "corpus_decontaminate",
     "events_range_join",
     "events_stream_watermark",
     "events_stream_sessionize",

@@ -427,3 +427,52 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         sim = sim.bitwiseOR(F.shiftleft(bit, b))
     return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int | None = 5,
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus documents that overlap
+    the evaluation set — the step every serious training pipeline
+    runs so eval scores measure generalization, not memorization.
+
+    Two levels, both engine-reproducible:
+
+    - exact: md5 fingerprint of normalized text matches an eval doc
+      (catches verbatim copies) — an anti-join on the fingerprint.
+    - ``ngram``-overlap (GPT-3-style 13-gram rule; default 5 here for
+      the fixture's short docs): the document shares ANY word
+      ``ngram``-gram with any eval document. Eval shingles are the
+      SMALL side by construction (eval sets are thousands of docs,
+      the corpus is billions), so contaminated ids come from a
+      broadcast left-semi of corpus shingles against eval shingles —
+      corpus text never shuffles, and the expensive relation is
+      touched once. Pass ``ngram=None`` for exact-only.
+
+    Returns the clean corpus (original columns).
+    """
+    fp = fingerprint(F.col(text_col))
+    eval_fps = eval_set.select(fp.alias("_fp")).distinct()
+    clean = corpus.withColumn("_fp", fp).join(
+        F.broadcast(eval_fps), "_fp", "left_anti"
+    )
+    if ngram is not None:
+        eval_sh = word_shingles(eval_set, text_col, id_col, k=ngram).select(
+            "shingle"
+        ).distinct()
+        contaminated = (
+            word_shingles(corpus, text_col, id_col, k=ngram)
+            .join(F.broadcast(eval_sh), "shingle", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        clean = clean.join(
+            contaminated.withColumnRenamed("doc_id", id_col),
+            id_col,
+            "left_anti",
+        )
+    return clean.drop("_fp")

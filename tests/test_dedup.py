@@ -144,3 +144,27 @@ def test_winnow_fingerprints(spark):
     assert inter_near > inter_far
     # doc shorter than k still yields exactly one fingerprint
     assert len(by_doc[5]) == 1
+
+
+def test_decontaminate_exact_and_ngram(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.ext.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="THE QUICK  brown fox JUMPS over the lazy dog"),  # exact dup after norm
+            Row(doc_id=3, text="prefix words then the quick brown fox jumps suffix"),  # shares a 5-gram
+            Row(doc_id=4, text="completely unrelated content about spark engines"),
+            Row(doc_id=5, text="short text"),
+        ]
+    )
+    eval_set = corpus.filter("doc_id = 1")
+    clean = decontaminate(corpus, eval_set, ngram=5)
+    assert {r.doc_id for r in clean.collect()} == {4, 5}
+    # exact-only mode keeps the n-gram overlapper
+    exact_only = decontaminate(corpus, eval_set, ngram=None)
+    assert {r.doc_id for r in exact_only.collect()} == {3, 4, 5}
+    # original columns come back unchanged
+    assert set(clean.columns) == {"doc_id", "text"}
