@@ -2646,6 +2646,13 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_tools_spark.streaming.sink import run_to_memory
 
     s = _spark(spark)
+    # a stream-stream join maintains FOUR state stores per shuffle
+    # partition; at fixture scale the per-partition store setup/commit
+    # dominates, so run the streaming query narrow (the partition
+    # count is baked into the checkpoint at first start — a real
+    # deployment sizes it to rate × range up front)
+    prev_parts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     p = X_win.with_watermark(
         load_stream(s, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
@@ -2663,7 +2670,10 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_interval_join(
         p, v, "user_id", "ts", "ts", -1800, 0, prefixes=("p_", "v_")
     )
-    out = run_to_memory(joined, "events_stream_join", output_mode="append")
+    try:
+        out = run_to_memory(joined, "events_stream_join", output_mode="append")
+    finally:
+        s.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out.select(
         "user_id",
         "p_event_id",
