@@ -2550,6 +2550,72 @@ FROM snap_a a JOIN matched m ON a.c_custkey = m.k AND m.seg_a = m.seg_b
 """
 
 
+def q_text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary table: top-200 words by document frequency
+    and total count (deterministic tiebreak) — the frequency table a
+    tokenizer-training / stopword-selection step starts from. One
+    explode + one groupBy; the shuffle carries (word, partial counts)
+    after map-side combine, never document text."""
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(X_dedup.normalize_text(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    return (
+        words.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_total").desc(), F.col("w").asc())
+        .limit(200)
+        .select(F.col("w").alias("word"), "n_total", "n_docs")
+    )
+
+
+_TEXT_VOCAB_ORACLE = f"""
+SELECT w AS word, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (
+  SELECT doc_id, unnest(string_split({_NORM_SQL.format(c="text")}, ' ')) AS w
+  FROM documents
+) WHERE w <> ''
+GROUP BY w ORDER BY n_total DESC, w ASC LIMIT 200
+"""
+
+
+def q_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style catalog statistics: per table, row count and
+    column count — the planner-facing metadata a lakehouse keeps per
+    table version. Counts are one agg per table, unioned lazily."""
+    s = _spark(spark)
+    parts = []
+    for t in PROFILE_TABLES:
+        df = load_table(s, sf_dir, t)
+        parts.append(
+            df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                F.lit(DB).alias("databaseName"),
+                F.lit(t).alias("tableName"),
+                F.col("n_rows").cast("long"),
+                F.lit(len(df.columns)).cast("int").alias("n_cols"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _catalog_stats_oracle() -> str:
+    parts = [
+        f"SELECT '{DB}' AS databaseName, '{t}' AS tableName, "
+        f"CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST({len(FIXTURE_SCHEMAS[t])} AS INT) AS n_cols FROM {t}"
+        for t in PROFILE_TABLES
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub + audit counts. The fixture corpus is synthetic (no
     real PII), so the query grafts a deterministic email/phone header
@@ -3069,6 +3135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_fingerprints": q_text_fingerprints,
         "text_redact": q_text_redact,
+        "text_vocabulary": q_text_vocabulary,
+        "catalog_stats": q_catalog_stats,
         "snapshot_diff": q_snapshot_diff,
         "scd2_customers": q_scd2_customers,
         "sample_stratified": q_sample_stratified,
@@ -3159,6 +3227,8 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens": _TEXT_TOKENS_ORACLE,
         "text_fingerprints": _TEXT_FP_ORACLE,
         "text_redact": _text_redact_oracle(),
+        "text_vocabulary": _TEXT_VOCAB_ORACLE,
+        "catalog_stats": _catalog_stats_oracle(),
         "snapshot_diff": _snapshot_diff_oracle(),
         "corpus_mixture": _corpus_mixture_oracle(),
         "corpus_decontaminate": _corpus_decontaminate_oracle(),

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "profile_quantiles",
     "profile_histogram",
     "schema_information",
+    "catalog_stats",
     "asof_join",
     "merge_upsert",
     "merge_full_sync",
@@ -93,6 +94,7 @@ BENCH_QUERIES = [
     "text_tokens",
     "text_fingerprints",
     "text_redact",
+    "text_vocabulary",
     "sample_stratified",
     "sample_balanced",
     "chunk_chars",
