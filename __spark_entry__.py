@@ -1443,6 +1443,45 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
 """
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity
+    week; for each (cohort week, week offset) the count of distinct
+    users still active. Two aggregates total — first-week per user
+    (one shuffle on user_id), then the triangle (one shuffle on the
+    cohort pair); weeks are integer floor((days since a Monday
+    epoch)/7), identical arithmetic in any engine (date_trunc week
+    conventions differ; integer math doesn't)."""
+    ev = load_table(_spark(spark), sf_dir, "events")
+    week = (
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date"))
+            / 7
+        )
+        .cast("long")
+    )
+    base = ev.select("user_id", week.alias("wk"))
+    first = base.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        base.join(first, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_EVENTS_RETENTION_ORACLE = """
+WITH base AS (
+  SELECT user_id,
+         CAST(floor(datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) / 7) AS BIGINT) AS wk
+  FROM events
+),
+first AS (SELECT user_id, min(wk) AS cohort_wk FROM base GROUP BY user_id)
+SELECT f.cohort_wk, b.wk - f.cohort_wk AS week_offset,
+       CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_users
+FROM base b JOIN first f ON b.user_id = f.user_id
+GROUP BY f.cohort_wk, b.wk - f.cohort_wk
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel analytics: per user, did view → click →
     purchase happen in sequence? Computed as three conditional
@@ -3104,6 +3143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_check": q_quality_check,
         "window_ranking_suite": q_window_ranking_suite,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "rollup_pricing": q_rollup_pricing,
         "setop_nations": q_setop_nations,
         "sql_passthrough": q_sql_passthrough,
@@ -3203,6 +3243,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_check": _QUALITY_CHECK_ORACLE,
         "window_ranking_suite": _WINDOW_RANKING_ORACLE,
         "events_funnel": _EVENTS_FUNNEL_ORACLE,
+        "events_retention": _EVENTS_RETENTION_ORACLE,
         "rollup_pricing": _ROLLUP_ORACLE,
         "setop_nations": _SETOP_ORACLE,
         "sql_passthrough": _RAW_SQL,

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_json",
     "events_funnel",
+    "events_retention",
     "source_csv_roundtrip",
     "source_json_roundtrip",
     "source_orc_roundtrip",
