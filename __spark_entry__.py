@@ -2800,6 +2800,36 @@ JOIN (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view') v
 """
 
 
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: the stream unioned with itself (every
+    event delivered twice — the at-least-once ingestion scenario) is
+    deduplicated by key with ``dropDuplicates`` under a watermark, so
+    dedup state is bounded to the watermark horizon instead of
+    growing with stream history. All columns are functionally
+    determined by event_id, so which duplicate survives is
+    value-irrelevant and the batch DISTINCT is an exact oracle."""
+    from lakehouse_tools_spark.sources.tables import load_stream
+    from lakehouse_tools_spark.streaming.sink import run_to_memory
+
+    s = _spark(spark)
+    stream = load_stream(s, sf_dir, "events").select("event_id", "ts", "user_id")
+    doubled = stream.unionByName(stream)
+    deduped = X_win.with_watermark(doubled, "ts", "1 hour").dropDuplicates(
+        ["event_id"]
+    )
+    out = run_to_memory(deduped, "events_stream_dedup", output_mode="append")
+    return out.select(
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+        "user_id",
+    )
+
+
+_EVENTS_STREAM_DEDUP_ORACLE = f"""
+SELECT event_id, strftime(ts, '{TS_FMT_SQL}') AS ts_s, user_id FROM events
+"""
+
+
 def q_events_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Structured Streaming e2e: readStream file source →
     10-minute watermark → 5-minute tumbling windows → memory sink,
@@ -3186,6 +3216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_stream_watermark": q_events_stream_watermark,
         "events_stream_join": q_events_stream_join,
+        "events_stream_dedup": q_events_stream_dedup,
         "events_stream_sessionize": q_events_stream_sessionize,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -3281,6 +3312,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": _EVENTS_RANGE_JOIN_ORACLE,
         "events_stream_watermark": _EVENTS_STREAM_WM_ORACLE,
         "events_stream_join": _EVENTS_STREAM_JOIN_ORACLE,
+        "events_stream_dedup": _EVENTS_STREAM_DEDUP_ORACLE,
         "events_tumbling": _EVENTS_TUMBLING_ORACLE,
         "events_sliding": _EVENTS_SLIDING_ORACLE,
         "events_sessionize": _EVENTS_SESSION_ORACLE,

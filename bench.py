@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "events_stream_watermark",
     "events_stream_sessionize",
     "events_stream_join",
+    "events_stream_dedup",
     "events_pivot",
     "events_unpivot",
     "events_lag_lead",
