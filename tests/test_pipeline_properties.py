@@ -1,0 +1,74 @@
+"""Property-based invariants for chunking and sampling (hypothesis)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lakehouse_tools_spark.ext.chunking import chunk_chars
+from lakehouse_tools_spark.ext.sampling import hash_sample
+
+_settings = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+TEXTS = st.lists(
+    st.text(alphabet="abc xyz.", min_size=0, max_size=40), min_size=1, max_size=5
+)
+SIZES = st.tuples(
+    st.integers(min_value=1, max_value=7), st.integers(min_value=1, max_value=7)
+)
+
+
+@_settings
+@given(texts=TEXTS, sz=SIZES)
+def test_chunking_laws(spark, texts, sz):
+    size, stride = sz
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    chunks = chunk_chars(df, size=size, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        rs = sorted(by_doc.get(i, []), key=lambda r: r.chunk_id)
+        if not t:
+            assert rs == []  # empty text -> no chunks
+            continue
+        # chunk k starts at offset k*stride; every chunk is a substring
+        for r in rs:
+            off = r.chunk_id * stride
+            assert t[off : off + size] == r.chunk
+            assert r.n_chars == len(r.chunk) > 0
+        # coverage: chunk starts tile the whole text
+        assert rs[0].chunk_id == 0
+        last_off = rs[-1].chunk_id * stride
+        assert last_off < len(t) <= last_off + max(size, stride)
+        # when stride >= size there is no overlap and no gap smaller
+        # than stride; reconstruction holds for exact tiling
+        if stride == size:
+            assert "".join(r.chunk for r in rs) == t
+
+
+@_settings
+@given(
+    frac_pair=st.tuples(
+        st.floats(min_value=0.0, max_value=1.0),
+        st.floats(min_value=0.0, max_value=1.0),
+    )
+)
+def test_hash_sample_nested_and_bounded(spark, frac_pair):
+    lo, hi = sorted(frac_pair)
+    df = spark.createDataFrame([(i,) for i in range(80)], "k long")
+    small = {r.k for r in hash_sample(df, lo, "k").collect()}
+    big = {r.k for r in hash_sample(df, hi, "k").collect()}
+    assert small <= big          # samples are nested in the fraction
+    assert len(big) <= 80
+    full = {r.k for r in hash_sample(df, 1.0, "k").collect()}
+    assert full == set(range(80))  # fraction 1.0 keeps everything
