@@ -2095,6 +2095,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus dup clustering — the composed scale path: candidate
+    pairs from the multi-probe LSH self-join (never all-pairs), then
+    connected components over them. Rows-only by design (LSH buckets
+    are engine-specific); the oracle-checked exact variant is
+    `dedup_clusters`, and every vertex appearing here is pinned to a
+    valid cluster id by the operator's own invariants (tests)."""
+    from lakehouse_tools_spark.ext.graph import connected_components
+
+    emb = load_table(_spark(spark), sf_dir, "embeddings")
+    pairs = X_sim.neardup_pairs_lsh(
+        emb, threshold=0.3, num_planes=8, multi_probe=True
+    ).select("vec_id", "vec_id2")
+    return connected_components(
+        pairs, emb, src_col="vec_id", dst_col="vec_id2", id_col="vec_id"
+    )
+
+
 _DEDUP_CLUSTERS_ORACLE = """
 WITH RECURSIVE e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -3195,6 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup_lsh": q_sim_neardup_lsh,
         "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "corpus_mixture": q_corpus_mixture,
         "corpus_decontaminate": q_corpus_decontaminate,
         "multimodal_decode": q_multimodal_decode,

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "sim_neardup_lsh",
     "sim_neardup_multiprobe",
     "dedup_clusters",
+    "dedup_clusters_lsh",
     "multimodal_decode",
     "multimodal_features",
     "text_quality",

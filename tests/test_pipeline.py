@@ -65,6 +65,7 @@ def test_entry_contract(spark):
         "sim_ivf_kmeans",
         "sim_neardup_lsh",
         "sim_neardup_multiprobe",
+        "dedup_clusters_lsh",
         "catalog_show_tables",
     }
 
