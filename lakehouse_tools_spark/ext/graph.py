@@ -65,11 +65,20 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # localCheckpoint, not persist: each round references the previous
+    # labels TWICE (the neighbor-min join and the left join), so a
+    # lineage-preserving cache would DOUBLE the logical plan per round
+    # — by round ~30 the plan string alone exceeds 2 GB and the driver
+    # chokes on analysis, long before any data moves. Checkpointing
+    # materializes the (tiny: 16 B/vertex) label relation AND truncates
+    # lineage, keeping every round's plan constant-size. Local (executor
+    # -stored) checkpoints are fine for a batch operator; a restartable
+    # pipeline would pass a reliable checkpoint dir instead.
     labels = (
         vertices.select(F.col(id_col).alias("_v"))
         .distinct()
         .withColumn("_label", F.col("_v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     try:
         for _ in range(max_rounds):
@@ -92,9 +101,8 @@ def connected_components(
                     ).alias("_label"),
                     (F.col("_nmin") < F.col("_label")).alias("_chg"),
                 )
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            ).localCheckpoint(eager=True)
             changed = new_labels.filter(F.col("_chg")).limit(1).count()
-            labels.unpersist()
             labels = new_labels.drop("_chg")
             if changed == 0:
                 return labels.select(
