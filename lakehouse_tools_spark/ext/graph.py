@@ -6,17 +6,21 @@ transitive closure: WHICH GROUP does each document belong to, so one
 canonical representative per group survives. That is connected
 components over the pair graph.
 
-Algorithm: iterative min-label propagation (the standard
-MapReduce/Pregel formulation). Every vertex starts labeled with its
-own id; each round every vertex takes the min of its label and its
-neighbors' labels; fixpoint in ≤ diameter rounds. Duplicate clusters
-are small and dense (LSH emits most intra-cluster pairs), so the
-diameter is tiny — 2-4 rounds in practice. Each round is one
-edge⋈label join + one min-aggregate — shuffles proportional to |E|,
-labels only (8 B), never payloads. The loop is driver-side but the
-data never is: the convergence check is a cheap count of changed
-labels. Labels persist per round (two live generations, previous
-unpersisted) so round N+1 reads cache, not the full lineage.
+Algorithm: iterative min-label propagation with pointer jumping (the
+standard MapReduce/Pregel formulation plus shortcutting). Every
+vertex starts labeled with its own id; each round every vertex takes
+the min over {its label, its neighbors' labels, the label OF its
+best label} — the last term (one extra labels-only join) shortcuts
+an extra chain level per round, roughly halving the rounds pure
+propagation needs. Each round is one edge⋈label join +
+one min-aggregate + one label⋈label join — shuffles proportional to
+|E| and |V|, labels only (8 B), never payloads. The loop is
+driver-side but the data never is: the convergence check is a cheap
+count of changed labels. Labels are localCheckpoint'ed per round —
+the relation is referenced multiple times per round, so a
+lineage-preserving cache would double the logical plan every round
+(a 2 GB plan string by round ~30); checkpointing keeps plans
+constant-size.
 
 Determinism: min() over a fixed vertex-id order — same clusters in
 any engine (the driver oracle computes the same closure with a
@@ -82,6 +86,7 @@ def connected_components(
     )
     try:
         for _ in range(max_rounds):
+            # hook: best label among self + neighbors
             neigh_min = (
                 sym.join(
                     labels.select(
@@ -92,14 +97,37 @@ def connected_components(
                 .groupBy("_v")
                 .agg(F.min("_nl").alias("_nmin"))
             )
+            cand = labels.join(neigh_min, "_v", "left").select(
+                "_v",
+                F.col("_label").alias("_old"),
+                F.least(
+                    F.col("_label"), F.coalesce(F.col("_nmin"), F.col("_label"))
+                ).alias("_cand"),
+            )
+            # shortcut (single pointer jump): also take the label OF
+            # the candidate label — one labels-only join per round,
+            # shortening chains by an extra level each round (24
+            # rounds → 15 on the fixture's chain component). One jump
+            # only: chaining several jump joins against clones of the
+            # same checkpointed relation inside one round triggered
+            # pathological re-execution growth (measured: checkpoint
+            # time ×6 per round from round ~8) — if deeper jumping is
+            # ever needed, checkpoint between jumps instead.
+            m = labels.select(
+                F.col("_v").alias("_cl"), F.col("_label").alias("_clab")
+            )
             new_labels = (
-                labels.join(neigh_min, "_v", "left")
+                cand.join(m, F.col("_cand") == F.col("_cl"), "left")
                 .select(
                     "_v",
+                    "_old",
                     F.least(
-                        F.col("_label"), F.coalesce(F.col("_nmin"), F.col("_label"))
+                        F.col("_cand"),
+                        F.coalesce(F.col("_clab"), F.col("_cand")),
                     ).alias("_label"),
-                    (F.col("_nmin") < F.col("_label")).alias("_chg"),
+                )
+                .select(
+                    "_v", "_label", (F.col("_label") < F.col("_old")).alias("_chg")
                 )
             ).localCheckpoint(eager=True)
             changed = new_labels.filter(F.col("_chg")).limit(1).count()
