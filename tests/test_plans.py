@@ -161,6 +161,23 @@ def test_mixture_is_filters_only(spark):
     assert "Exchange" not in p and "Join" not in p
 
 
+def test_asof_is_one_shuffle_no_join(spark):
+    # the union-tag formulation: ONE exchange (the keyed window
+    # shuffle), zero join operators — tolerance must not add a join
+    for q in (E.q_asof_join, E.q_asof_tolerance):
+        p = plan_of(q(spark, SF))
+        assert p.count("Exchange") == 1
+        assert "Join" not in p
+
+
+def test_decontaminate_joins_are_all_broadcast(spark):
+    # eval-set relations are the broadcast side everywhere; the corpus
+    # must never sort-merge/shuffle-hash against them
+    p = plan_of(E.q_corpus_decontaminate(spark, SF))
+    assert p.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
 def test_corpus_prepare_single_scan(spark):
     # quality + language + fingerprint fused: documents scanned once
     p = plan_of(E.q_corpus_prepare(spark, SF))
