@@ -3154,7 +3154,59 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered for the driver correctness snapshot, which records the
+    # FIRST ~50 entries only: queries with no green driver row yet
+    # (never-snapshotted or r01-only) come first, then the flagship and
+    # the queries touched by this round's fixes, then the r02-green rest.
     return {
+        "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
+        "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_lsh": q_dedup_clusters_lsh,
+        "corpus_mixture": q_corpus_mixture,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "text_tokens": q_text_tokens,
+        "text_fingerprints": q_text_fingerprints,
+        "text_redact": q_text_redact,
+        "text_vocabulary": q_text_vocabulary,
+        "catalog_stats": q_catalog_stats,
+        "snapshot_diff": q_snapshot_diff,
+        "scd2_customers": q_scd2_customers,
+        "sample_stratified": q_sample_stratified,
+        "sample_balanced": q_sample_balanced,
+        "chunk_chars": q_chunk_chars,
+        "chunk_tokens": q_chunk_tokens,
+        "events_range_join": q_events_range_join,
+        "events_stream_watermark": q_events_stream_watermark,
+        "events_stream_join": q_events_stream_join,
+        "events_stream_dedup": q_events_stream_dedup,
+        "events_stream_sessionize": q_events_stream_sessionize,
+        "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
+        "events_sessionize": q_events_sessionize,
+        "events_json": q_events_json,
+        "events_pivot": q_events_pivot,
+        "events_unpivot": q_events_unpivot,
+        "events_lag_lead": q_events_lag_lead,
+        "asof_tolerance": q_asof_tolerance,
+        "source_csv_roundtrip": q_source_csv_roundtrip,
+        "source_json_roundtrip": q_source_json_roundtrip,
+        "source_orc_roundtrip": q_source_orc_roundtrip,
+        "catalog_show_tables": q_catalog_show_tables,
+        "sim_ivf": q_sim_ivf,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_multiprobe": q_sim_ann_multiprobe,
+        "sim_ivf_kmeans": q_sim_ivf_kmeans,
+        "sim_neardup": q_sim_neardup,
+        "sim_neardup_lsh": q_sim_neardup_lsh,
+        "corpus_prepare": q_corpus_prepare,
+        "text_quality": q_text_quality,
+        "text_language": q_text_language,
+        "profiler_e2e": q_profiler_e2e,
+        "dedup_jaccard": q_dedup_jaccard,
+        "zorder_rowset": q_zorder_rowset,
+        "merge_upsert": q_merge_upsert,
         "profile_intended": q_profile_intended,
         "profile_as_written": q_profile_as_written,
         "profile_topk": q_profile_topk,
@@ -3164,11 +3216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_summary_approx": q_profile_summary_approx,
         "profile_quantiles": q_profile_quantiles,
         "profile_histogram": q_profile_histogram,
-        "profiler_e2e": q_profiler_e2e,
         "asof_join": q_asof_join,
-        "merge_upsert": q_merge_upsert,
         "merge_full_sync": q_merge_full_sync,
-        "zorder_rowset": q_zorder_rowset,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -3200,55 +3249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
-        "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_winnow": q_dedup_winnow,
         "sim_topk": q_sim_topk,
         "sim_topk_pandas": q_sim_topk_pandas,
-        "sim_ivf": q_sim_ivf,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ann_multiprobe": q_sim_ann_multiprobe,
-        "sim_ivf_kmeans": q_sim_ivf_kmeans,
-        "sim_neardup": q_sim_neardup,
-        "sim_neardup_lsh": q_sim_neardup_lsh,
-        "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_lsh": q_dedup_clusters_lsh,
-        "corpus_mixture": q_corpus_mixture,
-        "corpus_decontaminate": q_corpus_decontaminate,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_features": q_multimodal_features,
-        "corpus_prepare": q_corpus_prepare,
-        "text_quality": q_text_quality,
-        "text_language": q_text_language,
-        "text_tokens": q_text_tokens,
-        "text_fingerprints": q_text_fingerprints,
-        "text_redact": q_text_redact,
-        "text_vocabulary": q_text_vocabulary,
-        "catalog_stats": q_catalog_stats,
-        "snapshot_diff": q_snapshot_diff,
-        "scd2_customers": q_scd2_customers,
-        "sample_stratified": q_sample_stratified,
-        "sample_balanced": q_sample_balanced,
-        "chunk_chars": q_chunk_chars,
-        "chunk_tokens": q_chunk_tokens,
-        "events_range_join": q_events_range_join,
-        "events_stream_watermark": q_events_stream_watermark,
-        "events_stream_join": q_events_stream_join,
-        "events_stream_dedup": q_events_stream_dedup,
-        "events_stream_sessionize": q_events_stream_sessionize,
-        "events_tumbling": q_events_tumbling,
-        "events_sliding": q_events_sliding,
-        "events_sessionize": q_events_sessionize,
-        "events_json": q_events_json,
-        "events_pivot": q_events_pivot,
-        "events_unpivot": q_events_unpivot,
-        "events_lag_lead": q_events_lag_lead,
-        "asof_tolerance": q_asof_tolerance,
-        "source_csv_roundtrip": q_source_csv_roundtrip,
-        "source_json_roundtrip": q_source_json_roundtrip,
-        "source_orc_roundtrip": q_source_orc_roundtrip,
-        "catalog_show_tables": q_catalog_show_tables,
     }
 
 

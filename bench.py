@@ -155,16 +155,33 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
-    out = {
+    # Full per-query detail goes to a committed artifact; the stdout
+    # line must stay under the driver's 2000-char stdout-tail capture
+    # (BENCH_r02 recorded parsed:null because the 93-query line
+    # overflowed it), so the line carries the slowest queries only.
+    detail = {
         "metric": "e2e_profile_sec",
         "value": timings["profiler_e2e"],
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "total_sec": total,
+        "n_queries": len(timings),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
-    print(json.dumps(out))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    out = dict(detail)
+    ranked = sorted(timings, key=timings.get, reverse=True)
+    keep = len(ranked)
+    line = json.dumps(out, separators=(",", ":"))
+    while len(line) > 1900 and keep > 1:
+        keep -= 1
+        out["queries"] = {k: timings[k] for k in ranked[:keep]}
+        out["queries_omitted"] = len(timings) - keep
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
