@@ -2083,14 +2083,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation, ext/graph.py) over the exact near-dup pair
     graph — the transitive-closure step that turns pairwise "is-dup"
     verdicts into one canonical representative per group. The oracle
-    computes the same closure with a recursive CTE."""
-    from lakehouse_tools_spark.ext.graph import connected_components
+    computes the same closure with a recursive CTE. Runs the
+    tree-contraction union-find (log P mapInPandas levels over forest
+    edges, no |E| shuffle rounds); tests pin its row-for-row equality
+    with the label-propagation fallback."""
+    from lakehouse_tools_spark.ext.graph import connected_components_contract
 
     emb = load_table(_spark(spark), sf_dir, "embeddings").filter(
         F.col("vec_id") < 300
     )
     pairs = X_sim.neardup_pairs(emb, threshold=0.2).select("vec_id", "vec_id2")
-    return connected_components(
+    return connected_components_contract(
         pairs, emb, src_col="vec_id", dst_col="vec_id2", id_col="vec_id"
     )
 
@@ -2102,13 +2105,13 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are engine-specific); the oracle-checked exact variant is
     `dedup_clusters`, and every vertex appearing here is pinned to a
     valid cluster id by the operator's own invariants (tests)."""
-    from lakehouse_tools_spark.ext.graph import connected_components
+    from lakehouse_tools_spark.ext.graph import connected_components_contract
 
     emb = load_table(_spark(spark), sf_dir, "embeddings")
     pairs = X_sim.neardup_pairs_lsh(
         emb, threshold=0.3, num_planes=8, multi_probe=True
     ).select("vec_id", "vec_id2")
-    return connected_components(
+    return connected_components_contract(
         pairs, emb, src_col="vec_id", dst_col="vec_id2", id_col="vec_id"
     )
 

@@ -6,21 +6,31 @@ transitive closure: WHICH GROUP does each document belong to, so one
 canonical representative per group survives. That is connected
 components over the pair graph.
 
-Algorithm: iterative min-label propagation with pointer jumping (the
-standard MapReduce/Pregel formulation plus shortcutting). Every
-vertex starts labeled with its own id; each round every vertex takes
-the min over {its label, its neighbors' labels, the label OF its
-best label} — the last term (one extra labels-only join) shortcuts
-an extra chain level per round, roughly halving the rounds pure
-propagation needs. Each round is one edge⋈label join +
-one min-aggregate + one label⋈label join — shuffles proportional to
-|E| and |V|, labels only (8 B), never payloads. The loop is
-driver-side but the data never is: the convergence check is a cheap
-count of changed labels. Labels are localCheckpoint'ed per round —
-the relation is referenced multiple times per round, so a
-lineage-preserving cache would double the logical plan every round
-(a 2 GB plan string by round ~30); checkpointing keeps plans
-constant-size.
+Algorithm: iterative min-label propagation with in-plan pointer
+jumping. Every vertex starts labeled with its own id; each round one
+declarative plan computes min over {its label, its neighbors' labels}
+and then follows the label mapping twice more (two pointer jumps), so
+a round's reach is roughly 3× a plain propagation round and the total
+round count is O(log diameter), not O(diameter). Each round is one
+edge⋈label join + one min-aggregate + two labels-only joins —
+shuffles proportional to |E| and |V|, labels only (8 B), never
+payloads. The loop is driver-side but the data never is: the
+convergence check is a changed-flag probe on the materialized round
+output.
+
+Per-round materialization is a PARQUET ROUND-TRIP, not
+``localCheckpoint``/``checkpoint``. Measured on this Spark (4.1):
+iterating localCheckpoint self-joins slows down exponentially
+(~×2.5/round from round ~18; 0.4 s → 65 s by round ~24) even though
+the executed plan, partition count, and row count stay constant — the
+local-checkpoint lineage isn't truly truncated and the self-join
+doubles the untracked graph every round. Reliable ``checkpoint()``
+shows the same drift and recomputes the plan besides. Writing the
+(16 B/row) label relation to parquet and reading it back is flat
+(~0.5 s/round over 30 rounds measured) and is also the right cluster
+shape: the reread gives Catalyst real size stats (enabling broadcast
+of a small label side), and round state survives executor loss, which
+executor-local checkpoint blocks do not.
 
 Determinism: min() over a fixed vertex-id order — same clusters in
 any engine (the driver oracle computes the same closure with a
@@ -29,9 +39,50 @@ recursive CTE).
 
 from __future__ import annotations
 
+import shutil
+import tempfile
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _label_round(labels: DataFrame, sym: DataFrame, jumps: int) -> DataFrame:
+    """One declarative round: neighbor-min merge, then ``jumps``
+    pointer jumps through the (old) label mapping, all in ONE plan.
+    The label relation is referenced ``jumps + 2`` times — fine,
+    because ``labels`` is a freshly-read parquet relation (a leaf
+    scan), not a lineage chain. Emits ``_v, _label, _chg``."""
+    neigh_min = (
+        sym.join(
+            labels.select(F.col("_v").alias("_u"), F.col("_label").alias("_nl")),
+            "_u",
+        )
+        .groupBy("_v")
+        .agg(F.min("_nl").alias("_nmin"))
+    )
+    out = labels.join(neigh_min, "_v", "left").select(
+        "_v",
+        F.col("_label").alias("_old"),
+        F.least(
+            F.col("_label"), F.coalesce(F.col("_nmin"), F.col("_label"))
+        ).alias("_label"),
+    )
+    for i in range(jumps):
+        m = labels.select(
+            F.col("_v").alias(f"_cl{i}"), F.col("_label").alias(f"_clab{i}")
+        )
+        out = out.join(m, F.col("_label") == F.col(f"_cl{i}"), "left").select(
+            "_v",
+            "_old",
+            F.least(
+                F.col("_label"),
+                F.coalesce(F.col(f"_clab{i}"), F.col("_label")),
+            ).alias("_label"),
+        )
+    return out.select(
+        "_v", "_label", (F.col("_label") < F.col("_old")).alias("_chg")
+    )
 
 
 def connected_components(
@@ -41,13 +92,18 @@ def connected_components(
     dst_col: str = "doc_id2",
     id_col: str = "doc_id",
     max_rounds: int = 50,
+    work_dir: str | None = None,
+    jumps_per_round: int = 2,
 ) -> DataFrame:
     """``(id_col, cluster_id)`` for every vertex; ``cluster_id`` is
     the minimum vertex id of the component (singletons map to
     themselves). Raises if the propagation hasn't converged after
-    ``max_rounds`` — with min-label propagation that means a
-    component of diameter > max_rounds, which duplicate graphs don't
-    produce (raise the cap for genuinely chain-shaped graphs).
+    ``max_rounds`` — with jumped min-label propagation that means a
+    component of diameter ≳ 3^max_rounds, which no real graph has.
+
+    ``work_dir`` holds the per-round label state (16 B/vertex); pass
+    a durable path on a real cluster (restartable and
+    executor-loss-safe), default is a process-local temp dir.
     """
     # symmetrize in ONE pass over the (possibly expensive) edge plan:
     # explode [(v,u),(u,v)] per edge rather than unioning two
@@ -69,75 +125,186 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # localCheckpoint, not persist: each round references the previous
-    # labels TWICE (the neighbor-min join and the left join), so a
-    # lineage-preserving cache would DOUBLE the logical plan per round
-    # — by round ~30 the plan string alone exceeds 2 GB and the driver
-    # chokes on analysis, long before any data moves. Checkpointing
-    # materializes the (tiny: 16 B/vertex) label relation AND truncates
-    # lineage, keeping every round's plan constant-size. Local (executor
-    # -stored) checkpoints are fine for a batch operator; a restartable
-    # pipeline would pass a reliable checkpoint dir instead.
+    spark = edges.sparkSession
+    own_dir = work_dir is None
+    base = work_dir or tempfile.mkdtemp(prefix="lt_cc_")
     labels = (
         vertices.select(F.col(id_col).alias("_v"))
         .distinct()
         .withColumn("_label", F.col("_v"))
-        .localCheckpoint(eager=True)
     )
     try:
-        for _ in range(max_rounds):
-            # hook: best label among self + neighbors
-            neigh_min = (
-                sym.join(
-                    labels.select(
-                        F.col("_v").alias("_u"), F.col("_label").alias("_nl")
-                    ),
-                    "_u",
+        for r in range(max_rounds):
+            out = _label_round(labels, sym, jumps_per_round)
+            path = f"{base}/round={r % 2}"  # ping-pong: only 2 states live
+            out.write.mode("overwrite").parquet(path)
+            state = spark.read.parquet(path)
+            labels = state.drop("_chg")
+            if state.filter(F.col("_chg")).limit(1).count() == 0:
+                # nothing moved through an edge or a jump: every edge
+                # joins two equal labels, so labels are the component
+                # minima. Materialize the result OFF the work dir
+                # before it is deleted.
+                result = labels.select(
+                    F.col("_v").alias(id_col),
+                    F.col("_label").alias("cluster_id"),
                 )
-                .groupBy("_v")
-                .agg(F.min("_nl").alias("_nmin"))
-            )
-            cand = labels.join(neigh_min, "_v", "left").select(
-                "_v",
-                F.col("_label").alias("_old"),
-                F.least(
-                    F.col("_label"), F.coalesce(F.col("_nmin"), F.col("_label"))
-                ).alias("_cand"),
-            )
-            # shortcut (single pointer jump): also take the label OF
-            # the candidate label — one labels-only join per round,
-            # shortening chains by an extra level each round (24
-            # rounds → 15 on the fixture's chain component). One jump
-            # only: chaining several jump joins against clones of the
-            # same checkpointed relation inside one round triggered
-            # pathological re-execution growth (measured: checkpoint
-            # time ×6 per round from round ~8) — if deeper jumping is
-            # ever needed, checkpoint between jumps instead.
-            m = labels.select(
-                F.col("_v").alias("_cl"), F.col("_label").alias("_clab")
-            )
-            new_labels = (
-                cand.join(m, F.col("_cand") == F.col("_cl"), "left")
-                .select(
-                    "_v",
-                    "_old",
-                    F.least(
-                        F.col("_cand"),
-                        F.coalesce(F.col("_clab"), F.col("_cand")),
-                    ).alias("_label"),
-                )
-                .select(
-                    "_v", "_label", (F.col("_label") < F.col("_old")).alias("_chg")
-                )
-            ).localCheckpoint(eager=True)
-            changed = new_labels.filter(F.col("_chg")).limit(1).count()
-            labels = new_labels.drop("_chg")
-            if changed == 0:
-                return labels.select(
-                    F.col("_v").alias(id_col), F.col("_label").alias("cluster_id")
-                )
+                if own_dir:
+                    result = result.localCheckpoint(eager=True)
+                return result
     finally:
         sym.unpersist()
+        if own_dir:
+            shutil.rmtree(base, ignore_errors=True)
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds"
     )
+
+
+def connected_components_contract(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src_col: str = "doc_id",
+    dst_col: str = "doc_id2",
+    id_col: str = "doc_id",
+    fan_in: int = 8,
+    start_partitions: int | None = None,
+) -> DataFrame:
+    """Connected components by TREE-CONTRACTION UNION-FIND — the
+    fast path for sparse duplicate graphs (|E| ≈ O(|V_dup|), the
+    shape LSH/exact dedup always produces).
+
+    Each level runs union-find inside every partition (``mapInPandas``
+    — pure per-partition state, no shuffle) and emits the partition's
+    spanning star: one ``(vertex, local_root)`` edge per non-root
+    vertex, which preserves connectivity while capping the partition's
+    output at its distinct-vertex count. ``repartition(P // fan_in)``
+    merges ``fan_in`` forests into one partition for the next level,
+    so after ``log_fan_in(P)`` levels a single partition holds a
+    spanning forest of the whole dup graph and computes exact min-id
+    labels. The between-level exchange carries only forest edges
+    (16 B each) — the raw edge relation is read ONCE. A narrow
+    ``coalesce`` would be shuffle-free but is the wrong tool: it FUSES
+    every level into one stage, so the whole chain executes as a
+    single task with k sequential JVM→Python→JVM hops and zero
+    parallelism (measured: 5.4 s vs 0.8 s on an identity 3-level
+    chain) — the stage boundary is what buys parallel level-0/1.
+
+    Versus :func:`connected_components`: label propagation pays
+    O(log diameter) rounds × (one |E| shuffle + materialization)
+    each; contraction pays O(log P) forest-sized passes total. The
+    trade-off is that the final partition materializes the spanning
+    forest of every duplicated vertex in one task — right whenever
+    dup-cluster membership is a modest fraction of the corpus (LSH
+    dedup at 100 TB: forest ≈ #near-dup docs × 16 B; 1 B dup docs ≈
+    16 GB — one fat executor task, still bounded; beyond that, fall
+    back to label propagation, which never concentrates state).
+
+    Python union-find is the right tool here, not a UDF smell: the
+    operation is inherently sequential-stateful per partition, α(n)
+    per edge, and runs on the contracted (post-level-0) relation —
+    Catalyst has no equivalent operator.
+
+    Determinism: spanning stars depend only on partition contents
+    (hash of ``src_col``), and the final exact pass replaces every
+    root with the true component minimum, so the output is identical
+    to :func:`connected_components` row-for-row.
+    """
+    import pandas as pd
+
+    spark = edges.sparkSession
+    dt = dict(edges.dtypes)[src_col]
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    if start_partitions is None:
+        start_partitions = spark.sparkContext.defaultParallelism
+    e = e.repartition(start_partitions, "u")
+
+    def _forest(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for b in batches:
+            for u, v in zip(b["u"], b["v"]):
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # min-id as root keeps the star edges canonical
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        rows_u, rows_v = [], []
+        for x in parent:
+            r = find(x)
+            if r != x:
+                rows_u.append(x)
+                rows_v.append(r)
+        yield pd.DataFrame({"u": rows_u, "v": rows_v})
+
+    def _final(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        seen = set()
+        for b in batches:
+            for u, v in zip(b["u"], b["v"]):
+                seen.add(u)
+                seen.add(v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        # exact component minimum per root (roots are min-id by
+        # construction, but the reduction is cheap and makes the
+        # invariant independent of union order)
+        best: dict = {}
+        for x in seen:
+            r = find(x)
+            if r not in best or x < best[r]:
+                best[r] = x
+        out_v, out_c = [], []
+        for x in seen:
+            out_v.append(x)
+            out_c.append(best[find(x)])
+        yield pd.DataFrame({"u": out_v, "v": out_c})
+
+    schema = f"u {dt}, v {dt}"
+    p = start_partitions
+    while p > 1:
+        e = e.mapInPandas(_forest, schema)
+        p = max(1, p // fan_in)
+        e = e.repartition(p, "u")
+    assign = e.mapInPandas(_final, schema).select(
+        F.col("u").alias("_v"), F.col("v").alias("_cluster")
+    )
+    # no broadcast hint: the assignment covers every duplicated vertex
+    # (possibly huge at 100 TB) — AQE picks broadcast when it is small
+    ids = vertices.select(F.col(id_col).alias("_v")).distinct()
+    return ids.join(assign, "_v", "left").select(
+        F.col("_v").alias(id_col),
+        F.coalesce(F.col("_cluster"), F.col("_v")).alias("cluster_id"),
+    )
+
+
+def cluster_representatives(
+    assignment: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One surviving row per duplicate cluster: the member with the
+    minimum id (== the cluster id itself, by construction of
+    :func:`connected_components`)."""
+    return assignment.filter(F.col(id_col) == F.col("cluster_id"))

@@ -1,43 +1,62 @@
-"""Connected components / duplicate clustering (ext/graph.py)."""
+"""Connected components / duplicate clustering (ext/graph.py).
+
+Both implementations — label propagation (``connected_components``)
+and tree-contraction union-find (``connected_components_contract``) —
+must produce identical assignments; every structural test runs
+against both.
+"""
 
 from __future__ import annotations
 
 import pytest
 
-from lakehouse_tools_spark.ext.graph import connected_components
+from lakehouse_tools_spark.ext.graph import (
+    cluster_representatives,
+    connected_components,
+    connected_components_contract,
+)
+
+IMPLS = {
+    "propagate": connected_components,
+    "contract": connected_components_contract,
+}
 
 
-def _cc(spark, edges, vertices, **kw):
+def _cc(spark, edges, vertices, impl=connected_components, **kw):
     e = spark.createDataFrame(edges or [(None, None)], "doc_id long, doc_id2 long")
     if not edges:
         e = e.filter("doc_id is not null")
     v = spark.createDataFrame([(x,) for x in vertices], "doc_id long")
     return {
         (r.doc_id, r.cluster_id)
-        for r in connected_components(e, v, **kw).collect()
+        for r in impl(e, v, **kw).collect()
     }
 
 
-def test_two_components_and_singleton(spark):
-    got = _cc(spark, [(1, 2), (2, 3), (10, 11)], [1, 2, 3, 10, 11, 99])
+@pytest.mark.parametrize("impl", IMPLS.values(), ids=IMPLS.keys())
+def test_two_components_and_singleton(spark, impl):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)], [1, 2, 3, 10, 11, 99], impl)
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (99, 99)}
 
 
-def test_chain_needs_multiple_rounds(spark):
+@pytest.mark.parametrize("impl", IMPLS.values(), ids=IMPLS.keys())
+def test_chain_needs_multiple_rounds(spark, impl):
     # a path graph: min label must walk the whole chain
     chain = [(i, i + 1) for i in range(1, 8)]
-    got = _cc(spark, chain, list(range(1, 9)))
+    got = _cc(spark, chain, list(range(1, 9)), impl)
     assert got == {(i, 1) for i in range(1, 9)}
 
 
-def test_edge_order_and_direction_irrelevant(spark):
-    a = _cc(spark, [(5, 2), (2, 9)], [2, 5, 9])
-    b = _cc(spark, [(9, 2), (2, 5)], [2, 5, 9])
+@pytest.mark.parametrize("impl", IMPLS.values(), ids=IMPLS.keys())
+def test_edge_order_and_direction_irrelevant(spark, impl):
+    a = _cc(spark, [(5, 2), (2, 9)], [2, 5, 9], impl)
+    b = _cc(spark, [(9, 2), (2, 5)], [2, 5, 9], impl)
     assert a == b == {(2, 2), (5, 2), (9, 2)}
 
 
-def test_no_edges_all_singletons(spark):
-    got = _cc(spark, [], [1, 2, 3])
+@pytest.mark.parametrize("impl", IMPLS.values(), ids=IMPLS.keys())
+def test_no_edges_all_singletons(spark, impl):
+    got = _cc(spark, [], [1, 2, 3], impl)
     assert got == {(1, 1), (2, 2), (3, 3)}
 
 
@@ -45,3 +64,46 @@ def test_nonconvergence_raises(spark):
     chain = [(i, i + 1) for i in range(1, 6)]
     with pytest.raises(RuntimeError):
         _cc(spark, chain, list(range(1, 7)), max_rounds=1)
+
+
+def test_impls_agree_on_random_graph(spark):
+    # pseudo-random sparse graph: chains, stars, and cross links
+    import random
+
+    rng = random.Random(7)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    verts = list(range(n))
+    a = _cc(spark, edges, verts, connected_components)
+    b = _cc(spark, edges, verts, connected_components_contract)
+    assert a == b
+
+
+def test_contract_string_ids(spark):
+    e = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "doc_id string, doc_id2 string"
+    )
+    v = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("x",), ("y",), ("z",)], "doc_id string"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_contract(e, v).collect()
+    }
+    assert got == {
+        ("a", "a"),
+        ("b", "a"),
+        ("c", "a"),
+        ("x", "x"),
+        ("y", "x"),
+        ("z", "z"),
+    }
+
+
+def test_cluster_representatives(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3)], "doc_id long, doc_id2 long")
+    v = spark.createDataFrame([(x,) for x in [1, 2, 3, 9]], "doc_id long")
+    assign = connected_components_contract(e, v)
+    reps = {r.doc_id for r in cluster_representatives(assign).collect()}
+    assert reps == {1, 9}
