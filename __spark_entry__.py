@@ -305,6 +305,50 @@ def q_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+def q_profile_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quartiles per numeric column (orders + lineitem) —
+    the oracle-checkable companion of the sketch profiler above.
+    ``F.percentile`` and DuckDB's ``quantile_cont`` share the linear
+    interpolation at rank p·(n−1); both sides round to 6 decimals."""
+    from lakehouse_tools_spark.operators.profile import numeric_quantiles_exact
+
+    s = _spark(spark)
+    parts = [
+        numeric_quantiles_exact(load_table(s, sf_dir, t), DB, t)
+        for t in ("orders", "lineitem")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+_QUANT_COLS = {
+    "orders": [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_totalprice", "double"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+    ],
+}
+
+_QUANT_EXACT_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{DB}' AS databaseName, '{t}' AS tableName,"
+    f" '{c}' AS columnName, '{dt}' AS dataType,"
+    f" round(quantile_cont({c}, 0.25), 6) AS q25,"
+    f" round(quantile_cont({c}, 0.50), 6) AS q50,"
+    f" round(quantile_cont({c}, 0.75), 6) AS q75 FROM {t}"
+    for t, cols in _QUANT_COLS.items()
+    for c, dt in cols
+)
+
+
 _HIST_BINS = 16
 
 
@@ -480,6 +524,75 @@ SELECT s.k AS k, s.v AS v FROM s
 WHERE s.v IN ('{MERGE_RESIDUAL_EXCL[0]}', '{MERGE_RESIDUAL_EXCL[1]}')
    OR s.k NOT IN (SELECT k FROM t)
 """
+
+
+def _cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a CDC change feed: key = user_id, sequence = event_id
+    (unique, arrival-ordered), op = delete on 'error' events else
+    upsert — the shape a Debezium/Delta-CDF consumer hands an apply
+    job."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        "props",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-feed resolution (operators/cdc.py): the table state
+    a change feed implies — latest op per key wins, keys whose final
+    op is a delete disappear. One hash shuffle on the key (window
+    row_number), no join. Oracle: the same window in SQL."""
+    from lakehouse_tools_spark.operators.cdc import apply_changes
+
+    return apply_changes(
+        _cdc_feed(_spark(spark), sf_dir), keys=["user_id"], sequence_col="event_id"
+    )
+
+
+_CDC_APPLY_ORACLE = """
+WITH feed AS (
+  SELECT user_id, event_id, ts, value, props,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM feed
+)
+SELECT user_id, event_id, ts, value, props FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC application: resolve a prefix of the feed into
+    a base table state, then apply the remainder as a batch
+    (left-anti replace + union, operators/cdc.py). The oracle is the
+    SINGLE-pass resolution of the whole feed — chunked application
+    must land on the identical state (associativity; also pinned for
+    every split point in tests/test_cdc.py)."""
+    from lakehouse_tools_spark.operators.cdc import (
+        apply_changes,
+        apply_changes_into,
+    )
+
+    feed = _cdc_feed(_spark(spark), sf_dir)
+    base = apply_changes(
+        feed.filter(F.col("event_id") <= 5000),
+        keys=["user_id"],
+        sequence_col="event_id",
+    )
+    return apply_changes_into(
+        base,
+        feed.filter(F.col("event_id") > 5000),
+        keys=["user_id"],
+        sequence_col="event_id",
+    )
 
 
 def q_zorder_rowset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2142,6 +2255,64 @@ SELECT v AS vec_id, min(u) AS cluster_id FROM reach GROUP BY v
 # ---------------------------------------------------------------- multimodal
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication, end to end: exact
+    cosine near-dup pairs → connected components (tree-contraction) →
+    keep the min-id representative per cluster, reporting how many
+    members it absorbed. The oracle rebuilds the identical closure
+    with a recursive CTE and keeps v = min(component)."""
+    from lakehouse_tools_spark.ext.graph import (
+        cluster_representatives,
+        connected_components_contract,
+    )
+
+    emb = load_table(_spark(spark), sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    pairs = X_sim.neardup_pairs(emb, threshold=0.3).select("vec_id", "vec_id2")
+    assign = connected_components_contract(
+        pairs, emb, src_col="vec_id", dst_col="vec_id2", id_col="vec_id"
+    )
+    sizes = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        cluster_representatives(assign, "vec_id")
+        .join(sizes, "cluster_id")
+        .select("vec_id", "n_members")
+    )
+
+
+_SEMANTIC_DEDUP_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 300
+),
+pairs AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+),
+sym AS (
+  SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs
+),
+reach AS (
+  SELECT vec_id AS v, vec_id AS u FROM e
+  UNION
+  SELECT r.v, s.b AS u FROM reach r JOIN sym s ON s.a = r.u
+),
+assign AS (
+  SELECT v AS vec_id, min(u) AS cluster_id FROM reach GROUP BY v
+)
+SELECT a.vec_id AS vec_id, CAST(n.n AS BIGINT) AS n_members
+FROM assign a
+JOIN (SELECT cluster_id, count(*) AS n FROM assign GROUP BY cluster_id) n
+  ON a.cluster_id = n.cluster_id
+WHERE a.vec_id = a.cluster_id
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode via mapInPandas (stub codec, real Arrow
     plumbing). The fake decoder is md5-derived, so DuckDB can verify
@@ -2443,6 +2614,56 @@ FROM (
   )
 )
 """
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk training-sequence packing (ext/packing.py):
+    documents stream into 8 hash buckets, cumulative spans slice into
+    1024-unit sequences, documents straddle boundaries as fragments.
+    One window cumsum + explode, no join (plan pinned in tests). The
+    md5 bucket hash is engine-portable, so DuckDB recomputes the full
+    assignment."""
+    from lakehouse_tools_spark.ext.packing import pack_chunks
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return pack_chunks(docs, "doc_id", "n_chars", budget=1024, num_buckets=8)
+
+
+_PACK_CHUNKS_ORACLE = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket
+  FROM documents WHERE n_chars > 0
+), s AS (
+  -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas reads as float
+  SELECT bucket, doc_id, n_chars,
+         CAST(SUM(n_chars) OVER (PARTITION BY bucket ORDER BY doc_id) - n_chars AS BIGINT) AS st,
+         CAST(SUM(n_chars) OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT) AS en
+  FROM b
+), e AS (
+  SELECT bucket, doc_id, st, en,
+         unnest(generate_series(CAST(floor(st / 1024.0) AS BIGINT),
+                                CAST(floor((en - 1) / 1024.0) AS BIGINT))) AS seq_id
+  FROM s
+)
+SELECT bucket, seq_id, doc_id,
+       greatest(0, seq_id * 1024 - st) AS frag_start,
+       least(en, (seq_id + 1) * 1024) - greatest(st, seq_id * 1024) AS frag_len
+FROM e
+"""
+
+
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document first-fit-decreasing packing: documents never
+    split; per-bucket sequential fitting runs as applyInPandas (the
+    honest escape hatch — first-fit is inherently stateful). Rows-only
+    by design (first-fit isn't SQL-expressible); capacity, coverage,
+    determinism, and oversize-isolation are pinned in
+    tests/test_packing.py."""
+    from lakehouse_tools_spark.ext.packing import pack_bins
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return pack_bins(docs, "doc_id", "n_chars", budget=1024, num_buckets=8)
 
 
 _MIX_WEIGHTS = {"en": 3.0, "de": 1.0}
@@ -3134,6 +3355,44 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORC_ROUNDTRIP_ORACLE = "SELECT * FROM lineitem"
 
 
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-file export + ``binaryFile``-source scan: write every
+    document's UTF-8 bytes as its own file (distributed mapInPandas
+    manifest, sources/formats.py), read the directory back with
+    Spark's binaryFile source, and fingerprint each file. The oracle
+    recomputes name/size/md5 from the documents table directly — any
+    file dropped, truncated, or bit-flipped in the round trip breaks
+    the hash. This is the ingestion plumbing multimodal pipelines use
+    (ext/multimodal.py consumes the same (path, content) shape)."""
+    import shutil
+
+    from lakehouse_tools_spark.sources.formats import export_binary, read_binary
+
+    s = _spark(spark)
+    docs = load_table(s, sf_dir, "documents")
+    out_dir = "/root/repo/spark-warehouse/_io/docs_bin"
+    shutil.rmtree(out_dir, ignore_errors=True)  # no stale files from prior sf
+    export_binary(docs, "doc_id", "text", out_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    files = read_binary(s, out_dir, glob="*.bin")
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length(F.col("content")).alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+_BINARYFILE_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
 def q_catalog_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 + P5: SHOW TABLES minus the self-exclusion list. Catalog
     contents depend on the hosting session → rows-only check; the
@@ -3159,8 +3418,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver correctness snapshot, which records the
     # FIRST ~50 entries only: queries with no green driver row yet
-    # (never-snapshotted or r01-only) come first, then the flagship and
-    # the queries touched by this round's fixes, then the r02-green rest.
+    # (never-snapshotted, r01-only, or new this round) come first, then
+    # the flagship, then the already-green remainder.
     return {
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
@@ -3196,7 +3455,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_csv_roundtrip": q_source_csv_roundtrip,
         "source_json_roundtrip": q_source_json_roundtrip,
         "source_orc_roundtrip": q_source_orc_roundtrip,
-        "catalog_show_tables": q_catalog_show_tables,
         "sim_ivf": q_sim_ivf,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_multiprobe": q_sim_ann_multiprobe,
@@ -3207,6 +3465,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_language": q_text_language,
         "profiler_e2e": q_profiler_e2e,
+        "cdc_apply": q_cdc_apply,
+        "cdc_merge_into": q_cdc_merge_into,
+        "pack_chunks": q_pack_chunks,
+        "profile_quantiles_exact": q_profile_quantiles_exact,
+        "semantic_dedup": q_semantic_dedup,
+        "source_binaryfile": q_source_binaryfile,
+        "pack_bins": q_pack_bins,
+        "catalog_show_tables": q_catalog_show_tables,
         "dedup_jaccard": q_dedup_jaccard,
         "zorder_rowset": q_zorder_rowset,
         "merge_upsert": q_merge_upsert,
@@ -3295,6 +3561,12 @@ def oracle_sql() -> dict[str, str]:
         "source_csv_roundtrip": _CSV_ROUNDTRIP_ORACLE,
         "source_json_roundtrip": _JSON_ROUNDTRIP_ORACLE,
         "source_orc_roundtrip": _ORC_ROUNDTRIP_ORACLE,
+        "source_binaryfile": _BINARYFILE_ORACLE,
+        "cdc_apply": _CDC_APPLY_ORACLE,
+        "cdc_merge_into": _CDC_APPLY_ORACLE,
+        "pack_chunks": _PACK_CHUNKS_ORACLE,
+        "profile_quantiles_exact": _QUANT_EXACT_ORACLE,
+        "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
         "skew_salted_agg": _SKEW_SALTED_ORACLE,
         "skew_salted_join": _SKEW_SALTED_JOIN_ORACLE,
         "quality_check": _QUALITY_CHECK_ORACLE,

@@ -121,6 +121,13 @@ BENCH_QUERIES = [
     "source_csv_roundtrip",
     "source_json_roundtrip",
     "source_orc_roundtrip",
+    "source_binaryfile",
+    "cdc_apply",
+    "cdc_merge_into",
+    "pack_chunks",
+    "pack_bins",
+    "profile_quantiles_exact",
+    "semantic_dedup",
 ]
 
 

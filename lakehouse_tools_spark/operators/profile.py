@@ -372,6 +372,59 @@ def numeric_quantiles(
     )
 
 
+def numeric_quantiles_exact(
+    df: DataFrame,
+    database: str,
+    table: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """EXACT quartiles per numeric column, same output contract as
+    :func:`numeric_quantiles`. ``F.percentile`` linearly interpolates
+    at rank p·(n−1) — the same definition DuckDB's ``quantile_cont``
+    uses, which is what makes this the oracle-checkable variant
+    (values rounded to 6 decimals on both sides to absorb
+    summation-order float drift). Still ONE wide aggregate over one
+    scan, but exact percentile buffers all values per column in the
+    aggregate state — the sketch variant is the 100 TB default, this
+    one is for moderate tables and for auditing the sketch's error.
+    """
+    fields = [
+        f for f in df.schema.fields if isinstance(f.dataType, T.NumericType)
+    ]
+    if not fields:
+        return df.sparkSession.createDataFrame([], QUANTILE_SCHEMA)
+    qs = F.array(*[F.lit(float(p)) for p in probs])
+    wide = df.agg(
+        *[
+            F.percentile(F.col(f"`{f.name}`"), qs).alias(f"_q_{f.name}")
+            for f in fields
+        ]
+    )
+    branches = []
+    for f in fields:
+        q = F.col(f"`_q_{f.name}`")
+        branches.append(F.lit(f.name))
+        for i in range(3):
+            branches.append(F.round(q[i].cast("double"), 6))
+    long = wide.select(
+        F.stack(F.lit(len(fields)), *branches).alias(
+            "columnName", "q25", "q50", "q75"
+        )
+    )
+    dtype_map = F.create_map(
+        *[x for f in fields for x in (F.lit(f.name), F.lit(f.dataType.simpleString()))]
+    )
+    return long.select(
+        F.lit(database).alias("databaseName"),
+        F.lit(table).alias("tableName"),
+        F.col("columnName"),
+        dtype_map[F.col("columnName")].alias("dataType"),
+        F.col("q25"),
+        F.col("q50"),
+        F.col("q75"),
+    )
+
+
 HISTOGRAM_SCHEMA = T.StructType(
     [
         T.StructField("databaseName", T.StringType()),

@@ -107,6 +107,69 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def export_binary(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    path: str,
+    suffix: str = ".bin",
+) -> DataFrame:
+    """Materialize a binary column as one file per row (``<id><suffix>``
+    under ``path``) — the export half of a multimodal pipeline
+    (shipping decoded images/audio to a model's file-based loader).
+    Distributed: each task writes its own partition's rows directly
+    (``mapInPandas`` manifest — no driver collect, no coalesce(1));
+    returns the written manifest ``(<id_col>, file_name, n_bytes)``.
+    The write happens on manifest materialization (action-on-consume,
+    like every Spark sink). String content is encoded UTF-8.
+
+    Local-filesystem path semantics: on a real cluster, point ``path``
+    at shared storage (object store via a mounted/fuse layer) — each
+    executor writes its shard independently, which is exactly the
+    fan-out an object store wants.
+    """
+    import os
+
+    import pandas as pd
+
+    dt = dict(df.dtypes)[id_col]
+    sel = df.select(id_col, content_col)
+
+    def _write(batches):
+        os.makedirs(path, exist_ok=True)
+        for b in batches:
+            names, sizes = [], []
+            for i, content in zip(b[id_col], b[content_col]):
+                data = (
+                    content.encode("utf-8")
+                    if isinstance(content, str)
+                    else bytes(content)
+                )
+                name = f"{i}{suffix}"
+                with open(os.path.join(path, name), "wb") as fh:
+                    fh.write(data)
+                names.append(name)
+                sizes.append(len(data))
+            yield pd.DataFrame(
+                {id_col: b[id_col], "file_name": names, "n_bytes": sizes}
+            )
+
+    return sel.mapInPandas(_write, f"{id_col} {dt}, file_name string, n_bytes long")
+
+
+def read_binary(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Scan a directory of opaque files with Spark's ``binaryFile``
+    source: ``(path, modificationTime, length, content)``, one row per
+    file, read in parallel. The ingestion half of the multimodal
+    pipeline (ext/multimodal.py decodes ``content`` downstream)."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
 def roundtrip(df: DataFrame, path: str, fmt: str) -> DataFrame:
     """Write ``df`` to ``path`` as ``fmt`` and read it back with the
     source DataFrame's own schema — the self-check used by the

@@ -72,3 +72,25 @@ def test_orc_roundtrip_preserves_rows_and_prunes(spark, tables):
         .toString()
     )
     assert "l_quantity" not in plan.split("ReadSchema")[-1][:200]
+
+
+def test_binary_export_and_scan_roundtrip(spark):
+    from lakehouse_tools_spark.sources.formats import export_binary, read_binary
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="hello"), Row(doc_id=2, text="héllo wörld")]
+    )
+    path = tempfile.mkdtemp(prefix="lts_bin_")
+    manifest = export_binary(df, "doc_id", "text", path).collect()
+    assert {(m.doc_id, m.file_name, m.n_bytes) for m in manifest} == {
+        (1, "1.bin", 5),
+        (2, "2.bin", 13),  # two 2-byte UTF-8 chars
+    }
+    back = read_binary(spark, path, glob="*.bin")
+    rows = {
+        (r.path.rsplit("/", 1)[-1], bytes(r.content)) for r in back.collect()
+    }
+    assert rows == {
+        ("1.bin", b"hello"),
+        ("2.bin", "héllo wörld".encode("utf-8")),
+    }
