@@ -314,23 +314,25 @@ def q_profile_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = _spark(spark)
     parts = [
-        numeric_quantiles_exact(load_table(s, sf_dir, t), DB, t)
+        numeric_quantiles_exact(
+            load_table(s, sf_dir, t).select(*[c for c, _ in _QUANT_COLS[t]]),
+            DB,
+            t,
+        )
         for t in ("orders", "lineitem")
     ]
     return parts[0].unionByName(parts[1])
 
 
+#: measure columns only — exact percentile buffers every value per
+#: column in the aggregate, so surrogate keys (uniform by
+#: construction, profiled by the sketch path anyway) aren't worth
+#: doubling the memory/sort cost for
 _QUANT_COLS = {
     "orders": [
-        ("o_orderkey", "bigint"),
-        ("o_custkey", "bigint"),
         ("o_totalprice", "double"),
     ],
     "lineitem": [
-        ("l_orderkey", "bigint"),
-        ("l_partkey", "bigint"),
-        ("l_suppkey", "bigint"),
-        ("l_linenumber", "int"),
         ("l_quantity", "double"),
         ("l_extendedprice", "double"),
         ("l_discount", "double"),
@@ -386,6 +388,74 @@ def _profile_histogram_oracle() -> str:
             f"FROM lineitem CROSS JOIN {st} "
             f"WHERE {c} IS NOT NULL GROUP BY 1, 2, 3"
             f")"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift (PSI) between orders and a deterministically
+    shifted snapshot (30% of rows by key hash get o_totalprice ×1.5):
+    the monitoring check that gates retraining. Key columns must read
+    ~0 PSI, the shifted price column must light up; the oracle
+    recomputes the identical binning + Laplace-smoothed PSI in SQL."""
+    from lakehouse_tools_spark.operators.drift import histogram_drift
+
+    s = _spark(spark)
+    orders = load_table(s, sf_dir, "orders")
+    shifted = X_sample.hash_fraction(F.col("o_orderkey"), "drift") < 0.3
+    current = orders.withColumn(
+        "o_totalprice",
+        F.when(shifted, F.col("o_totalprice") * 1.5).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return histogram_drift(orders, current, DB, "orders", bins=_HIST_BINS)
+
+
+def _profile_drift_oracle() -> str:
+    num_cols = [
+        c
+        for c, dt in FIXTURE_SCHEMAS["orders"]
+        if dt in ("bigint", "int", "double")
+    ]
+    cur = (
+        "(SELECT o_orderkey, o_custkey, CASE WHEN "
+        + _HASH_U32_SQL.format(key="o_orderkey", salt="drift")
+        + " / 4294967296.0 < 0.3 THEN o_totalprice * 1.5 ELSE o_totalprice END"
+        " AS o_totalprice FROM orders)"
+    )
+    parts = []
+    for c in num_cols:
+        st = (
+            f"(SELECT CAST(min({c}) AS DOUBLE) AS mn, "
+            f"(CAST(max({c}) AS DOUBLE) - CAST(min({c}) AS DOUBLE)) / {_HIST_BINS} AS w "
+            f"FROM orders WHERE {c} IS NOT NULL)"
+        )
+        binexpr = (
+            f"least(greatest(CAST(floor((CAST({c} AS DOUBLE) - st.mn) / st.w)"
+            f" AS BIGINT), 0), {_HIST_BINS - 1})"
+        )
+        parts.append(
+            f"SELECT '{DB}' AS databaseName, 'orders' AS tableName,"
+            f" '{c}' AS columnName,"
+            f" CAST(tb AS BIGINT) AS n_base, CAST(tc AS BIGINT) AS n_curr,"
+            f" round(sum((p - q) * ln(p / q)), 6) AS psi"
+            f" FROM ("
+            f"  SELECT (b + 0.5) / (tb + {_HIST_BINS} * 0.5) AS p,"
+            f"         (c + 0.5) / (tc + {_HIST_BINS} * 0.5) AS q,"
+            f"         tb, tc FROM ("
+            f"   SELECT coalesce(bb.cnt, 0) AS b, coalesce(cb.cnt, 0) AS c,"
+            f"          sum(coalesce(bb.cnt, 0)) OVER () AS tb,"
+            f"          sum(coalesce(cb.cnt, 0)) OVER () AS tc"
+            f"   FROM (SELECT unnest(generate_series(0, {_HIST_BINS - 1})) AS bin) f"
+            f"   LEFT JOIN (SELECT {binexpr} AS bin, count(*) AS cnt"
+            f"              FROM orders CROSS JOIN {st} st"
+            f"              WHERE {c} IS NOT NULL GROUP BY 1) bb USING (bin)"
+            f"   LEFT JOIN (SELECT {binexpr} AS bin, count(*) AS cnt"
+            f"              FROM {cur} AS t CROSS JOIN {st} st"
+            f"              WHERE {c} IS NOT NULL GROUP BY 1) cb USING (bin)"
+            f"  )"
+            f" ) GROUP BY tb, tc"
         )
     return " UNION ALL ".join(parts)
 
@@ -3457,7 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_orc_roundtrip": q_source_orc_roundtrip,
         "sim_ivf": q_sim_ivf,
         "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ann_multiprobe": q_sim_ann_multiprobe,
+        "profile_drift": q_profile_drift,
         "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "sim_neardup": q_sim_neardup,
         "sim_neardup_lsh": q_sim_neardup_lsh,
@@ -3472,6 +3542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "source_binaryfile": q_source_binaryfile,
         "pack_bins": q_pack_bins,
+        "sim_ann_multiprobe": q_sim_ann_multiprobe,
         "catalog_show_tables": q_catalog_show_tables,
         "dedup_jaccard": q_dedup_jaccard,
         "zorder_rowset": q_zorder_rowset,
@@ -3531,6 +3602,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_as_written": _profile_as_written_oracle(PROFILE_TABLES),
         "profile_topk": _profile_topk_oracle(PROFILE_TABLES),
         "profile_histogram": _profile_histogram_oracle(),
+        "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}
         ),

@@ -1,0 +1,151 @@
+"""Distribution drift between two snapshots of a table.
+
+The profiler answers "what does this table look like"; monitoring
+needs "how far has it MOVED since the baseline" — the check that
+gates retraining and alerts on upstream breakage. The standard
+metric is PSI (population stability index): equi-width-bin both
+snapshots with the SAME edges and sum (p−q)·ln(p/q) over bins.
+Rule-of-thumb thresholds: <0.1 stable, 0.1–0.25 drifting, >0.25
+shifted.
+
+Scale shape: identical to :func:`profile.numeric_histogram` — one
+tiny min/max aggregate on the baseline (bounds become plan
+literals), then ONE melt + groupBy(column, bin) count per side; the
+shuffle carries ≤ columns × bins rows. The PSI join runs on those
+bounded count relations, never on data. Bin edges come from the
+BASELINE only (current values outside the baseline range clamp into
+the edge bins) — drift must be measured against the reference
+distribution, not a moving target.
+
+Determinism: bin membership is the same IEEE double ops any engine
+computes; smoothing is Laplace-0.5 (portable arithmetic, no epsilon
+magic); every (column, bin) cell is emitted whether observed or not,
+so both engines sum the identical term set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _bin_counts(
+    df: DataFrame, fields, stats, bins: int
+) -> DataFrame:
+    """Melt numeric columns to (columnName, bin) counts using the
+    provided baseline stats; values outside [min, max] clamp to the
+    edge bins."""
+    branches = []
+    for f in fields:
+        mn, mx = stats[f"_mn_{f.name}"], stats[f"_mx_{f.name}"]
+        x = F.col(f"`{f.name}`").cast("double")
+        w = (mx - mn) / bins
+        if w == 0.0:
+            b = F.when(x.isNotNull(), F.lit(0).cast("long"))
+        else:
+            b = F.least(
+                F.greatest(
+                    F.floor((x - F.lit(mn)) / F.lit(w)).cast("long"), F.lit(0)
+                ),
+                F.lit(bins - 1).cast("long"),
+            )
+        branches.extend([F.lit(f.name), b])
+    melted = df.select(
+        F.stack(F.lit(len(fields)), *branches).alias("columnName", "bin")
+    ).filter(F.col("bin").isNotNull())
+    return melted.groupBy("columnName", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def histogram_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    database: str,
+    table: str,
+    bins: int = 16,
+) -> DataFrame:
+    """Per-numeric-column PSI between ``baseline`` and ``current``.
+
+    Output: ``databaseName, tableName, columnName, n_base, n_curr,
+    psi`` (psi rounded to 6 — the cross-engine float-parity
+    contract). Columns are those numeric in BOTH schemas; all-null
+    baseline columns are skipped (no reference distribution to bin
+    against).
+    """
+    cur_types = dict(current.dtypes)
+    fields = [
+        f
+        for f in baseline.schema.fields
+        if isinstance(f.dataType, T.NumericType) and f.name in cur_types
+    ]
+    stats_row = baseline.agg(
+        *[
+            F.min(F.col(f"`{f.name}`").cast("double")).alias(f"_mn_{f.name}")
+            for f in fields
+        ],
+        *[
+            F.max(F.col(f"`{f.name}`").cast("double")).alias(f"_mx_{f.name}")
+            for f in fields
+        ],
+    ).collect()[0]
+    fields = [f for f in fields if stats_row[f"_mn_{f.name}"] is not None]
+    if not fields:
+        return baseline.sparkSession.createDataFrame(
+            [],
+            "databaseName string, tableName string, columnName string,"
+            " n_base long, n_curr long, psi double",
+        )
+    base_counts = _bin_counts(baseline, fields, stats_row, bins)
+    curr_counts = _bin_counts(current, fields, stats_row, bins).select(
+        "columnName", "bin", F.col("cnt").alias("cnt_c")
+    )
+    # the full (column × bin) frame — tiny plan literals — so both
+    # engines always sum the same term set, observed or not
+    frame = (
+        baseline.sparkSession.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(f.name) for f in fields])).alias(
+                "columnName"
+            )
+        )
+        .select(
+            "columnName",
+            F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
+        )
+    )
+    cells = (
+        frame.join(base_counts, ["columnName", "bin"], "left")
+        .join(curr_counts, ["columnName", "bin"], "left")
+        .select(
+            "columnName",
+            "bin",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("b"),
+            F.coalesce(F.col("cnt_c"), F.lit(0)).alias("c"),
+        )
+    )
+    totals = cells.groupBy("columnName").agg(
+        F.sum("b").alias("tb"), F.sum("c").alias("tc")
+    )
+    half = F.lit(0.5)
+    k = F.lit(float(bins)) * half
+    with_tot = cells.join(totals, "columnName")
+    p = (F.col("b") + half) / (F.col("tb") + k)
+    q = (F.col("c") + half) / (F.col("tc") + k)
+    terms = with_tot.select(
+        "columnName",
+        "tb",
+        "tc",
+        ((p - q) * F.log(p / q)).alias("_term"),
+    )
+    return terms.groupBy("columnName", "tb", "tc").agg(
+        F.round(F.sum("_term"), 6).alias("psi")
+    ).select(
+        F.lit(database).alias("databaseName"),
+        F.lit(table).alias("tableName"),
+        "columnName",
+        F.col("tb").cast("long").alias("n_base"),
+        F.col("tc").cast("long").alias("n_curr"),
+        "psi",
+    )
