@@ -3425,6 +3425,56 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORC_ROUNDTRIP_ORACLE = "SELECT * FROM lineitem"
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance: supplier names matched
+    against a deterministically-corrupted variant (30% of rows get a
+    char substitution) with levenshtein ≤ 1 via q-gram blocking
+    (ext/fuzzy.py) — gram equi-join + exact residual, never a
+    cartesian product (plan pinned). The oracle pays the O(n²) cross
+    join, which is the point: the blocked plan must reproduce the
+    brute-force pair set exactly."""
+    from lakehouse_tools_spark.ext.fuzzy import edit_distance_join
+
+    s = _spark(spark)
+    sup = load_table(s, sf_dir, "supplier").select("s_suppkey", "s_name")
+    corrupted = X_sample.hash_fraction(F.col("s_suppkey"), "fuzz") < 0.3
+    probe = sup.select(
+        F.col("s_suppkey").alias("probe_key"),
+        F.when(
+            corrupted,
+            F.concat(
+                F.substring("s_name", 1, 4),
+                F.lit("Z"),
+                F.substring(F.col("s_name"), 6, 10_000),
+            ),
+        )
+        .otherwise(F.col("s_name"))
+        .alias("probe_name"),
+    )
+    return edit_distance_join(
+        sup, probe, "s_suppkey", "probe_key", "s_name", "probe_name", 1
+    )
+
+
+_FUZZY_ORACLE = (
+    """
+WITH probe AS (
+  SELECT s_suppkey AS probe_key,
+         CASE WHEN """
+    + _HASH_U32_SQL.format(key="s_suppkey", salt="fuzz")
+    + """ / 4294967296.0 < 0.3
+              THEN concat(substr(s_name, 1, 4), 'Z', substr(s_name, 6))
+              ELSE s_name END AS probe_name
+  FROM supplier
+)
+SELECT s.s_suppkey AS s_suppkey, p.probe_key AS probe_key,
+       CAST(levenshtein(s.s_name, p.probe_name) AS INT) AS distance
+FROM supplier s CROSS JOIN probe p
+WHERE levenshtein(s.s_name, p.probe_name) <= 1
+"""
+)
+
+
 def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-file export + ``binaryFile``-source scan: write every
     document's UTF-8 bytes as its own file (distributed mapInPandas
@@ -3493,7 +3543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
-        "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
+        "fuzzy_join": q_fuzzy_join,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "corpus_mixture": q_corpus_mixture,
@@ -3542,6 +3592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "source_binaryfile": q_source_binaryfile,
         "pack_bins": q_pack_bins,
+        "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
         "sim_ann_multiprobe": q_sim_ann_multiprobe,
         "catalog_show_tables": q_catalog_show_tables,
         "dedup_jaccard": q_dedup_jaccard,
@@ -3634,6 +3685,7 @@ def oracle_sql() -> dict[str, str]:
         "source_json_roundtrip": _JSON_ROUNDTRIP_ORACLE,
         "source_orc_roundtrip": _ORC_ROUNDTRIP_ORACLE,
         "source_binaryfile": _BINARYFILE_ORACLE,
+        "fuzzy_join": _FUZZY_ORACLE,
         "cdc_apply": _CDC_APPLY_ORACLE,
         "cdc_merge_into": _CDC_APPLY_ORACLE,
         "pack_chunks": _PACK_CHUNKS_ORACLE,

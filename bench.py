@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "pack_bins",
     "profile_quantiles_exact",
     "profile_drift",
+    "fuzzy_join",
     "semantic_dedup",
 ]
 

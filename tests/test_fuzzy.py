@@ -1,0 +1,89 @@
+"""q-gram-blocked edit-distance join (ext/fuzzy.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from lakehouse_tools_spark.ext.fuzzy import (
+    edit_distance_join,
+    edit_distance_join_bruteforce,
+)
+
+
+def _mk(spark, vals, key="id", col="s"):
+    return spark.createDataFrame([Row(**{key: i, col: v}) for i, v in vals])
+
+
+NAMES = [
+    (1, "johnathan smith"),
+    (2, "jonathan smith"),
+    (3, "jonathan smyth"),
+    (4, "maria garcia"),
+    (5, "mara garcia"),
+    (6, "al"),          # short: below the q-gram guarantee
+    (7, "ak"),
+    (8, "alx"),
+    (9, "completely different"),
+]
+PROBES = [
+    (101, "jonathan smith"),
+    (102, "maria garcia"),
+    (103, "al"),
+    (104, "xy"),
+    (105, "jonathan smithe"),
+]
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_blocked_equals_bruteforce(spark, k):
+    left = _mk(spark, NAMES)
+    right = _mk(spark, PROBES)
+    blocked = {
+        (r.id, r.id_r, r.distance)
+        for r in edit_distance_join(
+            left,
+            right.withColumnRenamed("id", "id_r"),
+            "id",
+            "id_r",
+            "s",
+            "s",
+            max_distance=k,
+        ).collect()
+    }
+    brute = {
+        (r.id, r.id_r, r.distance)
+        for r in edit_distance_join_bruteforce(
+            left,
+            right.withColumnRenamed("id", "id_r"),
+            "id",
+            "id_r",
+            "s",
+            "s",
+            max_distance=k,
+        ).collect()
+    }
+    assert blocked == brute
+    assert brute  # sanity: fixture produces matches
+
+
+def test_exact_match_distance_zero(spark):
+    left = _mk(spark, [(1, "hello world")])
+    right = _mk(spark, [(2, "hello world")])
+    out = edit_distance_join(
+        left, right.withColumnRenamed("id", "id_r"), "id", "id_r", "s", "s", 1
+    ).collect()
+    assert [(r.id, r.id_r, r.distance) for r in out] == [(1, 2, 0)]
+
+
+def test_no_cartesian_in_plan(spark):
+    left = _mk(spark, NAMES)
+    right = _mk(spark, PROBES).withColumnRenamed("id", "id_r")
+    plan = (
+        edit_distance_join(left, right, "id", "id_r", "s", "s", 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -67,6 +67,7 @@ def test_entry_contract(spark):
         "sim_neardup_multiprobe",
         "dedup_clusters_lsh",
         "catalog_show_tables",
+        "pack_bins",  # first-fit bin state isn't SQL-expressible
     }
 
 
