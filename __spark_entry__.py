@@ -392,6 +392,28 @@ def _profile_histogram_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_profile_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count profiling via mergeable HLL
+    sketches (operators/sketches.py): orders is profiled as two
+    separate batches whose sketches are merged — the no-rescan
+    pattern for growing tables. Rows-only by design (sketch bytes are
+    engine-specific); the merge-equals-whole law and accuracy bounds
+    are pinned in tests/test_sketches.py."""
+    from lakehouse_tools_spark.operators.sketches import (
+        distinct_sketches,
+        estimate_distinct,
+        merge_sketches,
+    )
+
+    orders = load_table(_spark(spark), sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    batches = [
+        distinct_sketches(orders.filter(F.col("o_orderkey") % 2 == i), cols)
+        for i in (0, 1)
+    ]
+    return estimate_distinct(merge_sketches(batches))
+
+
 def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift (PSI) between orders and a deterministically
     shifted snapshot (30% of rows by key hash get o_totalprice ×1.5):
@@ -3592,6 +3614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "source_binaryfile": q_source_binaryfile,
         "pack_bins": q_pack_bins,
+        "profile_distinct_sketch": q_profile_distinct_sketch,
         "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
         "sim_ann_multiprobe": q_sim_ann_multiprobe,
         "catalog_show_tables": q_catalog_show_tables,

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "profile_quantiles_exact",
     "profile_drift",
     "fuzzy_join",
+    "profile_distinct_sketch",
     "semantic_dedup",
 ]
 

@@ -68,6 +68,7 @@ def test_entry_contract(spark):
         "dedup_clusters_lsh",
         "catalog_show_tables",
         "pack_bins",  # first-fit bin state isn't SQL-expressible
+        "profile_distinct_sketch",  # sketch bytes are engine-specific
     }
 
 
