@@ -27,7 +27,7 @@ brute-force form in tests and against DuckDB's cross-join +
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -83,14 +83,47 @@ def edit_distance_join(
         F.col(right_col).alias("_rs"),
         F.length(right_col).alias("_rl"),
     )
-    # long×long: gram blocking
-    lg = _grams(
-        l.filter(F.col("_ll") >= min_guaranteed), "_lk", "_ls", q
+    # long×long: PREFIX-FILTERED gram blocking (the ppjoin idea,
+    # adapted to edit distance). Joining on ALL shared grams
+    # degenerates on shared-prefix key families — every TPC-H
+    # supplier name contains 'Supplier#0…' grams, so the gram join
+    # alone emits n² (pair, gram) rows before any filter can help.
+    # Instead each string keeps only its k·q+1 RAREST distinct grams
+    # under one global order (ascending corpus frequency, gram as
+    # tiebreak), and candidates come from those prefixes alone.
+    # Recall proof: distance ≤ k ⇒ multiset |G(a)∩G(b)| ≥
+    # max(len)−q+1−k·q, and the set intersection undercounts it by at
+    # most a side's duplication surplus, giving set-threshold
+    # T ≥ max(d_a, d_b) − k·q; the prefix-filter lemma then needs
+    # prefixes of d − T + 1 ≤ k·q+1 grams — exactly what we keep
+    # (strings with d ≤ k·q+1 keep everything, where the ≥1-shared-
+    # gram guarantee applies directly). Hot common grams simply never
+    # reach the join: supplier-name candidates drop from n² to the
+    # digit-pattern near-matches.
+    lg = _grams(l.filter(F.col("_ll") >= min_guaranteed), "_lk", "_ls", q)
+    rg = _grams(r.filter(F.col("_rl") >= min_guaranteed), "_rk", "_rs", q)
+    freq = (
+        lg.select("_gram")
+        .unionAll(rg.select("_gram"))
+        .groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
     )
-    rg = _grams(
-        r.filter(F.col("_rl") >= min_guaranteed), "_rk", "_rs", q
+    prefix_n = k * q + 1
+
+    def _prefix(g: DataFrame, key: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy("_df", "_gram")
+        return (
+            g.join(freq, "_gram")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= prefix_n)
+            .select(key, "_gram")
+        )
+
+    cand_long = (
+        _prefix(lg, "_lk").join(_prefix(rg, "_rk"), "_gram")
+        .select("_lk", "_rk")
+        .distinct()
     )
-    cand_long = lg.join(rg, "_gram").select("_lk", "_rk").distinct()
     # any pair touching a short string: length-bucket block (exact:
     # edit distance ≤ k forces |len(a) − len(b)| ≤ k). Explode the
     # SHORT side only across its k+1 compatible buckets.

@@ -25,6 +25,11 @@ NAMES = [
     (7, "ak"),
     (8, "alx"),
     (9, "completely different"),
+    (10, "banana banana"),   # duplicate grams: exercises the
+    (11, "banana bananas"),  # count-filter surplus correction
+    (12, "Supplier#000000001"),  # shared-prefix family: the case the
+    (13, "Supplier#000000002"),  # count filter exists to prune
+    (14, "Supplier#000000011"),
 ]
 PROBES = [
     (101, "jonathan smith"),
@@ -32,6 +37,9 @@ PROBES = [
     (103, "al"),
     (104, "xy"),
     (105, "jonathan smithe"),
+    (106, "banana banana"),
+    (107, "Supplier#000000001"),
+    (108, "Supplier#000000101"),
 ]
 
 
