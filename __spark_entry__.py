@@ -618,6 +618,74 @@ WHERE s.v IN ('{MERGE_RESIDUAL_EXCL[0]}', '{MERGE_RESIDUAL_EXCL[1]}')
 """
 
 
+def q_table_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the durable layer: two keyed upserts with
+    ``keep_versions`` retain each replaced generation as a metastore
+    rename (zero data movement), and every historical state stays
+    queryable via read_version — the parquet stand-in for Delta's
+    VERSION AS OF. Returns all three states stacked; the oracle
+    recomputes each from nation with CASE."""
+    from lakehouse_tools_spark.operators.writer import (
+        create_or_replace,
+        read_version,
+        upsert_into,
+    )
+
+    import shutil
+
+    s = _spark(spark)
+    tbl = "nation_versioned"
+    for t in s.catalog.listTables():
+        if t.name == tbl or t.name.startswith(f"{tbl}__"):
+            s.sql(f"DROP TABLE `{t.name}`")
+    # a PREVIOUS session's archives leave warehouse dirs behind with no
+    # catalog entry (in-memory catalog, persistent disk); saveAsTable
+    # refuses to reuse such a location, so clear them for this fixture
+    wh = s.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    import os
+
+    if os.path.isdir(wh):
+        for d in os.listdir(wh):
+            if d == tbl or d.startswith(f"{tbl}__"):
+                shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+    nation = load_table(s, sf_dir, "nation").filter(F.col("n_nationkey") < 20)
+    base = nation.select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("v")
+    )
+    create_or_replace(s, base, tbl)
+    src1 = base.filter(F.col("k") < 10).select("k", F.upper("v").alias("v"))
+    upsert_into(s, tbl, src1, ["k"], keep_versions=4)
+    src2 = base.filter((F.col("k") >= 5) & (F.col("k") < 15)).select(
+        "k", F.concat(F.col("v"), F.lit("!")).alias("v")
+    )
+    upsert_into(s, tbl, src2, ["k"], keep_versions=4)
+    states = [
+        read_version(s, tbl, v).select(
+            F.lit(v).alias("version"), "k", "v"
+        )
+        for v in (1, 2, 3)
+    ]
+    return states[0].unionByName(states[1]).unionByName(states[2])
+
+
+_TABLE_VERSIONS_ORACLE = """
+SELECT 1 AS version, n_nationkey AS k, n_name AS v
+FROM nation WHERE n_nationkey < 20
+UNION ALL
+SELECT 2, n_nationkey,
+       CASE WHEN n_nationkey < 10 THEN upper(n_name) ELSE n_name END
+FROM nation WHERE n_nationkey < 20
+UNION ALL
+SELECT 3, n_nationkey,
+       CASE WHEN n_nationkey >= 5 AND n_nationkey < 15 THEN concat(n_name, '!')
+            WHEN n_nationkey < 10 THEN upper(n_name)
+            ELSE n_name END
+FROM nation WHERE n_nationkey < 20
+"""
+
+
 def _cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a CDC change feed: key = user_id, sequence = event_id
     (unique, arrival-ordered), op = delete on 'error' events else
@@ -3567,7 +3635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "fuzzy_join": q_fuzzy_join,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_lsh": q_dedup_clusters_lsh,
+        "table_versions": q_table_versions,
         "corpus_mixture": q_corpus_mixture,
         "corpus_decontaminate": q_corpus_decontaminate,
         "text_tokens": q_text_tokens,
@@ -3615,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_binaryfile": q_source_binaryfile,
         "pack_bins": q_pack_bins,
         "profile_distinct_sketch": q_profile_distinct_sketch,
+        "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
         "sim_ann_multiprobe": q_sim_ann_multiprobe,
         "catalog_show_tables": q_catalog_show_tables,
@@ -3686,6 +3755,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _ASOF_ORACLE,
         "merge_upsert": _MERGE_ORACLE,
         "merge_full_sync": _MERGE_FULL_SYNC_ORACLE,
+        "table_versions": _TABLE_VERSIONS_ORACLE,
         "zorder_rowset": _ZORDER_ORACLE,
         "tpch_q1": _Q1_ORACLE,
         "tpch_q3": _Q3_ORACLE,

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "asof_join",
     "merge_upsert",
     "merge_full_sync",
+    "table_versions",
     "zorder_rowset",
     "snapshot_diff",
     "scd2_customers",

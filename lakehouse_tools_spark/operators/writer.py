@@ -96,6 +96,21 @@ def _delta_merge(
     builder.execute()
 
 
+def _archived_versions(spark: SparkSession, table: str) -> list[int]:
+    """Version numbers archived for ``table`` (``<table>__v<n>``
+    metastore entries). Simple (un-databased) table names only — the
+    durable layer's convention throughout."""
+    import re
+
+    pat = re.compile(re.escape(table) + r"__v(\d+)$")
+    out = []
+    for t in spark.catalog.listTables():
+        m = pat.fullmatch(t.name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
 def upsert_into(
     spark: SparkSession,
     table: str,
@@ -104,6 +119,7 @@ def upsert_into(
     source_residual: SourcePredicate | None = None,
     full_sync: bool = False,
     delete_condition: TargetPredicate | None = None,
+    keep_versions: int = 0,
 ) -> None:
     """J1 — MERGE INTO a stored table, atomically.
 
@@ -112,6 +128,14 @@ def upsert_into(
     (computing it directly over the target while overwriting the
     target would read-after-delete the very files being replaced),
     then swapped in with metastore renames.
+
+    ``keep_versions > 0`` retains the replaced generation as
+    ``<table>__v<n>`` (n monotonically increasing) instead of
+    dropping it, pruning archives beyond the newest ``keep_versions``
+    — Delta-style time travel on the parquet backend, readable via
+    :func:`read_version` / :func:`table_history`. Retention is a
+    metastore rename: zero data movement per version. (The Delta
+    backend gets this natively via the transaction log.)
     """
     if table_format() == "delta":
         _delta_merge(
@@ -137,11 +161,46 @@ def upsert_into(
         # roll the old table back before propagating
         spark.sql(f"ALTER TABLE {_q(retired)} RENAME TO {_q(table)}")
         raise
-    spark.sql(f"DROP TABLE {_q(retired)}")
+    if keep_versions > 0:
+        have = _archived_versions(spark, table)
+        nxt = (have[-1] + 1) if have else 1
+        spark.sql(f"ALTER TABLE {_q(retired)} RENAME TO {_q(f'{table}__v{nxt}')}")
+        for v in _archived_versions(spark, table)[:-keep_versions]:
+            spark.sql(f"DROP TABLE {_q(f'{table}__v{v}')}")
+    else:
+        spark.sql(f"DROP TABLE {_q(retired)}")
     # drop any cached file listing for the old generation — readers in
     # other sessions sharing this catalog (e.g. a streaming micro-batch
     # clone) would otherwise resolve the name to deleted files
     spark.catalog.refreshTable(table)
+
+
+def table_history(spark: SparkSession, table: str) -> DataFrame:
+    """``(version, is_current, table_name)`` — archived generations
+    plus the live table (version = newest archive + 1). The parquet
+    stand-in for ``DESCRIBE HISTORY``."""
+    have = _archived_versions(spark, table)
+    rows = [(v, False, f"{table}__v{v}") for v in have]
+    rows.append(((have[-1] + 1) if have else 1, True, table))
+    return spark.createDataFrame(
+        rows, "version int, is_current boolean, table_name string"
+    )
+
+
+def read_version(spark: SparkSession, table: str, version: int) -> DataFrame:
+    """Time travel: the table as of archived ``version`` (or the live
+    table for the newest version) — ``VERSION AS OF`` on the parquet
+    backend. Raises for pruned/unknown versions."""
+    have = _archived_versions(spark, table)
+    current = (have[-1] + 1) if have else 1
+    if version == current:
+        return spark.table(table)
+    if version in have:
+        return spark.table(f"{table}__v{version}")
+    raise ValueError(
+        f"version {version} of {table!r} not retained "
+        f"(have {have + [current]}; raise keep_versions)"
+    )
 
 
 def save_bucketed(

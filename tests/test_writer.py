@@ -57,3 +57,60 @@ def test_optimize_clustered_preserves_rows(spark, tables):
     before = sorted(map(tuple, spark.table(tbl).collect()))
     optimize_clustered(spark, tbl, ["n_regionkey", "n_name"], num_partitions=2)
     assert sorted(map(tuple, spark.table(tbl).collect())) == before
+
+
+def test_versioned_upserts_time_travel(spark):
+    from lakehouse_tools_spark.operators.writer import read_version, table_history
+
+    tbl = "t_writer_versioned"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(tbl):
+            spark.sql(f"DROP TABLE `{t.name}`")
+    create_or_replace(spark, spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)]), tbl)
+    upsert_into(
+        spark, tbl, spark.createDataFrame([Row(k="b", v=20)]), ["k"], keep_versions=2
+    )
+    upsert_into(
+        spark, tbl, spark.createDataFrame([Row(k="c", v=30)]), ["k"], keep_versions=2
+    )
+    hist = {(r.version, r.is_current) for r in table_history(spark, tbl).collect()}
+    assert hist == {(1, False), (2, False), (3, True)}
+    assert {(r.k, r.v) for r in read_version(spark, tbl, 1).collect()} == {
+        ("a", 1),
+        ("b", 2),
+    }
+    assert {(r.k, r.v) for r in read_version(spark, tbl, 2).collect()} == {
+        ("a", 1),
+        ("b", 20),
+    }
+    assert {(r.k, r.v) for r in read_version(spark, tbl, 3).collect()} == {
+        ("a", 1),
+        ("b", 20),
+        ("c", 30),
+    }
+
+
+def test_version_pruning_and_unknown_version(spark):
+    import pytest
+
+    from lakehouse_tools_spark.operators.writer import read_version
+
+    tbl = "t_writer_pruned"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(tbl):
+            spark.sql(f"DROP TABLE `{t.name}`")
+    create_or_replace(spark, spark.createDataFrame([Row(k="a", v=1)]), tbl)
+    for i in range(3):
+        upsert_into(
+            spark,
+            tbl,
+            spark.createDataFrame([Row(k="a", v=10 + i)]),
+            ["k"],
+            keep_versions=1,
+        )
+    # only the newest archive (v3) survives keep_versions=1
+    names = {t.name for t in spark.catalog.listTables() if t.name.startswith(f"{tbl}__v")}
+    assert names == {f"{tbl}__v3"}
+    with pytest.raises(ValueError):
+        read_version(spark, tbl, 1)
+    assert [r.v for r in read_version(spark, tbl, 4).collect()] == [12]
