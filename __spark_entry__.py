@@ -1883,6 +1883,28 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — the full grouping-sets lattice over (returnflag,
+    linestatus, shipmode-ish priority): all 2^n subtotal combinations
+    in one shuffle (Expand + single aggregate), completing the
+    rollup/cube/grouping-id family."""
+    li = load_table(_spark(spark), sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_price,
+       count(*) AS n_items,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_setop_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT surface (absent in the reference, §2.7):
     nations with customers but no suppliers, and with both."""
@@ -3673,7 +3695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup_lsh": q_sim_neardup_lsh,
         "corpus_prepare": q_corpus_prepare,
         "text_quality": q_text_quality,
-        "text_language": q_text_language,
+        "cube_pricing": q_cube_pricing,
         "profiler_e2e": q_profiler_e2e,
         "cdc_apply": q_cdc_apply,
         "cdc_merge_into": q_cdc_merge_into,
@@ -3725,6 +3747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "rollup_pricing": q_rollup_pricing,
+        "text_language": q_text_language,
         "setop_nations": q_setop_nations,
         "sql_passthrough": q_sql_passthrough,
         "topk_customers": q_topk_customers,
@@ -3791,6 +3814,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _EVENTS_FUNNEL_ORACLE,
         "events_retention": _EVENTS_RETENTION_ORACLE,
         "rollup_pricing": _ROLLUP_ORACLE,
+        "cube_pricing": _CUBE_ORACLE,
         "setop_nations": _SETOP_ORACLE,
         "sql_passthrough": _RAW_SQL,
         "topk_customers": _TOPK_CUSTOMERS_ORACLE,

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "skew_salted_join",
     "quality_check",
     "rollup_pricing",
+    "cube_pricing",
     "setop_nations",
     "sql_passthrough",
     "topk_customers",
