@@ -31,10 +31,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _grams(df: DataFrame, key: str, col: str, q: int) -> DataFrame:
+def _grams(df: DataFrame, keys: list[str], col: str, q: int) -> DataFrame:
     return (
         df.select(
-            F.col(key),
+            *[F.col(k) for k in keys],
             F.explode(
                 F.transform(
                     F.sequence(
@@ -70,6 +70,14 @@ def edit_distance_join(
     collisions, and AQE handles hot grams like any skewed key
     (stop-gram capping is the knob if one gram dominates; not needed
     for key-like strings).
+
+    Keys need NOT be unique: per-row identity inside the blocking is
+    ``(key, xxhash64(string))``, so duplicate keys with different
+    strings each keep their own rarest-gram prefix — grams never mix
+    across strings inside one window partition (a 64-bit hash
+    collision between two same-key strings is the only way to lose a
+    match; at ~2⁻⁶⁴ per same-key string pair this is negligible and
+    only ever local to one key).
     """
     k = int(max_distance)
     min_guaranteed = (k + 1) * q  # shortest length with ≥1 shared gram
@@ -77,11 +85,13 @@ def edit_distance_join(
         F.col(left_key).alias("_lk"),
         F.col(left_col).alias("_ls"),
         F.length(left_col).alias("_ll"),
+        F.xxhash64(F.col(left_col)).alias("_lh"),
     )
     r = right.select(
         F.col(right_key).alias("_rk"),
         F.col(right_col).alias("_rs"),
         F.length(right_col).alias("_rl"),
+        F.xxhash64(F.col(right_col)).alias("_rh"),
     )
     # long×long: PREFIX-FILTERED gram blocking (the ppjoin idea,
     # adapted to edit distance). Joining on ALL shared grams
@@ -100,8 +110,12 @@ def edit_distance_join(
     # gram guarantee applies directly). Hot common grams simply never
     # reach the join: supplier-name candidates drop from n² to the
     # digit-pattern near-matches.
-    lg = _grams(l.filter(F.col("_ll") >= min_guaranteed), "_lk", "_ls", q)
-    rg = _grams(r.filter(F.col("_rl") >= min_guaranteed), "_rk", "_rs", q)
+    lg = _grams(
+        l.filter(F.col("_ll") >= min_guaranteed), ["_lk", "_lh"], "_ls", q
+    )
+    rg = _grams(
+        r.filter(F.col("_rl") >= min_guaranteed), ["_rk", "_rh"], "_rs", q
+    )
     freq = (
         lg.select("_gram")
         .unionAll(rg.select("_gram"))
@@ -110,18 +124,21 @@ def edit_distance_join(
     )
     prefix_n = k * q + 1
 
-    def _prefix(g: DataFrame, key: str) -> DataFrame:
-        w = Window.partitionBy(key).orderBy("_df", "_gram")
+    def _prefix(g: DataFrame, keys: list[str]) -> DataFrame:
+        # partition by (user key, string hash): one window per ROW's
+        # string, so duplicate user keys can't truncate each other's
+        # rarest-gram prefix
+        w = Window.partitionBy(*keys).orderBy("_df", "_gram")
         return (
             g.join(freq, "_gram")
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= prefix_n)
-            .select(key, "_gram")
+            .select(*keys, "_gram")
         )
 
     cand_long = (
-        _prefix(lg, "_lk").join(_prefix(rg, "_rk"), "_gram")
-        .select("_lk", "_rk")
+        _prefix(lg, ["_lk", "_lh"]).join(_prefix(rg, ["_rk", "_rh"]), "_gram")
+        .select("_lk", "_lh", "_rk", "_rh")
         .distinct()
     )
     # any pair touching a short string: length-bucket block (exact:
@@ -132,7 +149,7 @@ def edit_distance_join(
     )
     cand_short_l = shorts_l.join(
         r.withColumn("_bkt", F.col("_rl")), "_bkt"
-    ).select("_lk", "_rk")
+    ).select("_lk", "_lh", "_rk", "_rh")
     shorts_r = r.filter(
         (F.col("_rl") < min_guaranteed)
     ).withColumn(
@@ -142,12 +159,12 @@ def edit_distance_join(
         l.filter(F.col("_ll") >= min_guaranteed)
         .withColumn("_bkt", F.col("_ll"))
         .join(shorts_r, "_bkt")
-        .select("_lk", "_rk")
+        .select("_lk", "_lh", "_rk", "_rh")
     )
     cands = cand_long.unionByName(cand_short_l).unionByName(cand_short_r).distinct()
     joined = (
-        cands.join(l.select("_lk", "_ls"), "_lk")
-        .join(r.select("_rk", "_rs"), "_rk")
+        cands.join(l.select("_lk", "_lh", "_ls").distinct(), ["_lk", "_lh"])
+        .join(r.select("_rk", "_rh", "_rs").distinct(), ["_rk", "_rh"])
         .select(
             "_lk", "_rk", F.levenshtein(F.col("_ls"), F.col("_rs")).alias("distance")
         )

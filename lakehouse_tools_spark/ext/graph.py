@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+import uuid
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
@@ -143,15 +144,22 @@ def connected_components(
             if state.filter(F.col("_chg")).limit(1).count() == 0:
                 # nothing moved through an edge or a jump: every edge
                 # joins two equal labels, so labels are the component
-                # minima. Materialize the result OFF the work dir
-                # before it is deleted.
+                # minima. Materialize the result OFF the ping-pong
+                # paths in BOTH modes: own_dir is about to be deleted,
+                # and a caller-supplied work_dir's round={0,1} paths
+                # are overwritten in place by any rerun — a lazy scan
+                # of them would silently yield the later run's data.
                 result = labels.select(
                     F.col("_v").alias(id_col),
                     F.col("_label").alias("cluster_id"),
                 )
                 if own_dir:
-                    result = result.localCheckpoint(eager=True)
-                return result
+                    return result.localCheckpoint(eager=True)
+                # unique per-run subpath: a rerun in the same work_dir
+                # must not clobber a handle returned by an earlier run
+                final_path = f"{base}/final_{uuid.uuid4().hex[:8]}"
+                result.write.mode("overwrite").parquet(final_path)
+                return spark.read.parquet(final_path)
     finally:
         sym.unpersist()
         if own_dir:

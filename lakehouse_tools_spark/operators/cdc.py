@@ -40,6 +40,11 @@ def apply_changes(
     guarantee :func:`streaming.sink.latest_per_key` gives), then drop
     keys whose final operation is a delete. Output columns = input
     minus ``op_col``.
+
+    A NULL ``op_col`` on the winning row is treated as an upsert (the
+    row is KEPT): ``~op.isin(deletes)`` alone would evaluate to NULL
+    and silently drop the key — indistinguishable from a delete on a
+    malformed feed — so the filter coalesces null-op to keep.
     """
     others = [
         c
@@ -53,7 +58,12 @@ def apply_changes(
     return (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .filter(~F.upper(F.col(op_col)).isin([o.upper() for o in delete_ops]))
+        .filter(
+            F.coalesce(
+                ~F.upper(F.col(op_col)).isin([o.upper() for o in delete_ops]),
+                F.lit(True),
+            )
+        )
         .drop("_rn", op_col)
     )
 

@@ -387,7 +387,17 @@ def numeric_quantiles_exact(
     scan, but exact percentile buffers all values per column in the
     aggregate state — the sketch variant is the 100 TB default, this
     one is for moderate tables and for auditing the sketch's error.
+
+    The output schema labels exactly three quantiles q25/q50/q75, so
+    ``probs`` must be exactly three probabilities; non-quartile probs
+    are allowed (the labels then name positions, not percentages) but
+    a different count is rejected rather than silently mislabeled.
     """
+    if len(probs) != 3:
+        raise ValueError(
+            f"probs must have exactly 3 entries (output schema is "
+            f"q25/q50/q75); got {len(probs)}"
+        )
     fields = [
         f for f in df.schema.fields if isinstance(f.dataType, T.NumericType)
     ]

@@ -96,6 +96,39 @@ def _delta_merge(
     builder.execute()
 
 
+_VERSION_PROP = "lakehouse_tools.version"
+
+
+def _current_version(spark: SparkSession, table: str) -> int:
+    """The live table's version number.
+
+    Authoritative source is the ``lakehouse_tools.version`` table
+    property — a monotone counter advanced by every ``upsert_into``
+    regardless of ``keep_versions``, so dropping archives (or never
+    keeping any) can't re-bind a version number to a different state.
+    Tables written before the counter existed fall back to the legacy
+    rule (newest archive + 1)."""
+    try:
+        rows = (
+            spark.sql(f"SHOW TBLPROPERTIES {_q(table)}")
+            .where(F.col("key") == _VERSION_PROP)
+            .collect()
+        )
+        if rows:
+            return int(rows[0]["value"])
+    except Exception:
+        pass
+    have = _archived_versions(spark, table)
+    return (have[-1] + 1) if have else 1
+
+
+def _set_version(spark: SparkSession, table: str, version: int) -> None:
+    spark.sql(
+        f"ALTER TABLE {_q(table)} SET TBLPROPERTIES "
+        f"('{_VERSION_PROP}'='{int(version)}')"
+    )
+
+
 def _archived_versions(spark: SparkSession, table: str) -> list[int]:
     """Version numbers archived for ``table`` (``<table>__v<n>``
     metastore entries). Simple (un-databased) table names only — the
@@ -130,12 +163,17 @@ def upsert_into(
     then swapped in with metastore renames.
 
     ``keep_versions > 0`` retains the replaced generation as
-    ``<table>__v<n>`` (n monotonically increasing) instead of
-    dropping it, pruning archives beyond the newest ``keep_versions``
-    — Delta-style time travel on the parquet backend, readable via
-    :func:`read_version` / :func:`table_history`. Retention is a
-    metastore rename: zero data movement per version. (The Delta
-    backend gets this natively via the transaction log.)
+    ``<table>__v<n>`` instead of dropping it, pruning archives beyond
+    the newest ``keep_versions`` — Delta-style time travel on the
+    parquet backend, readable via :func:`read_version` /
+    :func:`table_history`. Retention is a metastore rename: zero data
+    movement per version. (The Delta backend gets this natively via
+    the transaction log.)
+
+    Version numbers come from a monotone counter stored as a table
+    property, advanced on EVERY upsert — including ``keep_versions=0``
+    ones — so the live version number never re-binds to a different
+    state when archives are dropped or never kept.
     """
     if table_format() == "delta":
         _delta_merge(
@@ -151,6 +189,8 @@ def upsert_into(
         full_sync=full_sync,
         delete_condition=delete_condition,
     )
+    # read the counter while the old generation is still the live table
+    old_version = _current_version(spark, table)
     staging = f"{table}__stage_{uuid.uuid4().hex[:8]}"
     retired = f"{table}__old_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").format(table_format()).saveAsTable(staging)
@@ -161,10 +201,12 @@ def upsert_into(
         # roll the old table back before propagating
         spark.sql(f"ALTER TABLE {_q(retired)} RENAME TO {_q(table)}")
         raise
+    _set_version(spark, table, old_version + 1)
     if keep_versions > 0:
-        have = _archived_versions(spark, table)
-        nxt = (have[-1] + 1) if have else 1
-        spark.sql(f"ALTER TABLE {_q(retired)} RENAME TO {_q(f'{table}__v{nxt}')}")
+        # the retired generation IS version old_version
+        spark.sql(
+            f"ALTER TABLE {_q(retired)} RENAME TO {_q(f'{table}__v{old_version}')}"
+        )
         for v in _archived_versions(spark, table)[:-keep_versions]:
             spark.sql(f"DROP TABLE {_q(f'{table}__v{v}')}")
     else:
@@ -177,11 +219,12 @@ def upsert_into(
 
 def table_history(spark: SparkSession, table: str) -> DataFrame:
     """``(version, is_current, table_name)`` — archived generations
-    plus the live table (version = newest archive + 1). The parquet
-    stand-in for ``DESCRIBE HISTORY``."""
+    plus the live table (version from the monotone counter, so gaps
+    appear where ``keep_versions=0`` upserts dropped generations). The
+    parquet stand-in for ``DESCRIBE HISTORY``."""
     have = _archived_versions(spark, table)
     rows = [(v, False, f"{table}__v{v}") for v in have]
-    rows.append(((have[-1] + 1) if have else 1, True, table))
+    rows.append((_current_version(spark, table), True, table))
     return spark.createDataFrame(
         rows, "version int, is_current boolean, table_name string"
     )
@@ -189,10 +232,10 @@ def table_history(spark: SparkSession, table: str) -> DataFrame:
 
 def read_version(spark: SparkSession, table: str, version: int) -> DataFrame:
     """Time travel: the table as of archived ``version`` (or the live
-    table for the newest version) — ``VERSION AS OF`` on the parquet
+    table for the current version) — ``VERSION AS OF`` on the parquet
     backend. Raises for pruned/unknown versions."""
     have = _archived_versions(spark, table)
-    current = (have[-1] + 1) if have else 1
+    current = _current_version(spark, table)
     if version == current:
         return spark.table(table)
     if version in have:
@@ -201,6 +244,22 @@ def read_version(spark: SparkSession, table: str, version: int) -> DataFrame:
         f"version {version} of {table!r} not retained "
         f"(have {have + [current]}; raise keep_versions)"
     )
+
+
+def vacuum_versions(spark: SparkSession, table: str, keep_last: int = 1) -> list[int]:
+    """Prune archived generations beyond the newest ``keep_last`` —
+    the parquet stand-in for ``VACUUM`` retention. Never touches the
+    live table (the current generation is not an archive), so pruning
+    can't drop current state; version numbering is unaffected because
+    the counter lives in a table property, not the archive list.
+    Returns the version numbers dropped."""
+    if keep_last < 0:
+        raise ValueError("keep_last must be >= 0")
+    have = _archived_versions(spark, table)
+    drop = have[: len(have) - keep_last] if keep_last else have
+    for v in drop:
+        spark.sql(f"DROP TABLE {_q(f'{table}__v{v}')}")
+    return drop
 
 
 def save_bucketed(

@@ -89,3 +89,14 @@ def test_tie_on_sequence_is_deterministic(spark):
     )
     # remaining columns break the tie (desc): "zz" wins in any input order
     assert _rows(out1) == _rows(out2) == {(1, 5, "zz")}
+
+
+def test_null_op_is_kept_not_silently_deleted(spark):
+    """A NULL op on the winning row is an upsert, not a delete:
+    ``~op.isin(...)`` alone is NULL for null op and would drop the
+    key — silent data loss on malformed feeds."""
+    feed = [(1, 1, "x", "I"), (1, 2, "y", None), (2, 1, "z", None)]
+    out = apply_changes(
+        spark.createDataFrame(feed, SCHEMA), keys=["k"], sequence_col="seq"
+    )
+    assert _rows(out) == {(1, 2, "y"), (2, 1, "z")}

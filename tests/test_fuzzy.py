@@ -95,3 +95,39 @@ def test_no_cartesian_in_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_keys_do_not_lose_matches(spark):
+    """Non-unique join keys: each row's string keeps its own
+    rarest-gram prefix (identity = key + string hash), so grams from
+    different strings under one key can't truncate each other and
+    drop a true match."""
+    # two long strings share key 1; each matches a different probe
+    left = _mk(
+        spark,
+        [
+            (1, "johnathan smith"),
+            (1, "margarita sanchez"),
+            (2, "unrelated string here"),
+        ],
+    )
+    right = _mk(
+        spark,
+        [(101, "jonathan smith"), (102, "margarita sanches")],
+        key="rid",
+        col="t",
+    )
+    got = {
+        (r.id, r.rid, r.distance)
+        for r in edit_distance_join(
+            left, right, "id", "rid", "s", "t", max_distance=1
+        ).collect()
+    }
+    want = {
+        (r.id, r.rid, r.distance)
+        for r in edit_distance_join_bruteforce(
+            left, right, "id", "rid", "s", "t", max_distance=1
+        ).collect()
+    }
+    assert got == want
+    assert (1, 101, 1) in got and (1, 102, 1) in got

@@ -107,3 +107,33 @@ def test_cluster_representatives(spark):
     assign = connected_components_contract(e, v)
     reps = {r.doc_id for r in cluster_representatives(assign).collect()}
     assert reps == {1, 9}
+
+
+def test_work_dir_result_survives_rerun(spark, tmp_path):
+    """With a caller-supplied work_dir the returned DataFrame must be
+    materialized off the ping-pong round paths: a second run in the
+    same work_dir overwrites round={0,1}, and a lazy scan of them
+    would silently yield the later run's labels."""
+    wd = str(tmp_path / "cc_state")
+    first = _cc(
+        spark, [(1, 2), (2, 3)], [1, 2, 3, 9], work_dir=wd
+    )
+    assert first == {(1, 1), (2, 1), (3, 1), (9, 9)}
+    # keep a live handle, rerun with a DIFFERENT graph in the same dir
+    e1 = spark.createDataFrame([(1, 2), (2, 3)], "doc_id long, doc_id2 long")
+    v1 = spark.createDataFrame([(x,) for x in [1, 2, 3, 9]], "doc_id long")
+    handle = connected_components(e1, v1, work_dir=wd)
+    e2 = spark.createDataFrame([(7, 8)], "doc_id long, doc_id2 long")
+    v2 = spark.createDataFrame([(x,) for x in [7, 8]], "doc_id long")
+    second = connected_components(e2, v2, work_dir=wd)
+    assert {(r.doc_id, r.cluster_id) for r in second.collect()} == {
+        (7, 7),
+        (8, 7),
+    }
+    # the FIRST handle still returns the first graph's clusters
+    assert {(r.doc_id, r.cluster_id) for r in handle.collect()} == {
+        (1, 1),
+        (2, 1),
+        (3, 1),
+        (9, 9),
+    }

@@ -82,3 +82,14 @@ def test_timestamp_rendering_seconds_utc(spark, tables):
         .value
     )
     assert len(val) == 19 and val[4] == "-" and val[13] == ":"
+
+
+def test_quantiles_exact_rejects_non_quartile_prob_count(spark, tables):
+    import pytest as _pytest
+
+    from lakehouse_tools_spark.operators.profile import numeric_quantiles_exact
+
+    with _pytest.raises(ValueError, match="exactly 3"):
+        numeric_quantiles_exact(
+            tables["orders"], "db", "orders", probs=(0.5,)
+        )

@@ -114,3 +114,68 @@ def test_version_pruning_and_unknown_version(spark):
     with pytest.raises(ValueError):
         read_version(spark, tbl, 1)
     assert [r.v for r in read_version(spark, tbl, 4).collect()] == [12]
+
+
+def test_version_counter_survives_keep_versions_zero(spark):
+    """A keep_versions=0 upsert between two versioned ones must not
+    re-bind version numbers: the counter is a table property, not
+    'newest archive + 1'."""
+    from lakehouse_tools_spark.operators.writer import read_version, table_history
+
+    tbl = "t_writer_counter"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(tbl):
+            spark.sql(f"DROP TABLE `{t.name}`")
+    create_or_replace(spark, spark.createDataFrame([Row(k="a", v=1)]), tbl)
+    upsert_into(
+        spark, tbl, spark.createDataFrame([Row(k="a", v=2)]), ["k"], keep_versions=2
+    )  # archives v1, live v2
+    upsert_into(
+        spark, tbl, spark.createDataFrame([Row(k="a", v=3)]), ["k"]
+    )  # keep_versions=0: drops the v2 generation but MUST advance to v3
+    upsert_into(
+        spark, tbl, spark.createDataFrame([Row(k="a", v=4)]), ["k"], keep_versions=2
+    )  # archives v3, live v4
+    hist = {(r.version, r.is_current) for r in table_history(spark, tbl).collect()}
+    assert hist == {(1, False), (3, False), (4, True)}
+    # v1 still reads the original state; v2 is a gap (dropped), not re-bound
+    assert [r.v for r in read_version(spark, tbl, 1).collect()] == [1]
+    assert [r.v for r in read_version(spark, tbl, 3).collect()] == [3]
+    assert [r.v for r in read_version(spark, tbl, 4).collect()] == [4]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_version(spark, tbl, 2)
+
+
+def test_vacuum_versions_never_drops_current(spark):
+    from lakehouse_tools_spark.operators.writer import (
+        read_version,
+        vacuum_versions,
+    )
+
+    tbl = "t_writer_vacuum"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(tbl):
+            spark.sql(f"DROP TABLE `{t.name}`")
+    create_or_replace(spark, spark.createDataFrame([Row(k="a", v=1)]), tbl)
+    for i in range(3):
+        upsert_into(
+            spark,
+            tbl,
+            spark.createDataFrame([Row(k="a", v=10 + i)]),
+            ["k"],
+            keep_versions=10,
+        )
+    dropped = vacuum_versions(spark, tbl, keep_last=1)
+    assert dropped == [1, 2]
+    names = {
+        t.name for t in spark.catalog.listTables() if t.name.startswith(f"{tbl}__v")
+    }
+    assert names == {f"{tbl}__v3"}
+    # live table untouched, version numbering unaffected
+    assert [r.v for r in read_version(spark, tbl, 4).collect()] == [12]
+    assert [r.v for r in read_version(spark, tbl, 3).collect()] == [11]
+    # keep_last=0 empties the archive but never the live generation
+    assert vacuum_versions(spark, tbl, keep_last=0) == [3]
+    assert [r.v for r in spark.table(tbl).collect()] == [12]
