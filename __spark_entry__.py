@@ -351,6 +351,70 @@ _QUANT_EXACT_ORACLE = "\nUNION ALL\n".join(
 )
 
 
+def q_profile_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type profiling (profile.profile_nested): length and
+    null-element stats for array/struct columns as ONE wide aggregate
+    over one scan — elements never melted. The query derives extra
+    nested shapes from the embeddings fixture (slice, nullable
+    variant, element holes, a struct) so every stat path is exercised;
+    DuckDB mirrors them with list slicing / ``list_transform`` /
+    ``list_filter``."""
+    from lakehouse_tools_spark.operators.profile import profile_nested
+
+    emb = load_table(_spark(spark), sf_dir, "embeddings")
+    df = emb.select(
+        "embedding",
+        F.slice("embedding", 1, 8).alias("emb_head"),
+        F.when(F.col("vec_id") % 17 == 0, F.lit(None))
+        .otherwise(F.col("embedding"))
+        .alias("emb_nullable"),
+        F.transform(
+            "embedding",
+            lambda x: F.when(x.cast("double") < -0.2, F.lit(None).cast("float"))
+            .otherwise(x),
+        ).alias("emb_holes"),
+        F.struct(F.col("label"), F.col("vec_id")).alias("meta"),
+    )
+    return profile_nested(df, DB, "embeddings")
+
+
+def _profile_nested_oracle() -> str:
+    base = (
+        "WITH base AS (SELECT embedding,"
+        " embedding[1:8] AS emb_head,"
+        " CASE WHEN vec_id % 17 = 0 THEN NULL ELSE embedding END AS emb_nullable,"
+        " list_transform(embedding, x -> CASE WHEN CAST(x AS DOUBLE) < -0.2"
+        " THEN NULL ELSE x END) AS emb_holes,"
+        " label, vec_id FROM embeddings)"
+    )
+    arr_cols = ["embedding", "emb_head", "emb_nullable", "emb_holes"]
+    parts = [
+        f"SELECT '{DB}' AS databaseName, 'embeddings' AS tableName,"
+        f" '{c}' AS columnName, 'array<float>' AS dataType,"
+        f" COUNT(*) AS n_rows,"
+        f" CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,"
+        f" CAST(MIN(len({c})) AS BIGINT) AS len_min,"
+        f" CAST(MAX(len({c})) AS BIGINT) AS len_max,"
+        f" ROUND(AVG(len({c})), 6) AS len_avg,"
+        f" CAST(SUM(len({c})) AS BIGINT) AS n_elements,"
+        f" CAST(SUM(len(list_filter({c}, x -> x IS NULL))) AS BIGINT)"
+        f" AS n_null_elements FROM base"
+        for c in arr_cols
+    ]
+    parts.append(
+        f"SELECT '{DB}' AS databaseName, 'embeddings' AS tableName,"
+        f" 'meta' AS columnName, 'struct<label:int,vec_id:bigint>' AS dataType,"
+        f" COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS n_null,"
+        f" CAST(2 AS BIGINT) AS len_min, CAST(2 AS BIGINT) AS len_max,"
+        f" CAST(2.0 AS DOUBLE) AS len_avg,"
+        f" CAST(2 * COUNT(*) AS BIGINT) AS n_elements,"
+        f" CAST(SUM((CASE WHEN label IS NULL THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END)) AS BIGINT)"
+        f" AS n_null_elements FROM base"
+    )
+    return base + " " + "\nUNION ALL\n".join(parts)
+
+
 _HIST_BINS = 16
 
 
@@ -3653,6 +3717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (never-snapshotted, r01-only, or new this round) come first, then
     # the flagship, then the already-green remainder.
     return {
+        "profile_nested": q_profile_nested,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
         "fuzzy_join": q_fuzzy_join,
@@ -3768,6 +3833,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_as_written": _profile_as_written_oracle(PROFILE_TABLES),
         "profile_topk": _profile_topk_oracle(PROFILE_TABLES),
         "profile_histogram": _profile_histogram_oracle(),
+        "profile_nested": _profile_nested_oracle(),
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

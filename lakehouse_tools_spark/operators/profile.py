@@ -512,6 +512,123 @@ def numeric_histogram(
     )
 
 
+NESTED_SCHEMA = T.StructType(
+    [
+        T.StructField("databaseName", T.StringType()),
+        T.StructField("tableName", T.StringType()),
+        T.StructField("columnName", T.StringType()),
+        T.StructField("dataType", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_null", T.LongType()),
+        T.StructField("len_min", T.LongType()),
+        T.StructField("len_max", T.LongType()),
+        T.StructField("len_avg", T.DoubleType()),
+        T.StructField("n_elements", T.LongType()),
+        T.StructField("n_null_elements", T.LongType()),
+    ]
+)
+
+
+def profile_nested(df: DataFrame, database: str, table: str) -> DataFrame:
+    """Profile NON-ATOMIC columns (array / map / struct) — the columns
+    :func:`profile_table` skips — as one bounded wide aggregate.
+
+    Per column: null count, length min/max/avg, total element count
+    and null-element count, where "length" is ``size()`` for arrays
+    and maps and the (constant) field count for structs; null elements
+    are null array elements / null map values / null struct fields.
+    Everything is a single ``df.agg`` over one scan — array elements
+    are NEVER melted (a 100 TB embedding table would explode ×dim),
+    the per-row terms are ``size``/``filter`` codegen expressions and
+    the shuffle carries one row. ``len_avg`` is rounded to 6 decimals
+    for cross-engine comparability (DuckDB ``len``/``list_filter``
+    express the same stats — the driver oracle).
+    """
+    specs: list[tuple[T.StructField, F.Column, F.Column]] = []
+    for f in df.schema.fields:
+        c = F.col(f"`{f.name}`")
+        if isinstance(f.dataType, T.ArrayType):
+            ln = F.size(c).cast("long")
+            nullel = F.size(F.filter(c, lambda x: x.isNull())).cast("long")
+        elif isinstance(f.dataType, T.MapType):
+            ln = F.size(c).cast("long")
+            nullel = F.size(
+                F.filter(F.map_values(c), lambda x: x.isNull())
+            ).cast("long")
+        elif isinstance(f.dataType, T.StructType):
+            nf = len(f.dataType.fields)
+            ln = F.when(c.isNotNull(), F.lit(nf).cast("long"))
+            nullel = F.when(
+                c.isNotNull(),
+                sum(
+                    (c[sf.name].isNull().cast("long") for sf in f.dataType.fields),
+                    start=F.lit(0).cast("long"),
+                ),
+            )
+        else:
+            continue
+        specs.append((f, ln, nullel))
+    if not specs:
+        return df.sparkSession.createDataFrame([], NESTED_SCHEMA)
+    aggs = [F.count(F.lit(1)).alias("_nrows")]
+    for f, ln, nullel in specs:
+        n = f.name
+        c = F.col(f"`{n}`")
+        aggs += [
+            F.sum(c.isNull().cast("long")).alias(f"_nn_{n}"),
+            F.min(ln).alias(f"_mn_{n}"),
+            F.max(ln).alias(f"_mx_{n}"),
+            F.round(F.avg(ln), 6).alias(f"_av_{n}"),
+            F.sum(ln).alias(f"_ne_{n}"),
+            F.sum(nullel).alias(f"_nu_{n}"),
+        ]
+    wide = df.agg(*aggs)
+    branches = []
+    for f, _, _ in specs:
+        n = f.name
+        branches += [
+            F.lit(n),
+            F.col(f"`_nn_{n}`"),
+            F.col(f"`_mn_{n}`"),
+            F.col(f"`_mx_{n}`"),
+            F.col(f"`_av_{n}`"),
+            F.col(f"`_ne_{n}`"),
+            F.col(f"`_nu_{n}`"),
+        ]
+    long = wide.select(
+        F.col("_nrows"),
+        F.stack(F.lit(len(specs)), *branches).alias(
+            "columnName",
+            "n_null",
+            "len_min",
+            "len_max",
+            "len_avg",
+            "n_elements",
+            "n_null_elements",
+        ),
+    )
+    dtype_map = F.create_map(
+        *[
+            x
+            for f, _, _ in specs
+            for x in (F.lit(f.name), F.lit(f.dataType.simpleString()))
+        ]
+    )
+    return long.select(
+        F.lit(database).alias("databaseName"),
+        F.lit(table).alias("tableName"),
+        F.col("columnName"),
+        dtype_map[F.col("columnName")].alias("dataType"),
+        F.col("_nrows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long"),
+        F.col("len_min").cast("long"),
+        F.col("len_max").cast("long"),
+        F.col("len_avg").cast("double"),
+        F.col("n_elements").cast("long"),
+        F.col("n_null_elements").cast("long"),
+    )
+
+
 def profile_data(
     tables: dict[str, DataFrame],
     database: str,

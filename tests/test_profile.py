@@ -93,3 +93,37 @@ def test_quantiles_exact_rejects_non_quartile_prob_count(spark, tables):
         numeric_quantiles_exact(
             tables["orders"], "db", "orders", probs=(0.5,)
         )
+
+
+def test_profile_nested_array_map_struct(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from lakehouse_tools_spark.operators.profile import profile_nested
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, None, 3.0], {"a": 1, "b": None}, (10, None)),
+            (2, None, None, (None, None)),
+            (3, [], {"a": 2}, None),
+        ],
+        "id int, arr array<double>, mp map<string,int>, st struct<x:int,y:int>",
+    )
+    out = {r.columnName: r for r in profile_nested(df, "db", "t").collect()}
+    assert set(out) == {"arr", "mp", "st"}  # atomic 'id' skipped
+    a = out["arr"]
+    assert (a.n_rows, a.n_null, a.len_min, a.len_max, a.len_avg) == (3, 1, 0, 3, 1.5)
+    assert (a.n_elements, a.n_null_elements) == (3, 1)
+    m = out["mp"]
+    assert (m.n_null, m.len_min, m.len_max, m.n_null_elements) == (1, 1, 2, 1)
+    s = out["st"]
+    # struct length = field count; null fields counted per non-null row
+    assert (s.n_null, s.len_min, s.len_max, s.n_elements, s.n_null_elements) == (
+        1, 2, 2, 4, 3,
+    )
+
+
+def test_profile_nested_no_nested_columns_empty(spark, tables):
+    from lakehouse_tools_spark.operators.profile import profile_nested
+
+    out = profile_nested(tables["nation"], "db", "nation")
+    assert out.count() == 0
