@@ -2351,6 +2351,83 @@ def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Recall@10 floors per ANN path, set at ~half the measured recall on
+#: the embeddings fixture (lsh 0.13, multiprobe 0.48, ivf 0.33,
+#: ivf_kmeans 0.52 at sf0.001/sf0.01) so the contract is robust to
+#: fixture regeneration but still catches a broken ANN path outright.
+_RECALL_FLOORS = {
+    "ivf": 0.15,
+    "ivf_kmeans": 0.30,
+    "lsh": 0.05,
+    "lsh_multiprobe": 0.25,
+}
+
+
+def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURABLE recall contract for the four approximate-NN paths:
+    recall@10 of each ANN variant against the exact top-k, computed
+    entirely in Spark, reported as a hash-verifiable row per method.
+    The oracle can't recompute LSH/IVF internals, but it CAN assert
+    the contract: ``meets_floor`` must be true (and the exact-side
+    row counts must match), so a recall regression in any ANN path
+    flips a boolean and fails the driver hash compare — this upgrades
+    the four rows-only ANN queries to a driver-checked guarantee."""
+    emb = load_table(_spark(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    exact = X_sim.cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+    cents = X_sim.kmeans_refine_centroids(
+        emb, X_sim.seed_centroids(emb, 8), iters=2
+    )
+    methods = {
+        "ivf": X_sim.ivf_topk(emb, queries, k=10, num_centroids=8),
+        "ivf_kmeans": X_sim.ivf_topk(emb, queries, k=10, centroids=cents, nprobe=2),
+        "lsh": X_sim.ann_topk_lsh(emb, queries, k=10, num_planes=4, dim=64),
+        "lsh_multiprobe": X_sim.ann_topk_lsh_multiprobe(
+            emb, queries, k=10, num_planes=4, dim=64
+        ),
+    }
+    parts = []
+    for m, df in methods.items():
+        floor = _RECALL_FLOORS[m]
+        stats = exact.join(
+            df.select("query_id", "vec_id").withColumn("_hit", F.lit(1)),
+            ["query_id", "vec_id"],
+            "left",
+        ).agg(
+            F.countDistinct("query_id").alias("_nq"),
+            F.count(F.lit(1)).alias("_nx"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_nh"),
+        )
+        parts.append(
+            stats.select(
+                F.lit(m).alias("method"),
+                F.lit(10).alias("k"),
+                F.col("_nq").cast("long").alias("n_queries"),
+                F.col("_nx").cast("long").alias("n_exact"),
+                F.lit(float(floor)).alias("recall_floor"),
+                (
+                    F.col("_nh").cast("double") / F.col("_nx") >= F.lit(float(floor))
+                ).alias("meets_floor"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_SIM_RECALL_ORACLE = (
+    "WITH q AS (SELECT CAST(COUNT(*) AS BIGINT) AS nq"
+    " FROM embeddings WHERE vec_id < 50) "
+    + "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS method, 10 AS k, nq AS n_queries,"
+        f" nq * 10 AS n_exact, CAST({floor} AS DOUBLE) AS recall_floor,"
+        f" TRUE AS meets_floor FROM q"
+        for m, floor in _RECALL_FLOORS.items()
+    )
+)
+
+
 def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact baseline)."""
     emb = load_table(_spark(spark), sf_dir, "embeddings").filter(
@@ -3718,6 +3795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the flagship, then the already-green remainder.
     return {
         "profile_nested": q_profile_nested,
+        "sim_recall_report": q_sim_recall_report,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
         "fuzzy_join": q_fuzzy_join,
@@ -3834,6 +3912,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_topk": _profile_topk_oracle(PROFILE_TABLES),
         "profile_histogram": _profile_histogram_oracle(),
         "profile_nested": _profile_nested_oracle(),
+        "sim_recall_report": _SIM_RECALL_ORACLE,
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}
