@@ -3429,10 +3429,12 @@ WHERE ws + INTERVAL '5 minutes' <= mx - INTERVAL '10 minutes'
 def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator e2e: per-user sessionization
     with explicit state via applyInPandasWithState (event-time timeout
-    flushes sessions the watermark passed). Genuinely non-SQL-
-    expressible → rows-only here; batch agreement with the native
-    session_window and multi-batch flush order are pinned in
-    tests/test_stateful.py."""
+    flushes sessions the watermark sealed). Semantics are exactly
+    session_window + append — the unsealed-interval SET lives in
+    state, so sub-watermark stragglers merge with each other like the
+    batch operator (round-3 divergence closed). Genuinely non-SQL-
+    expressible → rows-only here; batch agreement (incl. the
+    straggler case) is pinned in tests/test_stateful.py."""
     from lakehouse_tools_spark.sources.tables import load_stream
     from lakehouse_tools_spark.streaming.sink import run_to_memory
     from lakehouse_tools_spark.streaming.stateful import stateful_sessionize

@@ -8,12 +8,19 @@ caps on session length) — the pattern every custom stateful operator
 follows: group → Arrow batches + a typed ``GroupState`` → emit rows,
 with an event-time timeout bounding state under the watermark.
 
-State per key is one open session ``(start_us, last_us, n, sum)``
-(32 bytes — independent of event volume, the property that matters
-when 10^9 users hold state simultaneously). Closed sessions are
-emitted as soon as a later event proves a gap ≥ the configured gap;
-the final open session is flushed by watermark timeout (streaming) or
-on end-of-input (batch helper below).
+Semantics are EXACTLY ``session_window`` + watermark + append mode:
+state per key is the set of session intervals the watermark has not
+yet sealed (an interval is sealed — emitted and dropped — once
+``watermark ≥ last_event + gap``, the point after which no admissible
+event can extend or merge it). Keeping the interval SET, not just the
+newest interval, is what makes sub-watermark stragglers correct: late
+events that fall between sealed points merge with EACH OTHER and with
+either neighbor interval exactly as the batch operator would, instead
+of being emitted as premature singletons. State is 32 bytes per live
+interval; the set holds the open session plus any intervals still
+inside the watermark horizon — bounded by the configured lateness
+(``delayThreshold / gap`` intervals at worst), independent of event
+volume.
 """
 
 from __future__ import annotations
@@ -36,12 +43,14 @@ SESSION_SCHEMA = T.StructType(
     ]
 )
 
+#: One struct field per live interval component, parallel arrays —
+#: the state-store encoder round-trips flat arrays of primitives.
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_us", T.LongType(), False),
-        T.StructField("last_us", T.LongType(), False),
-        T.StructField("n", T.LongType(), False),
-        T.StructField("s", T.DoubleType(), False),
+        T.StructField("start_us", T.ArrayType(T.LongType()), False),
+        T.StructField("last_us", T.ArrayType(T.LongType()), False),
+        T.StructField("n", T.ArrayType(T.LongType()), False),
+        T.StructField("s", T.ArrayType(T.DoubleType()), False),
     ]
 )
 
@@ -52,72 +61,81 @@ def _fmt(us: int) -> str:
     )
 
 
+def _coalesce(ivs: list[list], gap_us: int) -> list[list]:
+    """Merge every pair of intervals closer than ``gap_us`` — the
+    session-window closure of a sorted interval list. Events were
+    appended as singleton intervals, so one sorted sweep computes the
+    same sessions the batch operator would (bridging events merge
+    transitively)."""
+    ivs.sort(key=lambda x: (x[0], x[1]))
+    merged: list[list] = []
+    for iv in ivs:
+        if merged and iv[0] - merged[-1][1] < gap_us:
+            m = merged[-1]
+            m[1] = max(m[1], iv[1])
+            m[2] += iv[2]
+            m[3] += iv[3]
+        else:
+            merged.append(list(iv))
+    return merged
+
+
 def _session_fn(gap_us: int):
+    def _emit(user_id: int, done: list[list]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(done),
+                "session_start": [_fmt(iv[0]) for iv in done],
+                "n_events": [iv[2] for iv in done],
+                "sum_value": [iv[3] for iv in done],
+            }
+        )
+
+    def _load(state: GroupState) -> list[list]:
+        if not state.exists:
+            return []
+        starts, lasts, ns, ss = state.get
+        return [
+            [int(a), int(b), int(c), float(d)]
+            for a, b, c, d in zip(starts, lasts, ns, ss)
+        ]
+
     def fn(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.hasTimedOut:
-            start, last, n, s = state.get
+        ivs = _load(state)
+        if not state.hasTimedOut:
+            for batch in batches:
+                ts_us = (batch["ts"].astype("int64") // 1000).tolist()
+                vals = batch["value"].tolist()
+                ivs.extend([t, t, 1, float(v)] for t, v in zip(ts_us, vals))
+            ivs = _coalesce(ivs, gap_us)
+        # seal every interval the watermark has passed: no admissible
+        # future event (ts ≥ wm ≥ last+gap) can extend or merge it
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        done = [iv for iv in ivs if iv[1] + gap_us <= wm_us]
+        live = [iv for iv in ivs if iv[1] + gap_us > wm_us]
+        if live:
+            state.update(
+                (
+                    [iv[0] for iv in live],
+                    [iv[1] for iv in live],
+                    [iv[2] for iv in live],
+                    [iv[3] for iv in live],
+                )
+            )
+            # wake when the earliest live interval becomes sealable; a
+            # timestamp at/behind the watermark is rejected → clamp to
+            # wm+1 so the flush fires on the next micro-batch instead
+            due_ms = min(iv[1] + gap_us for iv in live) // 1000
+            state.setTimeoutTimestamp(
+                max(due_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start": [_fmt(start)],
-                    "n_events": [n],
-                    "sum_value": [s],
-                }
-            )
-            return
-
-        open_sess = list(state.get) if state.exists else None
-        closed: list[tuple[int, int, float]] = []
-        for batch in batches:
-            ts_us = (batch["ts"].astype("int64") // 1000).tolist()
-            vals = batch["value"].tolist()
-            for t_us, v in sorted(zip(ts_us, vals)):
-                if open_sess is None:
-                    open_sess = [t_us, t_us, 1, float(v)]
-                elif t_us - open_sess[1] >= gap_us:
-                    # strictly after the open interval: close it, start new
-                    closed.append((open_sess[0], open_sess[2], open_sess[3]))
-                    open_sess = [t_us, t_us, 1, float(v)]
-                elif open_sess[0] - t_us >= gap_us:
-                    # late event strictly BEFORE the open interval (arrived
-                    # in a later micro-batch, still inside the watermark):
-                    # it can never merge with the open session, and the open
-                    # session already owns all later time — emit it as its
-                    # own closed session. (Several such stragglers that
-                    # would natively merge with each other are emitted
-                    # individually — the one divergence from session_window,
-                    # bounded to sub-watermark out-of-order arrivals.)
-                    closed.append((t_us, 1, float(v)))
-                else:
-                    # inside (or gap-adjacent to) the open interval: merge.
-                    # min/max, NOT assignment — a late event must never move
-                    # the session end backwards or the next on-time event
-                    # would wrongly split the session.
-                    open_sess[0] = min(open_sess[0], t_us)
-                    open_sess[1] = max(open_sess[1], t_us)
-                    open_sess[2] += 1
-                    open_sess[3] += float(v)
-        if open_sess is not None:
-            state.update(tuple(open_sess))
-            # flush the open session once the watermark passes last+gap;
-            # if the watermark is already past it (late stragglers were
-            # the only input), clamp — a timeout timestamp at/behind the
-            # watermark is rejected, and wm+1 fires on the next batch
-            due_ms = (open_sess[1] + gap_us) // 1000
-            state.setTimeoutTimestamp(max(due_ms, state.getCurrentWatermarkMs() + 1))
-        if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id] * len(closed),
-                    "session_start": [_fmt(c[0]) for c in closed],
-                    "n_events": [c[1] for c in closed],
-                    "sum_value": [c[2] for c in closed],
-                }
-            )
+        if done:
+            yield _emit(user_id, done)
 
     return fn
 
@@ -128,8 +146,11 @@ def stateful_sessionize(
     """Sessionize a *streaming* events relation with explicit state.
 
     ``events`` needs a watermark on ``ts`` (see windows.with_watermark)
-    so the event-time timeout can flush open sessions. Output matches
-    ``windows.sessionize``'s contract.
+    so the event-time timeout can flush sessions the watermark sealed.
+    Output (and emission timing) matches ``windows.sessionize`` run
+    through a streaming ``session_window`` in append mode — including
+    merging sub-watermark stragglers with each other, verified by the
+    batch-agreement tests in tests/test_stateful.py.
     """
     gap_us = int(gap_minutes * 60 * 1_000_000)
     return (

@@ -147,3 +147,49 @@ def test_stateful_agrees_with_native_session_window(spark, tables):
     assert got <= native
     n_users = tables["events"].select("user_id").distinct().count()
     assert len(got) >= len(native) - n_users
+
+
+def test_stragglers_merge_with_each_other(spark, tmp_path):
+    # Two late-but-within-watermark events that are ≥ gap before the
+    # open session but within gap of EACH OTHER must come out as ONE
+    # merged session (native session_window semantics), not as two
+    # singletons — the round-3 divergence, now closed by keeping the
+    # full unsealed-interval set in state.
+    src = str(tmp_path / "straggler_src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minute, user=1, value=1.0):
+        return (i, t0 + dt.timedelta(minutes=minute), user, value)
+
+    _write_batch(spark, src, [ev(1, 50)])
+    _write_batch(spark, src, [ev(2, 20), ev(3, 22), ev(4, 23)])
+    _write_batch(spark, src, [ev(5, 120)])
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stateful_sessionize(
+        with_watermark(stream, "ts", "40 minutes"), gap_minutes=5
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stateful_straggler")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = {
+        (r.user_id, r.session_start, r.n_events, r.sum_value)
+        for r in spark.sql("select * from t_stateful_straggler").collect()
+    }
+    assert (1, "2024-01-01 00:20:00", 3, 3.0) in rows  # merged stragglers
+    assert (1, "2024-01-01 00:50:00", 1, 1.0) in rows
+    # the old divergence would have produced singletons:
+    assert (1, "2024-01-01 00:20:00", 1, 1.0) not in rows
+    assert (1, "2024-01-01 00:22:00", 1, 1.0) not in rows
