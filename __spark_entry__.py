@@ -1682,6 +1682,369 @@ LIMIT 20
 """
 
 
+# ------------------------------------------------- partsupp-family TPC-H
+# The fixture set has no partsupp table, so the five partsupp queries
+# (Q2/Q9/Q11/Q16/Q20) run over a DERIVED partsupp: one row per
+# (l_partkey, l_suppkey) with availqty = total lineitem quantity
+# (exact DECIMAL sum) and supplycost = min extended price × 0.1 — a
+# cost surrogate chosen to be PURE decimal arithmetic (no binary
+# division/rounding anywhere), so every downstream decimal comparison
+# and aggregate is bit-reproducible across engines. The query SHAPES
+# — correlated min subquery, scalar-subquery threshold, NOT-IN anti
+# join, correlated quantity subquery — are the TPC-H ones.
+
+
+def _ps_derived(s: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(s, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(_dec("l_quantity")).cast(T.DecimalType(14, 2)).alias("ps_availqty"),
+        (F.min(_dec("l_extendedprice")) * F.lit(0.1).cast(T.DecimalType(2, 1)))
+        .cast(T.DecimalType(18, 6))
+        .alias("ps_supplycost"),
+    )
+
+
+_PS_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(14,2)) AS ps_availqty,
+         CAST(MIN(CAST(l_extendedprice AS DECIMAL(10,2))) * CAST(0.1 AS DECIMAL(2,1)) AS DECIMAL(18,6)) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part in a region): the
+    correlated MIN subquery becomes a per-part min aggregate joined
+    back on (part, cost) equality. Dimension sides (region-filtered
+    suppliers, filtered parts, the per-part minima) are broadcast —
+    the derived-partsupp fact relation shuffles once on its own keys
+    and is never re-shuffled."""
+    s = _spark(spark)
+    nr = (
+        load_table(s, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(s, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        load_table(s, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part_f = (
+        load_table(s, sf_dir, "part")
+        .filter((F.col("p_size") <= 25) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    cand = (
+        _ps_derived(s, sf_dir)
+        .join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part_f), F.col("ps_partkey") == F.col("p_partkey"))
+    )
+    minc = cand.groupBy(F.col("ps_partkey").alias("_mpk")).agg(
+        F.min("ps_supplycost").alias("_minc")
+    )
+    return (
+        cand.join(
+            F.broadcast(minc),
+            (F.col("ps_partkey") == F.col("_mpk"))
+            & (F.col("ps_supplycost") == F.col("_minc")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+_Q2_ORACLE = f"""
+WITH ps AS ({_PS_SQL}),
+euro_sup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT * FROM ps
+  JOIN euro_sup ON ps_suppkey = s_suppkey
+  JOIN (SELECT p_partkey, p_name FROM part
+        WHERE p_size <= 25 AND p_type = 'STANDARD') p
+    ON ps_partkey = p_partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(ps_supplycost AS DOUBLE) AS supplycost
+FROM cand c
+WHERE ps_supplycost = (SELECT MIN(ps_supplycost) FROM cand c2
+                       WHERE c2.ps_partkey = c.ps_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year):
+    lineitem joins the derived partsupp on (partkey, suppkey) — the
+    one big co-keyed shuffle — plus broadcast part filter / supplier
+    ⋈ nation dims and a shuffle join to orders for the year. Profit
+    is exact DECIMAL throughout, cast to double once at the end."""
+    s = _spark(spark)
+    part_red = (
+        load_table(s, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    supn = (
+        load_table(s, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(s, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    li = load_table(s, sf_dir, "lineitem").join(
+        F.broadcast(part_red), F.col("l_partkey") == F.col("p_partkey")
+    )
+    ps = _ps_derived(s, sf_dir).join(
+        F.broadcast(part_red.select(F.col("p_partkey").alias("_ppk"))),
+        F.col("ps_partkey") == F.col("_ppk"),
+    )
+    amount = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * _dec("l_quantity")
+    return (
+        li.join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(supn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            load_table(s, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+_Q9_ORACLE = f"""
+WITH ps AS ({_PS_SQL})
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+                * (1 - CAST(l_discount AS DECIMAL(10,2)))
+                - ps_supplycost * CAST(l_quantity AS DECIMAL(10,2)))
+            AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value restricted
+    to one nation's suppliers, kept where value exceeds a scalar
+    fraction of the total — the scalar subquery is a 1-row broadcast
+    crossJoin over the SAME aggregated relation (computed once,
+    persisted implicitly by reuse). All value arithmetic is exact
+    DECIMAL so the threshold comparison cannot drift."""
+    s = _spark(spark)
+    nat_sup = (
+        load_table(s, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(s, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_7"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = F.col("ps_supplycost") * F.col("ps_availqty")
+    per_part = (
+        _ps_derived(s, sf_dir)
+        .join(F.broadcast(nat_sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(F.sum(val).alias("_value"))
+    )
+    total = per_part.agg(
+        (F.sum("_value") * F.lit(0.0005).cast(T.DecimalType(8, 6))).alias("_thr")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_value") > F.col("_thr"))
+        .select(
+            "ps_partkey", F.col("_value").cast("double").alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+_Q11_ORACLE = f"""
+WITH ps AS ({_PS_SQL}),
+pp AS (
+  SELECT ps_partkey, SUM(ps_supplycost * ps_availqty) AS value
+  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY ps_partkey
+)
+SELECT ps_partkey, CAST(value AS DOUBLE) AS part_value
+FROM pp
+WHERE value > (SELECT SUM(value) * CAST(0.0005 AS DECIMAL(8,6)) FROM pp)
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier count by part attributes): filtered
+    part dim broadcast into the derived partsupp, NOT-IN complaint
+    suppliers as a broadcast anti join (fixture has no s_comment →
+    negative account balance stands in), then a distinct-count per
+    (brand, type, size)."""
+    s = _spark(spark)
+    part_f = (
+        load_table(s, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_sup = (
+        load_table(s, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        _ps_derived(s, sf_dir)
+        .join(F.broadcast(part_f), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_sup),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+_Q16_ORACLE = f"""
+WITH ps AS ({_PS_SQL})
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess stock of promoted
+    parts): the correlated quantity subquery becomes a grouped
+    1996-shipments aggregate joined on (partkey, suppkey); eligible
+    supplier keys semi-join the one-nation supplier dim. DECIMAL
+    quantity comparison on both sides."""
+    s = _spark(spark)
+    small_parts = (
+        load_table(s, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").alias("_spk"))
+    )
+    li = load_table(s, sf_dir, "lineitem")
+    q96 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).cast(T.DecimalType(14, 2)).alias("_q96"))
+    )
+    eligible = (
+        _ps_derived(s, sf_dir)
+        .join(F.broadcast(small_parts), F.col("ps_partkey") == F.col("_spk"))
+        .join(
+            q96,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(
+            F.col("ps_availqty")
+            > F.lit(0.5).cast(T.DecimalType(2, 1)) * F.col("_q96")
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        load_table(s, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(s, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(eligible, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+_Q20_ORACLE = f"""
+WITH ps AS ({_PS_SQL}),
+q96 AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(14,2)) AS q96
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM ps
+    JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'small%'
+    JOIN q96 ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    WHERE ps_availqty > CAST(0.5 AS DECIMAL(2,1)) * q96
+  )
+ORDER BY s_name
+"""
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over an extreme-skew key
     (l_returnflag: 3 values across the whole fact table). The first
@@ -3885,6 +4248,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "tpch_q15": q_tpch_q15,
         "tpch_q21": q_tpch_q21,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
         "quality_check": q_quality_check,
@@ -3944,6 +4312,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q22": _Q22_ORACLE,
         "tpch_q15": _Q15_ORACLE,
         "tpch_q21": _Q21_ORACLE,
+        "tpch_q2": _Q2_ORACLE,
+        "tpch_q9": _Q9_ORACLE,
+        "tpch_q11": _Q11_ORACLE,
+        "tpch_q16": _Q16_ORACLE,
+        "tpch_q20": _Q20_ORACLE,
         "source_csv_roundtrip": _CSV_ROUNDTRIP_ORACLE,
         "source_json_roundtrip": _JSON_ROUNDTRIP_ORACLE,
         "source_orc_roundtrip": _ORC_ROUNDTRIP_ORACLE,

