@@ -478,6 +478,67 @@ def q_profile_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return estimate_distinct(merge_sketches(batches))
 
 
+_SKETCH_COLS = ("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+_SKETCH_ERR_BOUND = 0.05  # ~3x the lg_k=12 RSE of 1.6%
+
+
+def q_sketch_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verifiable accuracy contract for the HLL sketch path
+    (same pattern as sim_recall_report): per column, the merged
+    two-batch sketch estimate must land within ±5% of the exact
+    distinct count. The exact side is SQL-expressible, so the oracle
+    asserts both the exact counts and within_bound=TRUE — a sketch
+    regression (broken merge, wrong lg_k, canonicalization drift)
+    flips the boolean and fails the driver compare."""
+    from lakehouse_tools_spark.operators.sketches import (
+        distinct_sketches,
+        estimate_distinct,
+        merge_sketches,
+    )
+
+    orders = load_table(_spark(spark), sf_dir, "orders")
+    cols = list(_SKETCH_COLS)
+    batches = [
+        distinct_sketches(orders.filter(F.col("o_orderkey") % 2 == i), cols)
+        for i in (0, 1)
+    ]
+    est = estimate_distinct(merge_sketches(batches))
+    exact = orders.agg(
+        *[
+            F.countDistinct(F.col(c).cast("string")).alias(f"_d_{c}")
+            for c in cols
+        ]
+    ).select(
+        F.stack(
+            F.lit(len(cols)),
+            *[x for c in cols for x in (F.lit(c), F.col(f"`_d_{c}`"))],
+        ).alias("columnName", "n_exact")
+    )
+    return (
+        est.join(exact, "columnName")
+        .select(
+            "columnName",
+            F.col("n_exact").cast("long"),
+            F.lit(float(_SKETCH_ERR_BOUND)).alias("rel_err_bound"),
+            (
+                F.abs(F.col("n_distinct_est") - F.col("n_exact"))
+                / F.col("n_exact")
+                <= F.lit(float(_SKETCH_ERR_BOUND))
+            ).alias("within_bound"),
+        )
+        .orderBy("columnName")
+    )
+
+
+_SKETCH_ERROR_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS columnName,"
+    f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_exact,"
+    f" CAST({_SKETCH_ERR_BOUND} AS DOUBLE) AS rel_err_bound,"
+    f" TRUE AS within_bound FROM orders"
+    for c in _SKETCH_COLS
+)
+
+
 def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift (PSI) between orders and a deterministically
     shifted snapshot (30% of rows by key hash get o_totalprice ×1.5):
@@ -4132,17 +4193,36 @@ FROM documents
 
 
 def q_catalog_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6 + P5: SHOW TABLES minus the self-exclusion list. Catalog
-    contents depend on the hosting session → rows-only check; the
-    deterministic variants live in tests/test_catalog.py."""
+    """C6 + P5: SHOW TABLES minus the NOT-IN self-exclusion list,
+    round-tripped through Spark's real catalog (register the fixture
+    views, enumerate via ``SHOW TABLES``, filter). Output is scoped
+    to the fixture view names so it is deterministic regardless of
+    what durable tables other queries in the hosting session created
+    — which makes C6 hash-verifiable instead of rows-only."""
     from lakehouse_tools_spark.catalog import DEFAULT_EXCLUSIONS
-    from lakehouse_tools_spark.sources.tables import register_views
+    from lakehouse_tools_spark.sources.tables import TABLE_NAMES, register_views
 
     register_views(_spark(spark), sf_dir)
     lowered = F.lower(F.col("tableName"))
-    return spark.sql("SHOW TABLES").filter(
-        ~lowered.isin([e.lower() for e in DEFAULT_EXCLUSIONS])
+    return (
+        spark.sql("SHOW TABLES")
+        .filter(~lowered.isin([e.lower() for e in DEFAULT_EXCLUSIONS]))
+        .filter(F.col("tableName").isin(list(TABLE_NAMES)))
+        .select("tableName")
+        .distinct()
+        .orderBy("tableName")
     )
+
+
+_SHOW_TABLES_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS tableName"
+    for t in sorted(
+        (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        )
+    )
+)
 
 
 # ---------------------------------------------------------------- contract
@@ -4159,13 +4239,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (never-snapshotted, r01-only, or new this round) come first, then
     # the flagship, then the already-green remainder.
     return {
+        "pack_bins": q_pack_bins,
+        "profile_distinct_sketch": q_profile_distinct_sketch,
+        "dedup_clusters_lsh": q_dedup_clusters_lsh,
+        "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
+        "catalog_show_tables": q_catalog_show_tables,
+        "text_language": q_text_language,
+        "sim_ann_multiprobe": q_sim_ann_multiprobe,
         "profile_nested": q_profile_nested,
         "sim_recall_report": q_sim_recall_report,
+        "sketch_error_report": q_sketch_error_report,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "profiler_e2e": q_profiler_e2e,
+        "fuzzy_join": q_fuzzy_join,
+        "table_versions": q_table_versions,
+        "cdc_apply": q_cdc_apply,
+        "cdc_merge_into": q_cdc_merge_into,
+        "dedup_clusters": q_dedup_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "profile_quantiles_exact": q_profile_quantiles_exact,
+        "events_stream_sessionize": q_events_stream_sessionize,
+        "dedup_jaccard": q_dedup_jaccard,
+        "zorder_rowset": q_zorder_rowset,
+        "merge_upsert": q_merge_upsert,
+        "merge_full_sync": q_merge_full_sync,
+        "asof_join": q_asof_join,
+        "profile_intended": q_profile_intended,
+        "profile_as_written": q_profile_as_written,
+        "profile_topk": q_profile_topk,
+        "profiler_incremental": q_profiler_incremental,
+        "schema_information": q_schema_information,
+        "profile_summary": q_profile_summary,
+        "profile_summary_approx": q_profile_summary_approx,
+        "profile_quantiles": q_profile_quantiles,
+        "profile_histogram": q_profile_histogram,
+        "sql_passthrough": q_sql_passthrough,
+        "topk_customers": q_topk_customers,
+        "window_rank": q_window_rank,
+        "setop_nations": q_setop_nations,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_winnow": q_dedup_winnow,
+        "sim_topk": q_sim_topk,
+        "sim_topk_pandas": q_sim_topk_pandas,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q21": q_tpch_q21,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
+        "quality_check": q_quality_check,
+        "window_ranking_suite": q_window_ranking_suite,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "rollup_pricing": q_rollup_pricing,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q15": q_tpch_q15,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
-        "fuzzy_join": q_fuzzy_join,
-        "dedup_clusters": q_dedup_clusters,
-        "table_versions": q_table_versions,
         "corpus_mixture": q_corpus_mixture,
         "corpus_decontaminate": q_corpus_decontaminate,
         "text_tokens": q_text_tokens,
@@ -4183,7 +4331,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_watermark": q_events_stream_watermark,
         "events_stream_join": q_events_stream_join,
         "events_stream_dedup": q_events_stream_dedup,
-        "events_stream_sessionize": q_events_stream_sessionize,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_sessionize": q_events_sessionize,
@@ -4204,74 +4351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prepare": q_corpus_prepare,
         "text_quality": q_text_quality,
         "cube_pricing": q_cube_pricing,
-        "profiler_e2e": q_profiler_e2e,
-        "cdc_apply": q_cdc_apply,
-        "cdc_merge_into": q_cdc_merge_into,
         "pack_chunks": q_pack_chunks,
-        "profile_quantiles_exact": q_profile_quantiles_exact,
-        "semantic_dedup": q_semantic_dedup,
         "source_binaryfile": q_source_binaryfile,
-        "pack_bins": q_pack_bins,
-        "profile_distinct_sketch": q_profile_distinct_sketch,
-        "dedup_clusters_lsh": q_dedup_clusters_lsh,
-        "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
-        "sim_ann_multiprobe": q_sim_ann_multiprobe,
-        "catalog_show_tables": q_catalog_show_tables,
-        "dedup_jaccard": q_dedup_jaccard,
-        "zorder_rowset": q_zorder_rowset,
-        "merge_upsert": q_merge_upsert,
-        "profile_intended": q_profile_intended,
-        "profile_as_written": q_profile_as_written,
-        "profile_topk": q_profile_topk,
-        "profiler_incremental": q_profiler_incremental,
-        "schema_information": q_schema_information,
-        "profile_summary": q_profile_summary,
-        "profile_summary_approx": q_profile_summary_approx,
-        "profile_quantiles": q_profile_quantiles,
-        "profile_histogram": q_profile_histogram,
-        "asof_join": q_asof_join,
-        "merge_full_sync": q_merge_full_sync,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
-        "skew_salted_agg": q_skew_salted_agg,
-        "skew_salted_join": q_skew_salted_join,
-        "quality_check": q_quality_check,
-        "window_ranking_suite": q_window_ranking_suite,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "rollup_pricing": q_rollup_pricing,
-        "text_language": q_text_language,
-        "setop_nations": q_setop_nations,
-        "sql_passthrough": q_sql_passthrough,
-        "topk_customers": q_topk_customers,
-        "window_rank": q_window_rank,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_lsh_pairs": q_dedup_lsh_pairs,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_winnow": q_dedup_winnow,
-        "sim_topk": q_sim_topk,
-        "sim_topk_pandas": q_sim_topk_pandas,
     }
 
 
@@ -4283,6 +4364,8 @@ def oracle_sql() -> dict[str, str]:
         "profile_histogram": _profile_histogram_oracle(),
         "profile_nested": _profile_nested_oracle(),
         "sim_recall_report": _SIM_RECALL_ORACLE,
+        "catalog_show_tables": _SHOW_TABLES_ORACLE,
+        "sketch_error_report": _SKETCH_ERROR_ORACLE,
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

@@ -66,7 +66,6 @@ def test_entry_contract(spark):
         "sim_neardup_lsh",
         "sim_neardup_multiprobe",
         "dedup_clusters_lsh",
-        "catalog_show_tables",
         "pack_bins",  # first-fit bin state isn't SQL-expressible
         "profile_distinct_sketch",  # sketch bytes are engine-specific
     }
