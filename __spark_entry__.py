@@ -539,6 +539,98 @@ _SKETCH_ERROR_ORACLE = "\nUNION ALL\n".join(
 )
 
 
+#: GK-sketch rank-error contract: percentile_approx(accuracy=10000)
+#: guarantees rank error ≤ n/10000; the check brackets each approx
+#: quartile between the exact quantiles at p ± _QERR_EPS, with eps set
+#: 10× the guarantee so the contract is robust to interpolation edge
+#: effects at small n but still catches a broken sketch outright.
+_QERR_EPS = 0.001
+
+
+def q_quantile_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verifiable accuracy contract for the GK quantile-sketch
+    profiler (same pattern as sketch_error_report): each approximate
+    quartile from ``numeric_quantiles`` must land between the EXACT
+    quantiles at p−eps and p+eps. The exact brackets are
+    SQL-expressible (``quantile_cont``), so the oracle asserts the
+    bracket values and within_bracket=TRUE — a sketch regression
+    (accuracy drop, merge bug, wrong column binding) flips the
+    boolean and fails the driver compare. This upgrades the
+    rows-only ``profile_quantiles`` path to a driver-checked
+    guarantee."""
+    from lakehouse_tools_spark.operators.profile import numeric_quantiles
+
+    s = _spark(spark)
+    probs = (0.25, 0.5, 0.75)
+    parts = []
+    for t, cols in _QUANT_COLS.items():
+        df = load_table(s, sf_dir, t).select(*[c for c, _ in cols])
+        approx = numeric_quantiles(df, DB, t).select(
+            "tableName", "columnName", "q25", "q50", "q75"
+        )
+        lo_hi = df.agg(
+            *[
+                F.percentile(
+                    F.col(c),
+                    F.array(
+                        *[
+                            F.lit(float(p + d))
+                            for p in probs
+                            for d in (-_QERR_EPS, _QERR_EPS)
+                        ]
+                    ),
+                ).alias(f"_b_{c}")
+                for c, _ in cols
+            ]
+        )
+        branches = []
+        for c, _ in cols:
+            b = F.col(f"`_b_{c}`")
+            branches.append(F.lit(c))
+            for i in range(6):
+                branches.append(F.round(b[i].cast("double"), 6))
+        brackets = lo_hi.select(
+            F.stack(
+                F.lit(len(cols)),
+                *branches,
+            ).alias("columnName", "lo25", "hi25", "lo50", "hi50", "lo75", "hi75")
+        )
+        within = None
+        for p, q in zip(("25", "50", "75"), ("q25", "q50", "q75")):
+            ok = (F.col(q) >= F.col(f"lo{p}")) & (F.col(q) <= F.col(f"hi{p}"))
+            within = ok if within is None else (within & ok)
+        parts.append(
+            approx.join(brackets, "columnName").select(
+                "tableName",
+                "columnName",
+                "lo25",
+                "hi25",
+                "lo50",
+                "hi50",
+                "lo75",
+                "hi75",
+                within.alias("within_bracket"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_QUANT_ERROR_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS tableName, '{c}' AS columnName,"
+    + ",".join(
+        f" round(quantile_cont({c}, {p + d}), 6) AS {nm}{lbl}"
+        for p, lbl in ((0.25, "25"), (0.50, "50"), (0.75, "75"))
+        for d, nm in ((-_QERR_EPS, "lo"), (_QERR_EPS, "hi"))
+    )
+    + f", TRUE AS within_bracket FROM {t}"
+    for t, cols in _QUANT_COLS.items()
+    for c, _ in cols
+)
+
+
 def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift (PSI) between orders and a deterministically
     shifted snapshot (30% of rows by key hash get o_totalprice ×1.5):
@@ -2893,6 +2985,90 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+#: Pair-recall floors for the LSH near-dup paths on the embeddings
+#: fixture (vec_id < 300 window), set at ~half the measured recall
+#: (single-probe p4/t0.2 ≈ 0.107, multi-probe p8/t0.3 ≈ 0.105 at
+#: sf0.001 and sf0.01 — the fixture's near-threshold pairs sit at
+#: wide angles, where even Hamming-1 probing recovers only part of
+#: the 3+-bit splits) — robust to fixture regeneration, fatal to a
+#: broken bucketing or probe path (recall 0 or precision < 1).
+_NEARDUP_FLOORS = {
+    "lsh_p4": (0.2, 0.05),
+    "lsh_p8_multiprobe": (0.3, 0.05),
+}
+
+
+def q_neardup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verifiable recall/precision contract for the LSH near-dup
+    pair paths (same pattern as sim_recall_report): on the vec_id<300
+    window where the exact O(n²) pair set is oracle-computable, each
+    LSH variant must (a) emit ONLY true pairs — precision exactly 1,
+    since same-bucket candidates are re-scored with the exact cosine
+    before thresholding — and (b) recover at least the floor fraction
+    of the exact pairs. The oracle computes n_exact_pairs exactly and
+    asserts both booleans, so a bucketing/probe regression in
+    ``sim_neardup_lsh`` / ``sim_neardup_multiprobe`` (or the pair
+    feed of ``dedup_clusters_lsh``) fails the driver compare."""
+    emb = load_table(_spark(spark), sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    parts = []
+    for m, (thr, floor) in sorted(_NEARDUP_FLOORS.items()):
+        exact = X_sim.neardup_pairs(emb, threshold=thr).select(
+            "vec_id", "vec_id2"
+        )
+        approx = X_sim.neardup_pairs_lsh(
+            emb,
+            threshold=thr,
+            num_planes=4 if m == "lsh_p4" else 8,
+            multi_probe=(m == "lsh_p8_multiprobe"),
+        ).select("vec_id", "vec_id2", F.lit(1).alias("_hit"))
+        stats = exact.join(approx, ["vec_id", "vec_id2"], "full").agg(
+            F.count(F.lit(1)).alias("_nu"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_na"),
+        )
+        n_exact = exact.agg(F.count(F.lit(1)).alias("_nx"))
+        parts.append(
+            stats.crossJoin(n_exact).select(
+                F.lit(m).alias("method"),
+                F.lit(float(thr)).alias("threshold"),
+                F.col("_nx").cast("long").alias("n_exact_pairs"),
+                # full-outer row count == exact row count ⇔ no
+                # LSH-only pairs ⇔ precision is exactly 1
+                (F.col("_nu") == F.col("_nx")).alias("precision_is_one"),
+                F.lit(float(floor)).alias("recall_floor"),
+                (
+                    F.col("_na").cast("double") / F.col("_nx")
+                    >= F.lit(float(floor))
+                ).alias("meets_recall_floor"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_NEARDUP_RECALL_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{m}' AS method, CAST({thr} AS DOUBLE) AS threshold,
+       CAST((SELECT count(*) FROM (
+         SELECT 1
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 300) a
+         JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 300) b
+           ON a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) >= {thr}
+       )) AS BIGINT) AS n_exact_pairs,
+       TRUE AS precision_is_one,
+       CAST({floor} AS DOUBLE) AS recall_floor,
+       TRUE AS meets_recall_floor"""
+    for m, (thr, floor) in sorted(_NEARDUP_FLOORS.items())
+)
+
+
 def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (ext/dedup.decontaminate): drop
     corpus docs that match the eval set exactly (md5 fingerprint
@@ -3413,6 +3589,75 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_bins(docs, "doc_id", "n_chars", budget=1024, num_buckets=8)
 
 
+_PACK_BUDGET = 1024
+
+
+def q_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verifiable invariant contract for the first-fit packer
+    (same pattern as sketch_error_report — FFD itself isn't
+    SQL-expressible, but its guarantees are): over the pack_bins
+    output,
+
+    - ``n_docs`` / ``total_len`` — conservation: every document
+      packed exactly once, lengths unchanged (oracle computes both
+      exactly from the documents table);
+    - ``each_doc_once`` — no duplicate assignment;
+    - ``no_overfull`` — no bin holding ≥2 docs exceeds the budget
+      (a single oversize doc legitimately gets its own over-budget
+      bin);
+    - ``bins_within_bound`` — first-fit's packing-quality theorem: at
+      most one bin per bucket ends < half full (if two did, the
+      later bin's first item would have fit in the earlier), so
+      n_bins ≤ 2·total/budget + n_buckets.
+
+    A packer regression (lost doc, split doc, overfull bin, or
+    degenerate one-doc-per-bin packing) flips a boolean and fails
+    the driver compare — upgrading the rows-only ``pack_bins`` to a
+    driver-checked guarantee."""
+    from lakehouse_tools_spark.ext.packing import pack_bins
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    packed = pack_bins(
+        docs, "doc_id", "n_chars", budget=_PACK_BUDGET, num_buckets=8
+    )
+    bins = packed.groupBy("bucket", "bin_id").agg(
+        F.sum("n_chars").alias("_fill"), F.count(F.lit(1)).alias("_ndocs")
+    )
+    bin_stats = bins.agg(
+        F.count(F.lit(1)).alias("_nbins"),
+        F.sum(
+            (
+                (F.col("_fill") > _PACK_BUDGET) & (F.col("_ndocs") >= 2)
+            ).cast("long")
+        ).alias("_overfull_multi"),
+        F.countDistinct("bucket").alias("_nbuckets"),
+    )
+    doc_stats = packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_len"),
+        F.countDistinct("doc_id").alias("_ndistinct"),
+    )
+    return doc_stats.crossJoin(bin_stats).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_len").cast("long").alias("total_len"),
+        (F.col("_ndistinct") == F.col("n_docs")).alias("each_doc_once"),
+        (F.col("_overfull_multi") == 0).alias("no_overfull"),
+        (
+            F.col("_nbins")
+            <= 2.0 * F.col("total_len") / _PACK_BUDGET + F.col("_nbuckets")
+        ).alias("bins_within_bound"),
+    )
+
+
+_PACK_REPORT_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_len,
+       TRUE AS each_doc_once, TRUE AS no_overfull,
+       TRUE AS bins_within_bound
+FROM documents
+"""
+
+
 _MIX_WEIGHTS = {"en": 3.0, "de": 1.0}
 _MIX_TOTAL = 120
 
@@ -3575,6 +3820,47 @@ UNION ALL
 SELECT a.c_custkey, a.c_name, a.c_nationkey, a.c_acctbal, a.c_mktsegment,
        {t0}, CAST(NULL AS TIMESTAMP), TRUE
 FROM snap_a a JOIN matched m ON a.c_custkey = m.k AND m.seg_a = m.seg_b
+"""
+
+
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (ext/text.tfidf_keywords) —
+    unsupervised keyword tagging for cluster labeling / domain
+    routing. One explode + (doc, word) groupBy for TF; the
+    vocabulary-sized DF relation broadcasts back onto TF; corpus size
+    N is a broadcast 1-row aggregate (never a window over an empty
+    partition). Deterministic floor6 scores + (score desc, word asc)
+    tiebreak make the full ranking oracle-checkable."""
+    from lakehouse_tools_spark.ext.text import tfidf_keywords
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return tfidf_keywords(docs, "text", "doc_id", k=3)
+
+
+_TEXT_KEYWORDS_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split({_NORM_SQL.format(c="text")}, ' ')) AS w
+    FROM documents
+  ) WHERE length(w) >= 3
+),
+tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY doc_id, w
+),
+dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
+         floor(tf.tf * (ln((n.nd + 1) / CAST(dfq.df + 1 AS DOUBLE)) + 1.0)
+               * 1000000) / 1000000 AS score
+  FROM tf JOIN dfq USING (w) CROSS JOIN n
+)
+SELECT doc_id, w AS word, tf, df, score, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
 """
 
 
@@ -4249,6 +4535,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_nested": q_profile_nested,
         "sim_recall_report": q_sim_recall_report,
         "sketch_error_report": q_sketch_error_report,
+        "quantile_error_report": q_quantile_error_report,
+        "pack_report": q_pack_report,
+        "neardup_recall_report": q_neardup_recall_report,
+        "text_keywords": q_text_keywords,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -4366,6 +4656,10 @@ def oracle_sql() -> dict[str, str]:
         "sim_recall_report": _SIM_RECALL_ORACLE,
         "catalog_show_tables": _SHOW_TABLES_ORACLE,
         "sketch_error_report": _SKETCH_ERROR_ORACLE,
+        "quantile_error_report": _QUANT_ERROR_ORACLE,
+        "pack_report": _PACK_REPORT_ORACLE,
+        "neardup_recall_report": _NEARDUP_RECALL_ORACLE,
+        "text_keywords": _TEXT_KEYWORDS_ORACLE,
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

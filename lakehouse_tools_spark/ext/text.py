@@ -150,3 +150,74 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
         F.length(F.col(text_col)).alias("n_chars"),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_word_len: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the unsupervised
+    keyword/topic-tagging step of a curation pipeline (cluster
+    labeling, domain routing, eval-set slicing).
+
+    Shape: one explode + one (doc, word) groupBy for term frequency,
+    one word-level aggregate for document frequency, then a
+    row_number window per doc over the scored terms. The DF relation
+    is vocabulary-sized (≪ corpus), so its join back onto the TF
+    relation broadcasts; the only data-sized shuffle is the TF
+    groupBy, which carries (doc_id, word, count) after map-side
+    combine — never document text. The corpus size N is a 1-row
+    aggregate cross-joined in (broadcast of a scalar, not a window
+    over an empty partition — the latter funnels everything through
+    one task at 100 TB).
+
+    Scoring: tf · (ln((N+1)/(df+1)) + 1) — the smoothed-idf variant
+    that keeps corpus-universal words finite. Deterministic tiebreak
+    (score desc, word asc) and floor6 rounding make the output exact
+    across engines, so the query is fully oracle-checkable.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    ).filter(F.length("w") >= min_word_len)
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("_n")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            floor6(
+                F.col("tf")
+                * (
+                    F.log((F.col("_n") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                )
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("score").desc(), F.col("w").asc()
+        )
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("w").alias("word"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

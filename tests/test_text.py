@@ -93,3 +93,37 @@ def test_prepare_corpus_language_filter(spark):
     )
     out = prepare_corpus(df, min_quality=0.0, langs=("en",)).collect()
     assert [r.doc_id for r in out] == [1]
+
+
+def test_tfidf_keywords_ranking(spark):
+    # 3 docs: "apple" appears in one doc only (high idf), "the" in all
+    # (low idf); per-doc top-k must prefer the rare term.
+    rows = [
+        Row(doc_id=1, text="apple apple banana the the the"),
+        Row(doc_id=2, text="banana cherry the the"),
+        Row(doc_id=3, text="cherry cherry cherry the"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = text_mod.tfidf_keywords(df, "text", "doc_id", k=2)
+    rows_out = {(r.doc_id, r.rank): r for r in out.collect()}
+    # every doc has exactly k=2 ranked keywords (enough vocab)
+    assert set(rows_out) == {(d, r) for d in (1, 2, 3) for r in (1, 2)}
+    # doc 1's top keyword is apple: tf=2 and df=1 beats "the" (df=3)
+    assert rows_out[(1, 1)].word == "apple"
+    # doc 3's top keyword is cherry (tf=3, df=2)
+    assert rows_out[(3, 1)].word == "cherry"
+    # df of "the" is 3 (appears in all docs), idf floor keeps it finite
+    the_rows = [r for r in rows_out.values() if r.word == "the"]
+    assert all(r.df == 3 for r in the_rows)
+    # scores strictly ordered within each doc (no accidental ties here)
+    for d in (1, 2, 3):
+        assert rows_out[(d, 1)].score >= rows_out[(d, 2)].score
+
+
+def test_tfidf_keywords_min_word_len(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="ab abc abcd xyz xyz")]
+    )
+    out = text_mod.tfidf_keywords(df, "text", "doc_id", k=10, min_word_len=3)
+    words = {r.word for r in out.collect()}
+    assert "ab" not in words and {"abc", "abcd", "xyz"} == words
