@@ -2668,6 +2668,43 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X_dedup.jaccard_pairs(sh, candidates=cand, threshold=0.1)
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (ext/dedup.containment_pairs):
+    C(A in B) = |A∩B|/|A| — the verdict Jaccard misses when a short
+    doc is quoted wholesale inside a much larger one (containment ≈ 1,
+    Jaccard ≈ |A|/|B|). Exact baseline here (pairs sharing ≥1 shingle
+    via the shingle equi-join — never all-pairs); the LSH candidate
+    path composes exactly as in dedup_jaccard via the shared
+    _pair_intersections core."""
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    sh = X_dedup.word_shingles(docs, "text", "doc_id", k=3)
+    return X_dedup.containment_pairs(sh, threshold=0.4)
+
+
+_DEDUP_CONTAINMENT_ORACLE = (
+    "WITH "
+    + _SHINGLES_CTE
+    + """,
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS doc_id, s2.doc_id AS doc_id2, count(*) AS n_inter
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id, doc_id2, c_1in2, c_2in1, containment FROM (
+  SELECT i.doc_id, i.doc_id2,
+         floor(i.n_inter / a.sz * 1000000) / 1000000 AS c_1in2,
+         floor(i.n_inter / b.sz * 1000000) / 1000000 AS c_2in1,
+         floor(greatest(i.n_inter / a.sz, i.n_inter / b.sz) * 1000000)
+           / 1000000 AS containment
+  FROM inter i
+  JOIN sizes a ON i.doc_id = a.doc_id
+  JOIN sizes b ON i.doc_id2 = b.doc_id
+) WHERE containment >= 0.4
+"""
+)
+
+
 _DEDUP_JACCARD_ORACLE = (
     "WITH "
     + _MINHASH_CTE
@@ -3864,6 +3901,69 @@ SELECT doc_id, w AS word, tf, df, score, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 adjacent word pairs (ext/text.bigram_counts) — the
+    counting step of BPE-style merge-rule mining / word2phrase
+    collocation detection. JVM-side transform over token index ranges
+    (no UDF), one explode + one groupBy; shuffle carries (bigram,
+    partial counts) after map-side combine. Deterministic (count
+    desc, bigram asc) top-200 — fully oracle-checkable."""
+    from lakehouse_tools_spark.ext.text import bigram_counts
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return bigram_counts(docs, "text", "doc_id", top=200)
+
+
+_TEXT_BIGRAMS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(c="text")}, ' ') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         array_to_string(toks[u.i + 1 : u.i + 2], ' ') AS bigram
+  FROM d, UNNEST(CASE WHEN len(toks) >= 2
+                      THEN generate_series(0, len(toks) - 2)
+                      ELSE [] END) AS u(i)
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM bg GROUP BY bigram
+ORDER BY n_total DESC, bigram ASC LIMIT 200
+"""
+
+
+def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's
+    own Laplace-smoothed unigram LM (ext/text.unigram_logprob) — the
+    perplexity-proxy quality signal for ranking docs when a real LM
+    is too expensive. Vocabulary broadcast onto the exploded tokens;
+    (T, V) scalars broadcast via a 1-row aggregate; one final
+    per-doc groupBy. floor6 scores — fully oracle-checkable."""
+    from lakehouse_tools_spark.ext.text import unigram_logprob
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return unigram_logprob(docs, "text", "doc_id")
+
+
+_TEXT_LOGPROB_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split({_NORM_SQL.format(c="text")}, ' ')) AS w
+    FROM documents
+  ) WHERE length(w) >= 1
+),
+vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY w),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS v FROM vocab)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       floor(avg(-ln((vocab.cnt + 1) / CAST(tot.t + tot.v AS DOUBLE)))
+             * 1000000) / 1000000 AS mean_nll
+FROM words JOIN vocab USING (w) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 def q_text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary table: top-200 words by document frequency
     and total count (deterministic tiebreak) — the frequency table a
@@ -4539,6 +4639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_report": q_pack_report,
         "neardup_recall_report": q_neardup_recall_report,
         "text_keywords": q_text_keywords,
+        "text_bigrams": q_text_bigrams,
+        "text_logprob": q_text_logprob,
+        "dedup_containment": q_dedup_containment,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -4660,6 +4763,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_report": _PACK_REPORT_ORACLE,
         "neardup_recall_report": _NEARDUP_RECALL_ORACLE,
         "text_keywords": _TEXT_KEYWORDS_ORACLE,
+        "text_bigrams": _TEXT_BIGRAMS_ORACLE,
+        "text_logprob": _TEXT_LOGPROB_ORACLE,
+        "dedup_containment": _DEDUP_CONTAINMENT_ORACLE,
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

@@ -142,6 +142,13 @@ BENCH_QUERIES = [
     "sim_recall_report",
     "sketch_error_report",
     "catalog_show_tables",
+    "quantile_error_report",
+    "pack_report",
+    "neardup_recall_report",
+    "text_keywords",
+    "text_bigrams",
+    "text_logprob",
+    "dedup_containment",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

@@ -243,6 +243,80 @@ def jaccard_pairs(
     Output: ``(doc_id, doc_id2, jaccard)`` floor-truncated to 6 for stable
     cross-engine comparison.
     """
+    inter, sizes = _pair_intersections(shingles, candidates)
+    za = sizes.select(F.col("doc_id"), F.col("sz").alias("sz1"))
+    zb = sizes.select(F.col("doc_id").alias("doc_id2"), F.col("sz").alias("sz2"))
+    out = (
+        inter.join(za, "doc_id")
+        .join(zb, "doc_id2")
+        .select(
+            "doc_id",
+            "doc_id2",
+            floor6(
+                F.col("n_inter")
+                / (F.col("sz1") + F.col("sz2") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def containment_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Asymmetric n-gram containment for document pairs:
+    C(A in B) = |A∩B| / |A|.
+
+    Containment is the dedup verdict Jaccard systematically misses
+    when sizes differ: a short document quoted wholesale inside a
+    much larger one has containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0,
+    so a Jaccard threshold never fires. Standard companion check in
+    corpus dedup pipelines (quote expansion, boilerplate embedding,
+    subset scraping).
+
+    Same plan shape and candidate-pruning semantics as
+    :func:`jaccard_pairs` (shared :func:`_pair_intersections` core —
+    one size aggregate, one shingle equi-join; with LSH candidates
+    the join is pruned to candidate docs before any shuffle). One row
+    per unordered pair: both directions plus their max, filtered on
+    the max — floor-truncated to 6 for stable cross-engine compare.
+    Output: ``(doc_id, doc_id2, c_1in2, c_2in1, containment)``.
+    """
+    inter, sizes = _pair_intersections(shingles, candidates)
+    za = sizes.select(F.col("doc_id"), F.col("sz").alias("sz1"))
+    zb = sizes.select(F.col("doc_id").alias("doc_id2"), F.col("sz").alias("sz2"))
+    out = (
+        inter.join(za, "doc_id")
+        .join(zb, "doc_id2")
+        .select(
+            "doc_id",
+            "doc_id2",
+            floor6(F.col("n_inter") / F.col("sz1")).alias("c_1in2"),
+            floor6(F.col("n_inter") / F.col("sz2")).alias("c_2in1"),
+            floor6(
+                F.greatest(
+                    F.col("n_inter") / F.col("sz1"),
+                    F.col("n_inter") / F.col("sz2"),
+                )
+            ).alias("containment"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("containment") >= threshold)
+    return out
+
+
+def _pair_intersections(
+    shingles: DataFrame, candidates: DataFrame | None
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of :func:`jaccard_pairs` / :func:`containment_pairs`:
+    per-doc shingle-set sizes and per-pair intersection counts.
+    Returns ``(inter, sizes)`` with columns
+    ``(doc_id, doc_id2, n_inter)`` / ``(doc_id, sz)``."""
     # the shingle relation feeds THREE consumers (sizes, both join
     # sides); without materialization each branch re-runs the whole
     # normalize→explode→distinct pipeline (and AQE's per-branch
@@ -303,23 +377,7 @@ def jaccard_pairs(
             )
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-    za = sizes.select(F.col("doc_id"), F.col("sz").alias("sz1"))
-    zb = sizes.select(F.col("doc_id").alias("doc_id2"), F.col("sz").alias("sz2"))
-    out = (
-        inter.join(za, "doc_id")
-        .join(zb, "doc_id2")
-        .select(
-            "doc_id",
-            "doc_id2",
-            floor6(
-                F.col("n_inter")
-                / (F.col("sz1") + F.col("sz2") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
-    )
-    if threshold > 0:
-        out = out.filter(F.col("jaccard") >= threshold)
-    return out
+    return inter, sizes
 
 
 def winnow_fingerprints(

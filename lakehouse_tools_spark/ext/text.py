@@ -221,3 +221,103 @@ def tfidf_keywords(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def bigram_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top: int = 200,
+    min_word_len: int = 1,
+) -> DataFrame:
+    """Top adjacent word-pair statistics — the counting step of
+    merge-rule mining (BPE-style tokenizer training applied at the
+    word level) and of phrase detection (word2phrase-style collocation
+    scoring starts from exactly this table).
+
+    The pair relation is built JVM-side with ``transform`` over token
+    index ranges (same no-UDF pattern as ``dedup.word_shingles``, with
+    the token array materialized first so higher-order-function
+    lambdas don't defeat subexpression elimination). One explode + one
+    groupBy; the shuffle carries (bigram, partial counts) after
+    map-side combine — never document text. Deterministic tiebreak
+    (count desc, bigram asc) makes the top-``top`` oracle-exact.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - 2)
+    pairs = F.when(
+        n >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = base.select("doc_id", F.explode(pairs).alias("bigram"))
+    if min_word_len > 1:
+        exploded = exploded.filter(
+            F.size(
+                F.filter(
+                    F.split(F.col("bigram"), " "),
+                    lambda w: F.length(w) < min_word_len,
+                )
+            )
+            == 0
+        )
+    return (
+        exploded.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_total").desc(), F.col("bigram").asc())
+        .limit(top)
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_word_len: int = 1,
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's
+    own Laplace-smoothed unigram language model — the classic
+    perplexity-proxy quality signal (gibberish and boilerplate both
+    land far from the corpus center; use it to rank docs for
+    filtering where a real LM is too expensive).
+
+    p(w) = (count(w) + 1) / (T + V) with T = total tokens and V =
+    vocabulary size. Two aggregates over one exploded token relation:
+    the vocabulary table (vocab-sized, broadcast back onto the
+    tokens) and the (T, V) scalar (1-row aggregate, broadcast
+    cross-join — not a window over an empty partition, which would
+    funnel every row through one task). The per-doc mean is one final
+    groupBy on doc_id. floor6 + deterministic smoothing make the
+    score oracle-exact.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    ).filter(F.length("w") >= min_word_len)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("_cnt"))
+    totals = vocab.agg(
+        F.sum("_cnt").alias("_t"), F.count(F.lit(1)).alias("_v")
+    )
+    scored = (
+        words.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.col("_cnt") + 1) / (F.col("_t") + F.col("_v"))
+                )
+            ).alias("_nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        floor6(F.avg("_nll")).alias("mean_nll"),
+    )

@@ -168,3 +168,56 @@ def test_decontaminate_exact_and_ngram(spark):
     assert {r.doc_id for r in exact_only.collect()} == {3, 4, 5}
     # original columns come back unchanged
     assert set(clean.columns) == {"doc_id", "text"}
+
+
+def test_containment_vs_jaccard_asymmetry(spark):
+    from pyspark.sql import Row
+    from lakehouse_tools_spark.ext.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        word_shingles,
+    )
+
+    # doc 1 is fully quoted inside the much larger doc 2: containment
+    # of 1-in-2 must be 1.0 while jaccard stays far below it.
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=short), Row(doc_id=2, text=long)]
+    )
+    sh = word_shingles(df, "text", "doc_id", k=3)
+    c = containment_pairs(sh).collect()
+    assert len(c) == 1
+    row = c[0]
+    assert (row.doc_id, row.doc_id2) == (1, 2)
+    assert row.c_1in2 == 1.0 and row.containment == 1.0
+    j = jaccard_pairs(sh).collect()[0].jaccard
+    assert j < 0.2  # same pair, Jaccard misses the subset relation
+    # containment = max of the two directions
+    assert row.containment >= row.c_2in1
+
+
+def test_containment_threshold_and_candidates(spark):
+    from pyspark.sql import Row
+    from lakehouse_tools_spark.ext.dedup import (
+        containment_pairs,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one two three four five"),
+            Row(doc_id=2, text="one two three four five six seven"),
+            Row(doc_id=3, text="totally different words entirely here"),
+        ]
+    )
+    sh = word_shingles(df, "text", "doc_id", k=3)
+    allp = containment_pairs(sh)
+    assert {(r.doc_id, r.doc_id2) for r in allp.collect()} == {(1, 2)}
+    # candidate pruning returns the same verdict for listed pairs
+    cand = spark.createDataFrame([Row(doc_id=1, doc_id2=2)])
+    pruned = containment_pairs(sh, candidates=cand).collect()
+    full = {(r.doc_id, r.doc_id2): r.containment for r in allp.collect()}
+    assert len(pruned) == 1 and pruned[0].containment == full[(1, 2)]
+    # threshold filters on the max direction
+    assert containment_pairs(sh, threshold=1.01).count() == 0

@@ -127,3 +127,38 @@ def test_tfidf_keywords_min_word_len(spark):
     out = text_mod.tfidf_keywords(df, "text", "doc_id", k=10, min_word_len=3)
     words = {r.word for r in out.collect()}
     assert "ab" not in words and {"abc", "abcd", "xyz"} == words
+
+
+def test_bigram_counts(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b"),
+            Row(doc_id=2, text="a b c"),
+            Row(doc_id=3, text="solo"),
+        ]
+    )
+    out = {r.bigram: r for r in text_mod.bigram_counts(df, "text", "doc_id").collect()}
+    # "a b": twice in doc 1 (positions 0 and 2) + once in doc 2
+    assert out["a b"].n_total == 3 and out["a b"].n_docs == 2
+    assert out["b a"].n_total == 1 and out["b c"].n_total == 1
+    # 1-token doc contributes nothing
+    assert set(out) == {"a b", "b a", "b c"}
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    # doc 2 is all rare words -> higher mean negative log-prob than
+    # doc 1, which repeats the corpus-common word.
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common common common common"),
+            Row(doc_id=2, text="rare1 rare2 rare3 rare4"),
+        ]
+    )
+    out = {r.doc_id: r for r in text_mod.unigram_logprob(df, "text", "doc_id").collect()}
+    assert out[1].n_tokens == 4 and out[2].n_tokens == 4
+    assert out[2].mean_nll > out[1].mean_nll
+    # Laplace-smoothed probabilities: p(common) = (4+1)/(8+5)
+    import math
+
+    expected = math.floor(-math.log(5 / 13) * 1e6) / 1e6
+    assert abs(out[1].mean_nll - expected) < 2e-6
