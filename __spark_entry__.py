@@ -631,6 +631,84 @@ _QUANT_ERROR_ORACLE = "\nUNION ALL\n".join(
 )
 
 
+def q_profile_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for every pair of lineitem measure columns
+    (profile.numeric_correlations) — the redundancy/leakage screen of
+    a feature-profiling pass. All C(4,2)=6 coefficients come from ONE
+    wide aggregate over one scan (corr's co-moment partials merge
+    associatively, so the shuffle carries one state row per
+    partition)."""
+    from lakehouse_tools_spark.operators.profile import (
+        numeric_correlations,
+    )
+
+    li = load_table(_spark(spark), sf_dir, "lineitem")
+    cols = [c for c, _ in _QUANT_COLS["lineitem"]]
+    return numeric_correlations(li.select(*cols), DB, "lineitem", cols=cols)
+
+
+_PROFILE_CORR_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{DB}' AS databaseName, 'lineitem' AS tableName,"
+    f" '{a}' AS col1, '{b}' AS col2,"
+    f" round(corr({a}, {b}), 6) AS corr FROM lineitem"
+    for i, (a, _) in enumerate(_QUANT_COLS["lineitem"])
+    for b, _b in _QUANT_COLS["lineitem"][i + 1 :]
+)
+
+
+def q_sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise embedding centroids
+    (ext/similarity.embedding_centroids): posexplode → one aggregate;
+    partial sums combine map-side inside the scan stage, so the
+    shuffle carries labels×dim aggregated rows, never rows×dim.
+    Long (group, pos, centroid, n_vecs) output is oracle-exact."""
+    from lakehouse_tools_spark.ext.similarity import embedding_centroids
+
+    emb = load_table(_spark(spark), sf_dir, "embeddings")
+    return embedding_centroids(emb, group_col="label")
+
+
+_SIM_CENTROIDS_ORACLE = """
+SELECT label AS group_key, CAST(u.i AS INT) AS pos,
+       floor(avg(CAST(embedding[u.i + 1] AS DOUBLE)) * 1000000) / 1000000
+         AS centroid,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS u(i)
+GROUP BY label, u.i
+"""
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection (operators/anomaly.rate_zscores):
+    hourly counts per event type, z-scored against the type's own
+    bucket-count distribution. Everything past the first bucketed
+    count operates on the keys×buckets aggregated relation —
+    metadata-scale at any input size."""
+    from lakehouse_tools_spark.operators.anomaly import rate_zscores
+
+    ev = load_table(_spark(spark), sf_dir, "events")
+    return rate_zscores(ev, bucket="1 hour", z_threshold=2.0)
+
+
+_EVENTS_ANOMALY_ORACLE = f"""
+WITH c AS (
+  SELECT event_type AS key, time_bucket(INTERVAL '1 hour', ts) AS ws,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+z AS (
+  SELECT key, ws, n_events,
+         (n_events - avg(n_events) OVER (PARTITION BY key))
+         / nullif(stddev_samp(n_events) OVER (PARTITION BY key), 0) AS zraw
+  FROM c
+)
+SELECT key, strftime(ws, '{TS_FMT_SQL}') AS window_start, n_events,
+       floor(zraw * 1000000) / 1000000 AS z,
+       abs(zraw) >= 2.0 AS is_anomaly
+FROM z
+"""
+
+
 def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift (PSI) between orders and a deterministically
     shifted snapshot (30% of rows by key hash get o_totalprice ×1.5):
@@ -4642,6 +4720,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigrams": q_text_bigrams,
         "text_logprob": q_text_logprob,
         "dedup_containment": q_dedup_containment,
+        "profile_corr": q_profile_corr,
+        "sim_centroids": q_sim_centroids,
+        "events_anomaly": q_events_anomaly,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -4766,6 +4847,9 @@ def oracle_sql() -> dict[str, str]:
         "text_bigrams": _TEXT_BIGRAMS_ORACLE,
         "text_logprob": _TEXT_LOGPROB_ORACLE,
         "dedup_containment": _DEDUP_CONTAINMENT_ORACLE,
+        "profile_corr": _PROFILE_CORR_ORACLE,
+        "sim_centroids": _SIM_CENTROIDS_ORACLE,
+        "events_anomaly": _EVENTS_ANOMALY_ORACLE,
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

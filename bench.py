@@ -149,6 +149,9 @@ BENCH_QUERIES = [
     "text_bigrams",
     "text_logprob",
     "dedup_containment",
+    "profile_corr",
+    "sim_centroids",
+    "events_anomaly",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

@@ -622,3 +622,34 @@ def ann_topk_lsh_multiprobe(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_centroids(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group element-wise centroid of an embedding column — the
+    aggregation step of cluster labeling, per-domain embedding drift
+    monitoring, and IVF-style coarse quantizer training over
+    pre-assigned groups.
+
+    Plan shape: posexplode → groupBy(group, pos) → avg. The explode
+    never crosses a shuffle: Catalyst's partial aggregation combines
+    (group, pos) partial sums map-side within the scan stage, so the
+    exchange carries only groups×dim aggregated rows per input
+    partition — not rows×dim. Long output ``(group, pos, centroid,
+    n_vecs)`` is engine-portable for auditing and re-assembles to
+    arrays with ``sort_array(collect_list(struct(pos, centroid)))``
+    when a vector shape is needed.
+    """
+    from lakehouse_tools_spark.functions.portable import floor6
+
+    ex = embeddings.select(
+        F.col(group_col).alias("group_key"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_val"),
+    )
+    return ex.groupBy("group_key", "pos").agg(
+        floor6(F.avg(F.col("_val").cast("double"))).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )

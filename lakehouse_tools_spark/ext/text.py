@@ -179,11 +179,21 @@ def tfidf_keywords(
     (score desc, word asc) and floor6 rounding make the output exact
     across engines, so the query is fully oracle-checkable.
     """
+    from pyspark import StorageLevel
+
     words = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
     ).filter(F.length("w") >= min_word_len)
-    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds TWO consumers (the scored join and the DF aggregate);
+    # without materialization each re-runs the tokenize→explode→
+    # groupBy pipeline from the parquet scan (confirmed in the
+    # physical plan: two independent scan+exchange chains). tf is the
+    # compact post-aggregation relation, so one spillable persist is
+    # strictly cheaper than recomputing the exploded tokens.
+    tf = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(
         F.countDistinct(F.col(id_col)).alias("_n")
@@ -297,11 +307,21 @@ def unigram_logprob(
     groupBy on doc_id. floor6 + deterministic smoothing make the
     score oracle-exact.
     """
+    from pyspark import StorageLevel
+
     words = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
     ).filter(F.length("w") >= min_word_len)
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("_cnt"))
+    # words feeds TWO consumers (vocab build + the scored join) and
+    # vocab feeds two more (totals + the broadcast join) — persist
+    # both so the tokenize→explode pipeline and the vocabulary
+    # aggregate each run exactly once (the shingle-relation pattern
+    # from ext/dedup.jaccard_pairs).
+    words = words.persist(StorageLevel.MEMORY_AND_DISK)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("_cnt")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     totals = vocab.agg(
         F.sum("_cnt").alias("_t"), F.count(F.lit(1)).alias("_v")
     )

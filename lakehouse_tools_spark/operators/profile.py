@@ -435,6 +435,60 @@ def numeric_quantiles_exact(
     )
 
 
+def numeric_correlations(
+    df: DataFrame,
+    database: str,
+    table: str,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Pearson correlation for every pair of numeric columns — the
+    redundancy/leakage screen of a feature-profiling pass (a |r| ≈ 1
+    pair is a duplicated signal; an unexpectedly correlated pair is a
+    leak).
+
+    All C(n,2) coefficients build in ONE wide aggregate over a single
+    scan: ``F.corr`` is an algebraic aggregate (co-moment partials
+    merge associatively), so partial states combine map-side and the
+    final aggregate sees one row per partition — the same
+    everything-in-one-pass shape as the quantile and summary
+    profilers. Pair count grows quadratically in column count, but
+    each state is O(1); 50 columns = 1225 states ≈ 60 KB per
+    partition. Values round to 6 decimals to absorb summation-order
+    float drift across engines.
+    """
+    if cols is None:
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.NumericType)
+        ]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    if not pairs:
+        return df.sparkSession.createDataFrame(
+            [],
+            "databaseName string, tableName string, col1 string,"
+            " col2 string, corr double",
+        )
+    wide = df.agg(
+        *[
+            F.round(F.corr(F.col(a), F.col(b)), 6).alias(f"_r_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    branches = []
+    for i, (a, b) in enumerate(pairs):
+        branches.extend([F.lit(a), F.lit(b), F.col(f"_r_{i}")])
+    return wide.select(
+        F.stack(F.lit(len(pairs)), *branches).alias("col1", "col2", "corr")
+    ).select(
+        F.lit(database).alias("databaseName"),
+        F.lit(table).alias("tableName"),
+        "col1",
+        "col2",
+        "corr",
+    )
+
+
 HISTOGRAM_SCHEMA = T.StructType(
     [
         T.StructField("databaseName", T.StringType()),

@@ -127,3 +127,31 @@ def test_profile_nested_no_nested_columns_empty(spark, tables):
 
     out = profile_nested(tables["nation"], "db", "nation")
     assert out.count() == 0
+
+
+def test_numeric_correlations(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.profile import numeric_correlations
+
+    rows = [Row(a=float(i), b=2.0 * i + 1, c=float(-i), d=float(i * i)) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    out = {(r.col1, r.col2): r.corr for r in numeric_correlations(df, "db", "t").collect()}
+    # perfectly linear pairs
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == -1.0
+    # quadratic pair: strong but not perfect
+    assert 0.9 < out[("a", "d")] < 1.0
+    # C(4,2) = 6 pairs, each labeled db/t
+    assert len(out) == 6
+
+
+def test_numeric_correlations_no_numeric(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.profile import numeric_correlations
+
+    df = spark.createDataFrame([Row(s="x")])
+    assert numeric_correlations(df, "db", "t").count() == 0

@@ -173,3 +173,21 @@ def test_kmeans_centroids_deterministic_and_nprobe_monotone(spark, tables):
         for r in ivf_topk(emb, queries, k=5, centroids=r1, nprobe=4).collect()
     }
     assert full == exact
+
+
+def test_embedding_centroids(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.ext.similarity import embedding_centroids
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, label=0, embedding=[1.0, 2.0]),
+            Row(vec_id=2, label=0, embedding=[3.0, 4.0]),
+            Row(vec_id=3, label=1, embedding=[10.0, 20.0]),
+        ]
+    )
+    out = {(r.group_key, r.pos): r for r in embedding_centroids(df).collect()}
+    assert out[(0, 0)].centroid == 2.0 and out[(0, 1)].centroid == 3.0
+    assert out[(1, 0)].centroid == 10.0 and out[(1, 1)].centroid == 20.0
+    assert out[(0, 0)].n_vecs == 2 and out[(1, 0)].n_vecs == 1
