@@ -678,6 +678,36 @@ GROUP BY label, u.i
 """
 
 
+def q_profile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screen (profile.numeric_outliers) over the
+    lineitem measure columns: one wide exact-quartile aggregate, then
+    one wide conditional-count aggregate with the 1-row fence relation
+    broadcast back. Quartiles round to 6 before the fence arithmetic,
+    so every comparison is bit-identical across engines."""
+    from lakehouse_tools_spark.operators.profile import numeric_outliers
+
+    li = load_table(_spark(spark), sf_dir, "lineitem")
+    cols = [c for c, _ in _QUANT_COLS["lineitem"]]
+    return numeric_outliers(li.select(*cols), DB, "lineitem", cols=cols)
+
+
+_PROFILE_OUTLIERS_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{DB}' AS databaseName, 'lineitem' AS tableName,
+       '{c}' AS columnName,
+       round(q.q1 - 1.5 * (q.q3 - q.q1), 6) AS lo_fence,
+       round(q.q3 + 1.5 * (q.q3 - q.q1), 6) AS hi_fence,
+       CAST(sum(CASE WHEN t.{c} < q.q1 - 1.5 * (q.q3 - q.q1)
+                       OR t.{c} > q.q3 + 1.5 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(count(t.{c}) AS BIGINT) AS n_values
+FROM lineitem t, (SELECT round(quantile_cont({c}, 0.25), 6) AS q1,
+                         round(quantile_cont({c}, 0.75), 6) AS q3
+                  FROM lineitem) q
+GROUP BY q.q1, q.q3"""
+    for c, _ in _QUANT_COLS["lineitem"]
+)
+
+
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-rate anomaly detection (operators/anomaly.rate_zscores):
     hourly counts per event type, z-scored against the type's own
@@ -4042,6 +4072,53 @@ GROUP BY doc_id
 """
 
 
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 collocations by pointwise mutual information
+    (ext/text.pmi_bigrams) — word2phrase-style phrase mining. One
+    unigram + one bigram aggregate (map-side combine), then broadcast
+    joins of the vocabulary-sized counts onto the pair relation;
+    min_count=3 suppresses the unstable hapax tail. floor6 + (pmi
+    desc, bigram asc) tiebreak — fully oracle-checkable."""
+    from lakehouse_tools_spark.ext.text import pmi_bigrams
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return pmi_bigrams(docs, "text", "doc_id", min_count=3, top=100)
+
+
+_TEXT_PMI_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL.format(c="text")}, ' ')) AS w
+  FROM documents
+),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM words GROUP BY w),
+t1 AS (SELECT CAST(sum(cw) AS BIGINT) AS t FROM uni),
+d AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(c="text")}, ' ') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT array_to_string(toks[u.i + 1 : u.i + 2], ' ') AS bigram
+  FROM d, UNNEST(CASE WHEN len(toks) >= 2
+                      THEN generate_series(0, len(toks) - 2)
+                      ELSE [] END) AS u(i)
+),
+pairs AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_pair
+          FROM bg GROUP BY bigram),
+t2 AS (SELECT CAST(sum(n_pair) AS BIGINT) AS t FROM pairs)
+SELECT bigram, n_pair,
+       floor(ln((n_pair / CAST(t2.t AS DOUBLE))
+                / ((u1.cw / CAST(t1.t AS DOUBLE))
+                   * (u2.cw / CAST(t1.t AS DOUBLE))))
+             * 1000000) / 1000000 AS pmi
+FROM pairs
+JOIN uni u1 ON u1.w = string_split(bigram, ' ')[1]
+JOIN uni u2 ON u2.w = string_split(bigram, ' ')[2]
+CROSS JOIN t1 CROSS JOIN t2
+WHERE n_pair >= 3
+ORDER BY pmi DESC, bigram ASC LIMIT 100
+"""
+
+
 def q_text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary table: top-200 words by document frequency
     and total count (deterministic tiebreak) — the frequency table a
@@ -4542,6 +4619,36 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CSV_ROUNDTRIP_ORACLE = "SELECT * FROM nation"
 
 
+def q_source_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink+source
+    (sources/formats.write_partitioned): documents written partitioned
+    by lang, read back with a partition filter — planning-time
+    partition pruning means the de/fr directories' files are never
+    opened (PartitionFilters pinned in tests/test_plans.py). At
+    100 TB, partitioning on the dominant filter column is the
+    difference between a directory listing and a full scan. Oracle:
+    the same filter on the original table."""
+    from lakehouse_tools_spark.sources.formats import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    path = "/root/repo/spark-warehouse/_io/documents_partitioned"
+    write_partitioned(docs, path, ["lang"])
+    back = read_partitioned(_spark(spark), path)
+    return back.filter(F.col("lang") == "en").select(
+        "doc_id", "text", F.col("lang").cast("string").alias("lang"),
+        "source", "n_chars",
+    )
+
+
+_PARTITIONED_ORACLE = (
+    "SELECT doc_id, text, lang, source, n_chars"
+    " FROM documents WHERE lang = 'en'"
+)
+
+
 def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink+source: orders (includes a TIMESTAMP column —
     the type text formats most often mangle) through write+read with
@@ -4723,6 +4830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_corr": q_profile_corr,
         "sim_centroids": q_sim_centroids,
         "events_anomaly": q_events_anomaly,
+        "text_pmi": q_text_pmi,
+        "profile_outliers": q_profile_outliers,
+        "source_partitioned": q_source_partitioned,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -4850,6 +4960,9 @@ def oracle_sql() -> dict[str, str]:
         "profile_corr": _PROFILE_CORR_ORACLE,
         "sim_centroids": _SIM_CENTROIDS_ORACLE,
         "events_anomaly": _EVENTS_ANOMALY_ORACLE,
+        "text_pmi": _TEXT_PMI_ORACLE,
+        "profile_outliers": _PROFILE_OUTLIERS_ORACLE,
+        "source_partitioned": _PARTITIONED_ORACLE,
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

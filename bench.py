@@ -152,6 +152,9 @@ BENCH_QUERIES = [
     "profile_corr",
     "sim_centroids",
     "events_anomaly",
+    "text_pmi",
+    "profile_outliers",
+    "source_partitioned",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

@@ -253,28 +253,7 @@ def bigram_counts(
     map-side combine — never document text. Deterministic tiebreak
     (count desc, bigram asc) makes the top-``top`` oracle-exact.
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
-    )
-    toks = F.col("_toks")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), n - 2)
-    pairs = F.when(
-        n >= 2,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = base.select("doc_id", F.explode(pairs).alias("bigram"))
-    if min_word_len > 1:
-        exploded = exploded.filter(
-            F.size(
-                F.filter(
-                    F.split(F.col("bigram"), " "),
-                    lambda w: F.length(w) < min_word_len,
-                )
-            )
-            == 0
-        )
+    exploded = _adjacent_pairs(df, text_col, id_col, min_word_len)
     return (
         exploded.groupBy("bigram")
         .agg(
@@ -341,3 +320,110 @@ def unigram_logprob(
         F.count(F.lit(1)).alias("n_tokens"),
         floor6(F.avg("_nll")).alias("mean_nll"),
     )
+
+
+def _adjacent_pairs(
+    df: DataFrame, text_col: str, id_col: str, min_word_len: int = 1
+) -> DataFrame:
+    """Exploded adjacent word pairs ``(doc_id, bigram)`` — shared core
+    of :func:`bigram_counts` and :func:`pmi_bigrams`. Pairs are built
+    JVM-side with ``transform`` over token index ranges (the token
+    array materialized first, same no-UDF pattern as
+    ``dedup.word_shingles``)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - 2)
+    pairs = F.when(
+        n >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = base.select("doc_id", F.explode(pairs).alias("bigram"))
+    if min_word_len > 1:
+        exploded = exploded.filter(
+            F.size(
+                F.filter(
+                    F.split(F.col("bigram"), " "),
+                    lambda w: F.length(w) < min_word_len,
+                )
+            )
+            == 0
+        )
+    return exploded
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_count: int = 5,
+    top: int = 100,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information:
+    PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over adjacent
+    pairs and p(w) over unigrams — the scoring step of word2phrase-
+    style phrase mining (raw bigram counts rank "of the" first; PMI
+    ranks pairs that co-occur far above chance).
+
+    Shape: one unigram aggregate and one bigram aggregate (each
+    combining map-side before its shuffle), then two broadcast joins
+    of the vocabulary-sized unigram counts onto the bigram relation
+    and a broadcast 1-row totals cross-join. ``min_count`` suppresses
+    the unstable low-frequency tail (a hapax pair always has extreme
+    PMI). floor6 + (pmi desc, bigram asc) tiebreak make the top-N
+    oracle-exact.
+    """
+    from pyspark import StorageLevel
+
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    )
+    # both aggregated relations feed two consumers each (counts join +
+    # totals), so persist the compact post-aggregation forms — the
+    # tokenize/pair pipelines then run exactly once apiece
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("_cw")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs_all = (
+        _adjacent_pairs(df, text_col, id_col)
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bi = pairs_all.filter(F.col("n_pair") >= min_count)
+    totals = uni.agg(F.sum("_cw").alias("_t1"))
+    t2 = pairs_all.agg(F.sum("n_pair").alias("_t2"))
+    w1 = F.split(F.col("bigram"), " ")[0]
+    w2 = F.split(F.col("bigram"), " ")[1]
+    scored = (
+        bi.withColumn("_w1", w1)
+        .withColumn("_w2", w2)
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("_w1"), F.col("_cw").alias("_c1"))),
+            "_w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("_w2"), F.col("_cw").alias("_c2"))),
+            "_w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "bigram",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            floor6(
+                F.log(
+                    (F.col("n_pair") / F.col("_t2"))
+                    / (
+                        (F.col("_c1") / F.col("_t1"))
+                        * (F.col("_c2") / F.col("_t1"))
+                    )
+                )
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc()).limit(top)

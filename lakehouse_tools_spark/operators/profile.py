@@ -489,6 +489,102 @@ def numeric_correlations(
     )
 
 
+def numeric_outliers(
+    df: DataFrame,
+    database: str,
+    table: str,
+    cols: list[str] | None = None,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier counts per numeric column: values outside
+    ``[q1 − k·IQR, q3 + k·IQR]`` — the standard data-quality screen
+    for sensor glitches, unit mixups, and fat-tailed columns that need
+    clipping before training.
+
+    Two passes by necessity (the fences depend on the quartiles): one
+    wide exact-percentile aggregate for all columns' quartiles, then
+    one wide conditional-count aggregate with the 1-row fence relation
+    broadcast back — never a per-column job pair. Quartiles are
+    rounded to 6 decimals BEFORE the fence arithmetic, so the fences
+    (and therefore every comparison) are bit-identical across engines.
+    Exact percentile buffers all values per column in the aggregate
+    state — like :func:`numeric_quantiles_exact`, prune ``cols`` to
+    the measures that matter at scale, or derive fences from the GK
+    sketch when auditability isn't required.
+    """
+    if cols is None:
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.NumericType)
+        ]
+    if not cols:
+        return df.sparkSession.createDataFrame(
+            [],
+            "databaseName string, tableName string, columnName string,"
+            " lo_fence double, hi_fence double, n_outliers bigint,"
+            " n_values bigint",
+        )
+    quarts = df.agg(
+        *[
+            F.round(F.percentile(F.col(c), F.lit(p)), 6).alias(f"_q{tag}_{c}")
+            for c in cols
+            for p, tag in ((0.25, "1"), (0.75, "3"))
+        ]
+    )
+    counts = df.crossJoin(F.broadcast(quarts)).agg(
+        *[
+            e
+            for c in cols
+            for e in (
+                F.sum(
+                    F.when(
+                        (
+                            F.col(c)
+                            < F.col(f"_q1_{c}")
+                            - k * (F.col(f"_q3_{c}") - F.col(f"_q1_{c}"))
+                        )
+                        | (
+                            F.col(c)
+                            > F.col(f"_q3_{c}")
+                            + k * (F.col(f"_q3_{c}") - F.col(f"_q1_{c}"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"_n_{c}"),
+                F.count(F.col(c)).alias(f"_cnt_{c}"),
+                F.first(f"_q1_{c}").alias(f"_fq1_{c}"),
+                F.first(f"_q3_{c}").alias(f"_fq3_{c}"),
+            )
+        ]
+    )
+    branches = []
+    for c in cols:
+        iqr = F.col(f"_fq3_{c}") - F.col(f"_fq1_{c}")
+        branches.extend(
+            [
+                F.lit(c),
+                F.round(F.col(f"_fq1_{c}") - k * iqr, 6),
+                F.round(F.col(f"_fq3_{c}") + k * iqr, 6),
+                F.col(f"_n_{c}").cast("long"),
+                F.col(f"_cnt_{c}").cast("long"),
+            ]
+        )
+    return counts.select(
+        F.stack(F.lit(len(cols)), *branches).alias(
+            "columnName", "lo_fence", "hi_fence", "n_outliers", "n_values"
+        )
+    ).select(
+        F.lit(database).alias("databaseName"),
+        F.lit(table).alias("tableName"),
+        "columnName",
+        "lo_fence",
+        "hi_fence",
+        "n_outliers",
+        "n_values",
+    )
+
+
 HISTOGRAM_SCHEMA = T.StructType(
     [
         T.StructField("databaseName", T.StringType()),

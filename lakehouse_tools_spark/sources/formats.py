@@ -170,6 +170,33 @@ def read_binary(
     return r.load(path)
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_by: list[str], fmt: str = "parquet"
+) -> None:
+    """Hive-style partitioned layout (``path/col=value/...``) — the
+    directory structure that makes partition pruning possible: a read
+    with a filter on a partition column never opens the other
+    partitions' files. At 100 TB, partitioning by the dominant filter
+    column (date, tenant, language) is the difference between a
+    full-corpus scan and a directory listing; the pruning itself is
+    pinned in tests/test_plans.py."""
+    (
+        df.write.format(fmt)
+        .mode("overwrite")
+        .partitionBy(*partition_by)
+        .save(path)
+    )
+
+
+def read_partitioned(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Read a partitioned layout back; partition columns come from
+    the directory names (partition discovery), so filters on them
+    prune at planning time — no footer of a pruned file is touched."""
+    return spark.read.format(fmt).load(path)
+
+
 def roundtrip(df: DataFrame, path: str, fmt: str) -> DataFrame:
     """Write ``df`` to ``path`` as ``fmt`` and read it back with the
     source DataFrame's own schema — the self-check used by the

@@ -182,3 +182,25 @@ def test_corpus_prepare_single_scan(spark):
     # quality + language + fingerprint fused: documents scanned once
     p = plan_of(E.q_corpus_prepare(spark, SF))
     assert p.count("documents.parquet") <= 1 or p.count("FileScan") == 1
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    # a filter on the partition column must land in PartitionFilters
+    # (planning-time directory pruning), not in the data filters —
+    # at scale this is a listing, not a scan.
+    from lakehouse_tools_spark.sources.formats import (
+        read_partitioned,
+        write_partitioned,
+    )
+    from lakehouse_tools_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    path = "/root/repo/spark-warehouse/_io/_plans_partitioned"
+    write_partitioned(docs, path, ["lang"])
+    back = read_partitioned(spark, path).filter(F.col("lang") == "en")
+    plan = plan_of(back)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1)
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed is None or "lang" not in pushed.group(1)

@@ -155,3 +155,22 @@ def test_numeric_correlations_no_numeric(spark):
 
     df = spark.createDataFrame([Row(s="x")])
     assert numeric_correlations(df, "db", "t").count() == 0
+
+
+def test_numeric_outliers_fences(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.profile import numeric_outliers
+
+    # 1..8 plus two extreme points; quartiles of the 10 values set the
+    # fences, the extremes land outside
+    vals = [float(v) for v in range(1, 9)] + [100.0, -100.0]
+    df = spark.createDataFrame([Row(x=v) for v in vals])
+    r = numeric_outliers(df, "db", "t").collect()[0]
+    assert r.columnName == "x" and r.n_values == 10
+    assert r.n_outliers == 2
+    assert r.lo_fence < 1.0 and r.hi_fence > 8.0
+    # nulls are not counted as values or outliers
+    df2 = spark.createDataFrame([Row(x=v) for v in vals] + [Row(x=None)])
+    r2 = numeric_outliers(df2, "db", "t").collect()[0]
+    assert r2.n_values == 10 and r2.n_outliers == 2

@@ -162,3 +162,19 @@ def test_unigram_logprob_orders_rarity(spark):
 
     expected = math.floor(-math.log(5 / 13) * 1e6) / 1e6
     assert abs(out[1].mean_nll - expected) < 2e-6
+
+
+def test_pmi_ranks_collocation_over_frequency(spark):
+    # "strong coffee" always co-occurs; "the cat"/"the dog" share the
+    # frequent "the" -> PMI must rank the exclusive pair first even
+    # though raw counts are equal.
+    rows = [
+        Row(doc_id=i, text="strong coffee the cat the dog") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows)
+    out = text_mod.pmi_bigrams(df, "text", "doc_id", min_count=1, top=10)
+    ranked = [r.bigram for r in out.collect()]
+    assert ranked[0] == "strong coffee"
+    assert ranked.index("strong coffee") < ranked.index("the cat")
+    # min_count prunes the tail
+    assert text_mod.pmi_bigrams(df, "text", "doc_id", min_count=4).count() == 0
