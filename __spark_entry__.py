@@ -902,6 +902,38 @@ WHERE s.v IN ('{MERGE_RESIDUAL_EXCL[0]}', '{MERGE_RESIDUAL_EXCL[1]}')
 """
 
 
+def q_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with Delta-style automatic schema evolution
+    (operators/merge.upsert(evolve_schema=True)): the source drops
+    c_mktsegment (target-only → RETAINED on match, null on insert)
+    and adds loyalty_tier (source-new → appended, null where the
+    source didn't touch). Same single full-outer join — evolution is
+    pure output-expression bookkeeping, zero extra shuffles."""
+    cust = load_table(_spark(spark), sf_dir, "customer")
+    src = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .drop("c_mktsegment")
+        .withColumn("c_acctbal", F.col("c_acctbal") * 2)
+        .withColumn(
+            "loyalty_tier",
+            F.concat(F.lit("tier_"), (F.col("c_custkey") % 2).cast("string")),
+        )
+    )
+    return upsert(cust, src, ["c_custkey"], evolve_schema=True)
+
+
+_MERGE_EVOLVE_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey,
+       CASE WHEN c_custkey % 3 = 0 THEN c_acctbal * 2
+            ELSE c_acctbal END AS c_acctbal,
+       c_mktsegment,
+       CASE WHEN c_custkey % 3 = 0
+            THEN 'tier_' || CAST(c_custkey % 2 AS VARCHAR)
+       END AS loyalty_tier
+FROM customer
+"""
+
+
 def q_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE with WHEN NOT MATCHED BY SOURCE AND cond THEN DELETE —
     the reference's To-Do (dbc cell@1.0:37). Target = nations k<20;
@@ -4833,6 +4865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi": q_text_pmi,
         "profile_outliers": q_profile_outliers,
         "source_partitioned": q_source_partitioned,
+        "merge_evolve": q_merge_evolve,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -4963,6 +4996,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pmi": _TEXT_PMI_ORACLE,
         "profile_outliers": _PROFILE_OUTLIERS_ORACLE,
         "source_partitioned": _PARTITIONED_ORACLE,
+        "merge_evolve": _MERGE_EVOLVE_ORACLE,
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

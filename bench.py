@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "text_pmi",
     "profile_outliers",
     "source_partitioned",
+    "merge_evolve",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

@@ -55,6 +55,7 @@ def upsert(
     check_source_unique: bool = False,
     full_sync: bool = False,
     delete_condition: TargetPredicate | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Apply MERGE (UPDATE SET * / INSERT *) semantics, returning the
     merged relation. ``source_residual`` is the extra ON-clause
@@ -78,11 +79,25 @@ def upsert(
     ``check_source_unique=True`` runs an assertion job (an agg over
     the source keys) before merging — off by default to keep the
     plan single-job at scale; enable it in tests and ad-hoc runs.
+
+    ``evolve_schema=True`` enables Delta-style automatic schema
+    evolution on MERGE: columns present only in the source are
+    APPENDED to the output (null for rows the source didn't touch);
+    columns present only in the target are RETAINED (matched rows
+    keep their existing value — UPDATE SET * updates only source
+    columns — and inserted rows get null). Keys must exist in both
+    relations. Off by default: a silent schema drift becoming a
+    silent schema change is usually a bug, not a feature.
     """
-    if set(target.columns) != set(source.columns):
+    t_set, s_set = set(target.columns), set(source.columns)
+    s_new = [c for c in source.columns if c not in t_set]
+    t_only = [c for c in target.columns if c not in s_set]
+    if (s_new or t_only) and not evolve_schema:
         raise ValueError(
             f"target/source schemas differ: {target.columns} vs {source.columns}"
         )
+    if any(k not in t_set or k not in s_set for k in keys):
+        raise ValueError(f"merge keys {keys} must exist in both relations")
     if check_source_unique:
         matchable = (
             source.filter(source_residual(source))
@@ -115,7 +130,7 @@ def upsert(
         F.col("_residual_ok"),
         *[F.col(f"`{c}`").alias(f"_s_{c}") for c in cols],
     )
-    t_cols = [F.col(f"`{c}`").alias(f"_t_{c}") for c in cols]
+    t_cols = [F.col(f"`{c}`").alias(f"_t_{c}") for c in target.columns]
     if full_sync and delete_condition is not None:
         t = target.withColumn("_del_ok", delete_condition(target)).select(
             F.col("_del_ok"), *t_cols
@@ -135,16 +150,32 @@ def upsert(
         if delete_condition is not None:
             keep = keep | ~F.coalesce(F.col("_del_ok"), F.lit(False))
         joined = joined.filter(keep)
-    return joined.select(
-        *[
-            F.when(
-                F.col("_src_present").isNotNull(), F.col(f"`_s_{c}`")
+    # Output schema: target columns in target order, then source-new
+    # columns in source order (the Delta mergeSchema append rule).
+    s_types = {f.name: f.dataType for f in source.schema.fields}
+    out_exprs = []
+    for c in list(target.columns) + s_new:
+        if c in t_only:
+            # UPDATE SET * touches only source columns: matched rows
+            # retain the target value; inserted rows are null here
+            out_exprs.append(F.col(f"`_t_{c}`").alias(c))
+        elif c in s_new:
+            out_exprs.append(
+                F.when(
+                    F.col("_src_present").isNotNull(), F.col(f"`_s_{c}`")
+                )
+                .otherwise(F.lit(None).cast(s_types[c]))
+                .alias(c)
             )
-            .otherwise(F.col(f"`_t_{c}`"))
-            .alias(c)
-            for c in cols
-        ]
-    )
+        else:
+            out_exprs.append(
+                F.when(
+                    F.col("_src_present").isNotNull(), F.col(f"`_s_{c}`")
+                )
+                .otherwise(F.col(f"`_t_{c}`"))
+                .alias(c)
+            )
+    return joined.select(*out_exprs)
 
 
 def not_in(column: str, values: list[str]) -> SourcePredicate:

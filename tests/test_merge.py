@@ -133,3 +133,42 @@ def test_residual_rerun_duplicates_excluded_keys(spark):
     ]
     # without a residual the same re-run is a pure idempotent upsert
     assert rows(upsert(upsert(t, s, ["k"]), s, ["k"])) == rows(upsert(t, s, ["k"]))
+
+
+def test_upsert_evolve_schema(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.merge import upsert
+
+    target = spark.createDataFrame(
+        [Row(k=1, a="t1", b="keep1"), Row(k=2, a="t2", b="keep2")]
+    )
+    source = spark.createDataFrame(
+        [Row(k=2, a="s2", c="new2"), Row(k=3, a="s3", c="new3")]
+    )
+    out = {r.k: r for r in upsert(
+        target, source, ["k"], evolve_schema=True
+    ).collect()}
+    # untouched target row: original values, new column null
+    assert out[1].a == "t1" and out[1].b == "keep1" and out[1].c is None
+    # matched row: source values for shared cols, target-only RETAINED
+    assert out[2].a == "s2" and out[2].b == "keep2" and out[2].c == "new2"
+    # inserted row: source values, target-only null
+    assert out[3].a == "s3" and out[3].b is None and out[3].c == "new3"
+    # column order: target columns then appended source-new columns
+    cols = upsert(target, source, ["k"], evolve_schema=True).columns
+    assert cols == ["k", "a", "b", "c"]
+
+
+def test_upsert_schema_mismatch_still_raises_by_default(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.merge import upsert
+
+    t = spark.createDataFrame([Row(k=1, a="x")])
+    s = spark.createDataFrame([Row(k=1, c="y")])
+    with _pytest.raises(ValueError, match="schemas differ"):
+        upsert(t, s, ["k"])
+    with _pytest.raises(ValueError, match="must exist in both"):
+        upsert(t, s, ["a"], evolve_schema=True)
