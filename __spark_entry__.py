@@ -4423,6 +4423,98 @@ WHERE ws + INTERVAL '5 minutes' <= mx - INTERVAL '10 minutes'
 """
 
 
+_STREAM_SKETCH_COLS = ("event_type", "user_id", "event_id")
+
+
+def q_events_stream_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental profiling e2e — the HLL sketches doing
+    their actual job: the events table is re-laid as 4 files and
+    streamed file-by-file (maxFilesPerTrigger=1, availableNow), each
+    micro-batch builds per-column sketches in foreachBatch
+    (operators/sketches.distinct_sketches — data touched once per
+    batch), and the per-batch sketches are merged register-wise at
+    the end — no rescan of any batch, the incremental-profiling
+    contract. The merged estimate must land within ±5% of the exact
+    distinct count AND must genuinely come from multiple batches;
+    the oracle asserts the exact counts and both booleans, so a
+    broken merge, a single-batch degenerate stream, or a sketch
+    regression all fail the driver compare."""
+    import shutil
+    import tempfile
+
+    from lakehouse_tools_spark.operators.sketches import (
+        distinct_sketches,
+        estimate_distinct,
+        merge_sketches,
+    )
+
+    s = _spark(spark)
+    ev = load_table(s, sf_dir, "events")
+    src = "/root/repo/spark-warehouse/_io/events_stream_profile_src"
+    shutil.rmtree(src, ignore_errors=True)
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    cols = list(_STREAM_SKETCH_COLS)
+    acc: list[tuple[str, bytes, int]] = []
+
+    def _batch(bdf, bid):
+        for r in distinct_sketches(bdf, cols).collect():
+            acc.append((r["columnName"], bytes(r["sketch"]), int(bid)))
+
+    ckpt = tempfile.mkdtemp(prefix="lts_stream_profile_ckpt_")
+    q = (
+        s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    n_batches = len({b for _, _, b in acc})
+    parts = s.createDataFrame(
+        [(c, sk) for c, sk, _ in acc], "columnName string, sketch binary"
+    )
+    est = estimate_distinct(merge_sketches([parts]))
+    exact = ev.agg(
+        *[
+            F.countDistinct(F.col(c).cast("string")).alias(f"_d_{c}")
+            for c in cols
+        ]
+    ).select(
+        F.stack(
+            F.lit(len(cols)),
+            *[x for c in cols for x in (F.lit(c), F.col(f"`_d_{c}`"))],
+        ).alias("columnName", "n_exact")
+    )
+    return (
+        est.join(exact, "columnName")
+        .select(
+            "columnName",
+            F.col("n_exact").cast("long"),
+            F.lit(float(_SKETCH_ERR_BOUND)).alias("rel_err_bound"),
+            (
+                F.abs(F.col("n_distinct_est") - F.col("n_exact"))
+                / F.col("n_exact")
+                <= F.lit(float(_SKETCH_ERR_BOUND))
+            ).alias("within_bound"),
+            F.lit(n_batches >= 2).alias("merged_from_multiple_batches"),
+        )
+        .orderBy("columnName")
+    )
+
+
+_STREAM_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS columnName,"
+    f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_exact,"
+    f" CAST({_SKETCH_ERR_BOUND} AS DOUBLE) AS rel_err_bound,"
+    f" TRUE AS within_bound, TRUE AS merged_from_multiple_batches"
+    f" FROM events"
+    for c in _STREAM_SKETCH_COLS
+)
+
+
 def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator e2e: per-user sessionization
     with explicit state via applyInPandasWithState (event-time timeout
@@ -4866,6 +4958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_outliers": q_profile_outliers,
         "source_partitioned": q_source_partitioned,
         "merge_evolve": q_merge_evolve,
+        "events_stream_profile": q_events_stream_profile,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -4997,6 +5090,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_outliers": _PROFILE_OUTLIERS_ORACLE,
         "source_partitioned": _PARTITIONED_ORACLE,
         "merge_evolve": _MERGE_EVOLVE_ORACLE,
+        "events_stream_profile": _STREAM_PROFILE_ORACLE,
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

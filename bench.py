@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "profile_outliers",
     "source_partitioned",
     "merge_evolve",
+    "events_stream_profile",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with
@@ -174,6 +175,7 @@ NOISY = {
     "events_stream_sessionize",
     "events_stream_join",
     "events_stream_dedup",
+    "events_stream_profile",
 }
 
 
