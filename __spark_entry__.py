@@ -934,6 +934,40 @@ FROM customer
 """
 
 
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-level schema drift (catalog.schema_changes): orders vs
+    an evolved version that drops o_orderpriority, retypes o_custkey
+    to string, and adds o_channel — one row per added / removed /
+    type-changed column. Driver-side by design: schemas are driver
+    metadata (zero scans at any size); a distributed join over two
+    tiny relations would shuffle for nothing."""
+    from lakehouse_tools_spark.catalog import schema_changes
+
+    orders = load_table(_spark(spark), sf_dir, "orders")
+    evolved = (
+        orders.drop("o_orderpriority")
+        .withColumn("o_custkey", F.col("o_custkey").cast("string"))
+        .withColumn("o_channel", F.lit("web"))
+    )
+    return schema_changes(orders, evolved, DB, "orders")
+
+
+def _schema_drift_oracle() -> str:
+    dtypes = dict(FIXTURE_SCHEMAS["orders"])
+    rows = [
+        ("o_orderpriority", "removed", dtypes["o_orderpriority"], None),
+        ("o_custkey", "type_changed", dtypes["o_custkey"], "string"),
+        ("o_channel", "added", None, "string"),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{DB}' AS databaseName, 'orders' AS tableName,"
+        f" '{c}' AS columnName, '{chg}' AS change,"
+        f" {'NULL' if old is None else repr(old)} AS old_type,"
+        f" {'NULL' if new is None else repr(new)} AS new_type"
+        for c, chg, old, new in rows
+    )
+
+
 def q_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE with WHEN NOT MATCHED BY SOURCE AND cond THEN DELETE —
     the reference's To-Do (dbc cell@1.0:37). Target = nations k<20;
@@ -4959,6 +4993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_partitioned": q_source_partitioned,
         "merge_evolve": q_merge_evolve,
         "events_stream_profile": q_events_stream_profile,
+        "schema_drift": q_schema_drift,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -5091,6 +5126,7 @@ def oracle_sql() -> dict[str, str]:
         "source_partitioned": _PARTITIONED_ORACLE,
         "merge_evolve": _MERGE_EVOLVE_ORACLE,
         "events_stream_profile": _STREAM_PROFILE_ORACLE,
+        "schema_drift": _schema_drift_oracle(),
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

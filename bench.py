@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "source_partitioned",
     "merge_evolve",
     "events_stream_profile",
+    "schema_drift",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

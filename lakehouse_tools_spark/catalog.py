@@ -133,3 +133,40 @@ def describe_columns(
             rows.append(Row(col_name="", data_type="", comment=""))
             rows.append(Row(col_name="Not partitioned", data_type="", comment=""))
     return spark.createDataFrame(rows, DESCRIBE_SCHEMA)
+
+
+def schema_changes(
+    old: DataFrame, new: DataFrame, database: str, table: str
+) -> DataFrame:
+    """Schema drift between two versions of a relation: one row per
+    column added / removed / type-changed — the catalog-level
+    companion of the row-level ``operators/diff.snapshot_diff`` (the
+    reference's harvest loop re-reads every schema each run; diffing
+    versions is how a real catalog monitor alerts on drift).
+
+    Deliberately driver-side: schemas ARE driver metadata
+    (``df.schema`` costs zero scans at any data size), so building
+    the diff from the StructTypes is the scale-correct plan — a
+    distributed join over two ≤-few-hundred-row relations would
+    shuffle for nothing. Unchanged columns are omitted; column order
+    changes are not reported (Spark relations are order-insensitive
+    on read).
+    """
+    spark = old.sparkSession
+    o = [(f.name, f.dataType.simpleString()) for f in old.schema.fields]
+    n = [(f.name, f.dataType.simpleString()) for f in new.schema.fields]
+    om, nm = dict(o), dict(n)
+    rows: list[tuple] = []
+    for name, dt in o:
+        if name not in nm:
+            rows.append((database, table, name, "removed", dt, None))
+        elif nm[name] != dt:
+            rows.append((database, table, name, "type_changed", dt, nm[name]))
+    for name, dt in n:
+        if name not in om:
+            rows.append((database, table, name, "added", None, dt))
+    return spark.createDataFrame(
+        rows,
+        "databaseName string, tableName string, columnName string,"
+        " change string, old_type string, new_type string",
+    )

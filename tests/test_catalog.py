@@ -63,3 +63,30 @@ def test_describe_partition_row_leakage_modes(spark, tables):
     )
     rows = {(r.col_name, r.data_type) for r in parted.collect()}
     assert ("Part 0", "o_orderdate") in rows
+
+
+def test_schema_changes(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.catalog import schema_changes
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame([Row(a=1, b="x", c=1.5)])
+    new = old.drop("b").withColumn("a", F.col("a").cast("string")).withColumn(
+        "d", F.lit(True)
+    )
+    out = {r.columnName: r for r in schema_changes(old, new, "db", "t").collect()}
+    assert out["b"].change == "removed" and out["b"].old_type == "string"
+    assert out["a"].change == "type_changed" and out["a"].new_type == "string"
+    assert out["d"].change == "added" and out["d"].new_type == "boolean"
+    # unchanged column emits nothing
+    assert "c" not in out and len(out) == 3
+
+
+def test_schema_changes_identical_is_empty(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.catalog import schema_changes
+
+    df = spark.createDataFrame([Row(a=1)])
+    assert schema_changes(df, df, "db", "t").count() == 0
