@@ -72,3 +72,32 @@ def test_hash_sample_nested_and_bounded(spark, frac_pair):
     assert len(big) <= 80
     full = {r.k for r in hash_sample(df, 1.0, "k").collect()}
     assert full == set(range(80))  # fraction 1.0 keeps everything
+
+
+@_settings
+@given(texts=TEXTS)
+def test_containment_jaccard_laws(spark, texts):
+    from lakehouse_tools_spark.ext.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    sh = word_shingles(df, "text", "doc_id", k=2)
+    cont = {
+        (r.doc_id, r.doc_id2): r for r in containment_pairs(sh).collect()
+    }
+    jac = {
+        (r.doc_id, r.doc_id2): r.jaccard for r in jaccard_pairs(sh).collect()
+    }
+    # identical pair sets (both enumerate pairs sharing >=1 shingle)
+    assert set(cont) == set(jac)
+    for pair, r in cont.items():
+        # directions bounded and the max is the containment verdict
+        assert 0 < r.c_1in2 <= 1.0 and 0 < r.c_2in1 <= 1.0
+        assert abs(r.containment - max(r.c_1in2, r.c_2in1)) < 1e-9
+        # containment dominates jaccard: |A∩B|/min-side >= |A∩B|/|A∪B|
+        assert r.containment >= jac[pair] - 1e-9
