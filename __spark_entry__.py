@@ -631,6 +631,29 @@ _QUANT_ERROR_ORACLE = "\nUNION ALL\n".join(
 )
 
 
+def q_profile_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quartiles
+    (profile.grouped_quantiles): one groupBy(lang) percentile
+    aggregate — partial states combine map-side, shuffle carries
+    groups×state. Exact interpolation here for quantile_cont oracle
+    parity; the GK-sketch mode is the unbounded-cardinality path."""
+    from lakehouse_tools_spark.operators.profile import grouped_quantiles
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return grouped_quantiles(docs, "lang", "n_chars", DB, "documents")
+
+
+_QUANT_GROUPED_ORACLE = f"""
+SELECT '{DB}' AS databaseName, 'documents' AS tableName,
+       'n_chars' AS columnName, lang AS groupValue,
+       round(quantile_cont(n_chars, 0.25), 6) AS q25,
+       round(quantile_cont(n_chars, 0.50), 6) AS q50,
+       round(quantile_cont(n_chars, 0.75), 6) AS q75,
+       CAST(count(n_chars) AS BIGINT) AS n_values
+FROM documents GROUP BY lang
+"""
+
+
 def q_profile_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation for every pair of lineitem measure columns
     (profile.numeric_correlations) — the redundancy/leakage screen of
@@ -4994,6 +5017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_evolve": q_merge_evolve,
         "events_stream_profile": q_events_stream_profile,
         "schema_drift": q_schema_drift,
+        "profile_quantiles_grouped": q_profile_quantiles_grouped,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -5127,6 +5151,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_evolve": _MERGE_EVOLVE_ORACLE,
         "events_stream_profile": _STREAM_PROFILE_ORACLE,
         "schema_drift": _schema_drift_oracle(),
+        "profile_quantiles_grouped": _QUANT_GROUPED_ORACLE,
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "merge_evolve",
     "events_stream_profile",
     "schema_drift",
+    "profile_quantiles_grouped",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

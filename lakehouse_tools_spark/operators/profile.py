@@ -585,6 +585,44 @@ def numeric_outliers(
     )
 
 
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    database: str,
+    table: str,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Quartiles of one measure per group — the per-segment profile
+    (doc length by language, price by region) that a single-table
+    quantile can't answer. One ``groupBy(group).agg(percentile)``
+    aggregate: partial states combine map-side, the shuffle carries
+    groups×state, never rows. ``exact=True`` interpolates like
+    ``quantile_cont`` (oracle-parity, buffers values per group — use
+    on bounded-cardinality groups); ``exact=False`` uses the GK
+    sketch (mergeable, the 100 TB default)."""
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    agg = (
+        F.percentile(F.col(value_col), qs)
+        if exact
+        else F.percentile_approx(F.col(value_col), qs, F.lit(accuracy))
+    )
+    g = df.groupBy(F.col(group_col).alias("groupValue")).agg(
+        agg.alias("_q"), F.count(F.col(value_col)).alias("n_values")
+    )
+    return g.select(
+        F.lit(database).alias("databaseName"),
+        F.lit(table).alias("tableName"),
+        F.lit(value_col).alias("columnName"),
+        "groupValue",
+        F.round(F.col("_q")[0].cast("double"), 6).alias("q25"),
+        F.round(F.col("_q")[1].cast("double"), 6).alias("q50"),
+        F.round(F.col("_q")[2].cast("double"), 6).alias("q75"),
+        F.col("n_values").cast("long").alias("n_values"),
+    )
+
+
 HISTOGRAM_SCHEMA = T.StructType(
     [
         T.StructField("databaseName", T.StringType()),

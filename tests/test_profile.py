@@ -174,3 +174,29 @@ def test_numeric_outliers_fences(spark):
     df2 = spark.createDataFrame([Row(x=v) for v in vals] + [Row(x=None)])
     r2 = numeric_outliers(df2, "db", "t").collect()[0]
     assert r2.n_values == 10 and r2.n_outliers == 2
+
+
+def test_grouped_quantiles_exact_and_sketch(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.profile import grouped_quantiles
+
+    rows = [Row(g="a", v=float(i)) for i in range(1, 6)] + [
+        Row(g="b", v=10.0),
+        Row(g="b", v=20.0),
+        Row(g="c", v=None),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.groupValue: r for r in grouped_quantiles(df, "g", "v", "db", "t").collect()}
+    # group a = 1..5: interpolated quartiles 2, 3, 4
+    assert (out["a"].q25, out["a"].q50, out["a"].q75) == (2.0, 3.0, 4.0)
+    assert out["a"].n_values == 5
+    # two-point group interpolates the midpoint median
+    assert out["b"].q50 == 15.0 and out["b"].n_values == 2
+    # all-null group: zero values, null quartiles
+    assert out["c"].n_values == 0 and out["c"].q50 is None
+    # sketch mode returns real elements within the group's range
+    sk = {r.groupValue: r for r in grouped_quantiles(
+        df, "g", "v", "db", "t", exact=False
+    ).collect()}
+    assert 1.0 <= sk["a"].q50 <= 5.0
