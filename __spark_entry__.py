@@ -547,6 +547,67 @@ _SKETCH_ERROR_ORACLE = "\nUNION ALL\n".join(
 _QERR_EPS = 0.001
 
 
+#: approx_count_distinct's default rsd is 5% (one standard error);
+#: ±15% = 3σ keeps the contract robust while still catching a broken
+#: estimator or column binding outright.
+_SUMMARY_ERR_BOUND = 0.15
+
+
+def q_summary_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verifiable accuracy contract for the single-pass summary
+    profiler's HyperLogLog++ mode (profile_summary(exact_distinct=
+    False)) — the last approximate path without one: per column of
+    orders, the one-wide-aggregate estimate must land within ±15%
+    (3σ at the default 5% rsd) of the exact distinct count, and the
+    exactly-computable fields (rows, nulls) must MATCH the exact
+    values outright. The oracle asserts all of it, so an estimator
+    or column-binding regression fails the driver compare."""
+    from lakehouse_tools_spark.operators.profile import profile_summary
+
+    orders = load_table(_spark(spark), sf_dir, "orders")
+    approx = profile_summary(orders, DB, "orders", exact_distinct=False).select(
+        "columnName", "n_rows", "n_nulls",
+        F.col("n_distinct").alias("_est"),
+    )
+    cols = [f.name for f in orders.schema.fields]
+    exact = orders.agg(
+        *[F.countDistinct(F.col(c)).alias(f"_d_{c}") for c in cols]
+    ).select(
+        F.stack(
+            F.lit(len(cols)),
+            *[x for c in cols for x in (F.lit(c), F.col(f"`_d_{c}`"))],
+        ).alias("columnName", "n_exact")
+    )
+    return (
+        approx.join(exact, "columnName")
+        .select(
+            "columnName",
+            F.col("n_rows").cast("long"),
+            F.col("n_nulls").cast("long"),
+            F.col("n_exact").cast("long"),
+            F.lit(float(_SUMMARY_ERR_BOUND)).alias("rel_err_bound"),
+            (
+                F.abs(F.col("_est") - F.col("n_exact")) / F.col("n_exact")
+                <= F.lit(float(_SUMMARY_ERR_BOUND))
+            ).alias("within_bound"),
+        )
+        .orderBy("columnName")
+    )
+
+
+def _summary_error_oracle() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS columnName,"
+        f" CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_nulls,"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_exact,"
+        f" CAST({_SUMMARY_ERR_BOUND} AS DOUBLE) AS rel_err_bound,"
+        f" TRUE AS within_bound FROM orders"
+        for c, _ in FIXTURE_SCHEMAS["orders"]
+    )
+
+
 def q_quantile_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-verifiable accuracy contract for the GK quantile-sketch
     profiler (same pattern as sketch_error_report): each approximate
@@ -5018,6 +5079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_profile": q_events_stream_profile,
         "schema_drift": q_schema_drift,
         "profile_quantiles_grouped": q_profile_quantiles_grouped,
+        "summary_error_report": q_summary_error_report,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -5152,6 +5214,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_profile": _STREAM_PROFILE_ORACLE,
         "schema_drift": _schema_drift_oracle(),
         "profile_quantiles_grouped": _QUANT_GROUPED_ORACLE,
+        "summary_error_report": _summary_error_oracle(),
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

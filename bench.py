@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "events_stream_profile",
     "schema_drift",
     "profile_quantiles_grouped",
+    "summary_error_report",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with
@@ -232,8 +233,17 @@ def main() -> None:
         "noise_note": (
             "min_of_3 entries swing >1.3x with no plan change "
             "(blue/green disk state, streaming harness overhead, "
-            "session contention); r04 isolated steady-state: "
-            "events_range_join 1.5s, source_orc_roundtrip 1.3s"
+            "session contention). r04 full-session evidence: the r03 "
+            "1.3-1.6x band reversed wholesale (most entries 0.4-0.7x "
+            "of r03, incl. events_range_join 2.48->1.05 and "
+            "events_stream_watermark 4.66->1.84) confirming it was "
+            "contention; r04's only >1.3x entries (tpch_q3/q7/q21, "
+            "profile_summary[_approx], all <4s, no plan change) are "
+            "the same session-position noise. Expected-expensive "
+            "audit/contract queries: sim_recall_report (4 ANN paths "
+            "+ exact), quantile_error_report & profile_outliers "
+            "(exact-percentile audit modes, GK sketch is the scale "
+            "path)."
         ),
     }
     here = os.path.dirname(os.path.abspath(__file__))
