@@ -4269,6 +4269,65 @@ ORDER BY pmi DESC, bigram ASC LIMIT 100
 """
 
 
+def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training contract (ext/text.learn_bpe_merges +
+    apply_bpe): learn 10 merge rules — ONE corpus-scale word-frequency
+    aggregate, then the merge loop on the vocabulary (the production
+    trainer architecture; looping over the VOCAB is the algorithm,
+    not a collect anti-pattern) — and encode the corpus with them.
+    The merge loop itself is iterative and not SQL-expressible, so
+    the contract pins what IS: the first merge must equal the
+    corpus's most frequent adjacent character pair (SQL-computable),
+    the merge table must contain n distinct rules, and the encoded
+    token total must land between the word count (≥1 token/word) and
+    the character total (merges only ever shrink). A broken trainer,
+    tiebreak, or encoder flips a field and fails the driver hash."""
+    from lakehouse_tools_spark.ext.text import apply_bpe, learn_bpe_merges
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    merges = learn_bpe_merges(docs, "text", num_merges=10)
+    enc = apply_bpe(docs, "text", "doc_id", merges)
+    words = docs.select(
+        F.explode(F.split(X_dedup.normalize_text(F.col("text")), " ")).alias(
+            "w"
+        )
+    ).filter(F.col("w") != "")
+    bounds = words.agg(
+        F.count(F.lit(1)).alias("_nw"), F.sum(F.length("w")).alias("_nc")
+    )
+    total = enc.agg(F.sum("n_tokens").alias("_nt"))
+    return total.crossJoin(bounds).select(
+        F.lit(len(merges)).alias("n_merges"),
+        F.lit(merges[0][0]).alias("first_left"),
+        F.lit(merges[0][1]).alias("first_right"),
+        F.lit(len(set(merges)) == len(merges)).alias("pairs_distinct"),
+        (
+            (F.col("_nt") >= F.col("_nw")) & (F.col("_nt") <= F.col("_nc"))
+        ).alias("tokens_within_bounds"),
+    )
+
+
+_TEXT_BPE_ORACLE = f"""
+WITH words AS (
+  SELECT w FROM (
+    SELECT unnest(string_split({_NORM_SQL.format(c="text")}, ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY w),
+pairs AS (
+  SELECT substring(w, u.i, 1) AS a, substring(w, u.i + 1, 1) AS b,
+         sum(freq) AS c
+  FROM vocab, UNNEST(generate_series(1, length(w) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+best AS (SELECT a, b FROM pairs ORDER BY c DESC, a ASC, b ASC LIMIT 1)
+SELECT 10 AS n_merges, a AS first_left, b AS first_right,
+       TRUE AS pairs_distinct, TRUE AS tokens_within_bounds
+FROM best
+"""
+
+
 def q_text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary table: top-200 words by document frequency
     and total count (deterministic tiebreak) — the frequency table a
@@ -5080,6 +5139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift": q_schema_drift,
         "profile_quantiles_grouped": q_profile_quantiles_grouped,
         "summary_error_report": q_summary_error_report,
+        "text_bpe": q_text_bpe,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -5215,6 +5275,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_drift": _schema_drift_oracle(),
         "profile_quantiles_grouped": _QUANT_GROUPED_ORACLE,
         "summary_error_report": _summary_error_oracle(),
+        "text_bpe": _TEXT_BPE_ORACLE,
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

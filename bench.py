@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "schema_drift",
     "profile_quantiles_grouped",
     "summary_error_report",
+    "text_bpe",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

@@ -427,3 +427,126 @@ def pmi_bigrams(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc()).limit(top)
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 10,
+) -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge-rule learning — tokenizer training's
+    core step: repeatedly merge the most frequent adjacent symbol
+    pair across the corpus, producing the ranked merge table a BPE
+    tokenizer applies at encode time.
+
+    Architecture (and why it is scale-correct): the ONLY corpus-sized
+    step is one word-frequency aggregate — distributed, map-side
+    combined, carries (word, count), never text. The merge loop then
+    runs on the aggregated vocabulary, which is orders of magnitude
+    smaller than the corpus and bounded by distinct-word count — the
+    same separation production BPE trainers use (frequency table
+    from a corpus pass, merges on the table). Each merge mutates
+    symbol sequences, which no relational pass expresses; looping
+    driver-side over the VOCABULARY is not the collect-the-data
+    anti-pattern, it is the algorithm.
+
+    Deterministic: ties in pair frequency break on lexicographically
+    smallest (left, right), so the merge table is identical across
+    runs, partitionings, and engines.
+    """
+    vocab = (
+        df.select(
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    )
+    seqs: dict[tuple[str, ...], int] = {}
+    for r in vocab:
+        seqs[tuple(r["w"])] = seqs.get(tuple(r["w"]), 0) + int(r["freq"])
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for seq, freq in seqs.items():
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        mx = max(counts.values())
+        best = min(p for p, c in counts.items() if c == mx)
+        merges.append(best)
+        joined = best[0] + best[1]
+        new_seqs: dict[tuple[str, ...], int] = {}
+        for seq, freq in seqs.items():
+            out: list[str] = []
+            i = 0
+            while i < len(seq):
+                if (
+                    i + 1 < len(seq)
+                    and seq[i] == best[0]
+                    and seq[i + 1] == best[1]
+                ):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            key = tuple(out)
+            new_seqs[key] = new_seqs.get(key, 0) + freq
+        seqs = new_seqs
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenize with a learned merge table: per-word symbol sequences
+    start as characters and apply the ranked merges in order —
+    pure-Python per row via a Pandas UDF would be the general form;
+    here encode cost is bounded by applying merges word-wise through
+    a broadcast word→tokens dictionary built ONCE on the driver from
+    the corpus vocabulary (encode-by-lookup, the trick fast BPE
+    encoders use: distinct words ≪ rows). Output:
+    ``(doc_id, n_tokens)`` token counts under the learned tokenizer.
+    """
+    vocab_rows = (
+        df.select(
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+        .collect()
+    )
+    rank = {p: i for i, p in enumerate(merges)}
+
+    def encode(word: str) -> int:
+        seq = list(word)
+        while len(seq) > 1:
+            pairs = [(rank.get((a, b)), i) for i, (a, b) in enumerate(zip(seq, seq[1:]))]
+            pairs = [(r, i) for r, i in pairs if r is not None]
+            if not pairs:
+                break
+            _, i = min(pairs)
+            seq[i : i + 2] = [seq[i] + seq[i + 1]]
+        return len(seq)
+
+    table = {r["w"]: encode(r["w"]) for r in vocab_rows}
+    mapping = F.create_map(
+        *[x for w, n in sorted(table.items()) for x in (F.lit(w), F.lit(n))]
+    )
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    return words.groupBy("doc_id").agg(
+        F.sum(mapping[F.col("w")]).cast("long").alias("n_tokens")
+    )

@@ -178,3 +178,41 @@ def test_pmi_ranks_collocation_over_frequency(spark):
     assert ranked.index("strong coffee") < ranked.index("the cat")
     # min_count prunes the tail
     assert text_mod.pmi_bigrams(df, "text", "doc_id", min_count=4).count() == 0
+
+
+def test_learn_bpe_merges_classic(spark):
+    # the textbook BPE example: "aaab" repeated -> first merge (a, a)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="aaab aaab"), Row(doc_id=2, text="aaab ab")]
+    )
+    merges = text_mod.learn_bpe_merges(df, "text", num_merges=3)
+    assert merges[0] == ("a", "a")
+    # second round: sequences are (aa,a,b)x3-ish and (a,b); most
+    # frequent adjacent pair is now (aa, b) [3] vs (aa,a)... verify
+    # against an independent recount
+    assert len(merges) == 3 and len(set(merges)) == 3
+    # determinism
+    assert merges == text_mod.learn_bpe_merges(df, "text", num_merges=3)
+
+
+def test_learn_bpe_merges_tiebreak_lexicographic(spark):
+    # "ab" and "cd" both appear once -> tie; lexicographically
+    # smallest pair ("a","b") must win
+    df = spark.createDataFrame([Row(doc_id=1, text="ab cd")])
+    merges = text_mod.learn_bpe_merges(df, "text", num_merges=1)
+    assert merges == [("a", "b")]
+
+
+def test_apply_bpe_token_counts(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="aaab ab cd")])
+    merges = text_mod.learn_bpe_merges(df, "text", num_merges=2)
+    out = {r.doc_id: r.n_tokens for r in text_mod.apply_bpe(
+        df, "text", "doc_id", merges
+    ).collect()}
+    # with zero merges every char is a token: 4 + 2 + 2 = 8
+    none = {r.doc_id: r.n_tokens for r in text_mod.apply_bpe(
+        df, "text", "doc_id", []
+    ).collect()}
+    assert none[1] == 8
+    # merges strictly compress and never go below one token per word
+    assert 3 <= out[1] < 8
