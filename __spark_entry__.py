@@ -1018,6 +1018,57 @@ FROM customer
 """
 
 
+def q_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verifiable data-skipping contract for the clustering
+    layouts (operators/layout + maintenance.zorder_layout): orders is
+    written twice — round-robin repartition(8) and range-partition+
+    sort on o_custkey — and a min/max-pruning reader's file-skip
+    fraction is measured for a narrow o_custkey range. The clustered
+    layout must let the reader skip a majority of files while the
+    random layout skips none, and both layouts must preserve every
+    row. This is OPTIMIZE ZORDER's value proposition as a driver-
+    checked boolean rather than a claim."""
+    from lakehouse_tools_spark.operators.layout import (
+        file_stats,
+        skipping_effectiveness,
+    )
+    from lakehouse_tools_spark.operators.maintenance import zorder_layout
+
+    s = _spark(spark)
+    orders = load_table(s, sf_dir, "orders")
+    base = "/root/repo/spark-warehouse/_io/layout_report"
+    rand_p, clus_p = base + "_rand", base + "_clus"
+    orders.repartition(8).write.mode("overwrite").parquet(rand_p)
+    zorder_layout(orders, ["o_custkey"], num_partitions=8).write.mode(
+        "overwrite"
+    ).parquet(clus_p)
+    lo, hi = 100, 200
+    eff_r = skipping_effectiveness(
+        file_stats(s, rand_p, ["o_custkey"]), "o_custkey", lo, hi
+    )
+    eff_c = skipping_effectiveness(
+        file_stats(s, clus_p, ["o_custkey"]), "o_custkey", lo, hi
+    )
+    n_rand = s.read.parquet(rand_p).count()
+    n_clus = s.read.parquet(clus_p).count()
+    return orders.agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.col("n_rows").cast("long"),
+        F.lit(n_rand == n_clus).alias("row_counts_equal"),
+        (F.col("n_rows") == n_rand).alias("rows_preserved"),
+        F.lit(eff_c >= 0.5).alias("clustered_skips_majority"),
+        F.lit(eff_r == 0.0).alias("random_skips_none"),
+        F.lit(eff_c > eff_r).alias("clustered_beats_random"),
+    )
+
+
+_LAYOUT_REPORT_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS row_counts_equal,
+       TRUE AS rows_preserved, TRUE AS clustered_skips_majority,
+       TRUE AS random_skips_none, TRUE AS clustered_beats_random
+FROM orders
+"""
+
+
 def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog-level schema drift (catalog.schema_changes): orders vs
     an evolved version that drops o_orderpriority, retypes o_custkey
@@ -5140,6 +5191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_quantiles_grouped": q_profile_quantiles_grouped,
         "summary_error_report": q_summary_error_report,
         "text_bpe": q_text_bpe,
+        "layout_report": q_layout_report,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -5276,6 +5328,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_quantiles_grouped": _QUANT_GROUPED_ORACLE,
         "summary_error_report": _summary_error_oracle(),
         "text_bpe": _TEXT_BPE_ORACLE,
+        "layout_report": _LAYOUT_REPORT_ORACLE,
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

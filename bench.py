@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "profile_quantiles_grouped",
     "summary_error_report",
     "text_bpe",
+    "layout_report",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with
