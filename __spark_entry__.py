@@ -1018,6 +1018,39 @@ FROM customer
 """
 
 
+def q_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter split (operators/quality.quarantine): one
+    projection tags each row with the rules it violates; violators
+    exit with per-row reasons instead of failing the batch. The
+    query emits the exploded (key, reason) quarantine feed — exactly
+    reproducible in SQL as one UNION branch per rule."""
+    from lakehouse_tools_spark.operators.quality import quarantine
+
+    orders = load_table(_spark(spark), sf_dir, "orders")
+    good, bad = quarantine(
+        orders,
+        [
+            ("matches", "o_orderpriority", r"^[1-3]-"),
+            ("in_range", "o_totalprice", None, 200000.0),
+        ],
+    )
+    return bad.select(
+        "o_orderkey", F.explode("dq_reasons").alias("reason")
+    )
+
+
+_QUARANTINE_ORACLE = """
+SELECT o_orderkey, 'matches:o_orderpriority' AS reason
+FROM orders
+WHERE o_orderpriority IS NOT NULL
+  AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+UNION ALL
+SELECT o_orderkey, 'in_range:o_totalprice' AS reason
+FROM orders
+WHERE o_totalprice IS NOT NULL AND o_totalprice > 200000.0
+"""
+
+
 def q_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-verifiable data-skipping contract for the clustering
     layouts (operators/layout + maintenance.zorder_layout): orders is
@@ -5192,6 +5225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_error_report": q_summary_error_report,
         "text_bpe": q_text_bpe,
         "layout_report": q_layout_report,
+        "quality_quarantine": q_quality_quarantine,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -5329,6 +5363,7 @@ def oracle_sql() -> dict[str, str]:
         "summary_error_report": _summary_error_oracle(),
         "text_bpe": _TEXT_BPE_ORACLE,
         "layout_report": _LAYOUT_REPORT_ORACLE,
+        "quality_quarantine": _QUARANTINE_ORACLE,
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

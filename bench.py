@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "summary_error_report",
     "text_bpe",
     "layout_report",
+    "quality_quarantine",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

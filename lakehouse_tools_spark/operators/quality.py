@@ -159,3 +159,41 @@ def check(
         "column",
         F.col("n_violations").cast("long").alias("n_violations"),
     )
+
+
+def quarantine(
+    df: DataFrame, rules: list[tuple]
+) -> tuple[DataFrame, DataFrame]:
+    """Split rows into (passing, quarantined) — the dead-letter
+    pattern: publish the clean rows, route violators with their
+    failure reasons to a quarantine table for repair instead of
+    failing the whole batch.
+
+    Same per-row predicates :func:`check` counts, evaluated in ONE
+    projection: each row gets an array of ``rule:column`` labels for
+    the rules it violates; empty array ⇒ passing. Both returned
+    relations derive from that single projection (two filters over
+    one plan — Catalyst reuses the scan), nothing collects. Only
+    row-level rules apply; relation-level rules (``unique`` /
+    ``references``) can't blame an individual row and are rejected.
+    """
+    bad_kinds = [r[0] for r in rules if r[0] in ("unique", "references")]
+    if bad_kinds:
+        raise ValueError(
+            f"quarantine takes row-level rules only, got: {bad_kinds}"
+        )
+    branches = [_violation(r) for r in rules]
+    reasons = F.array_compact(
+        F.array(
+            *[
+                F.when(v, F.lit(f"{kind}:{col}"))
+                for kind, col, v in branches
+            ]
+        )
+    )
+    flagged = df.withColumn("_dq_reasons", reasons)
+    good = flagged.filter(F.size("_dq_reasons") == 0).drop("_dq_reasons")
+    bad = flagged.filter(F.size("_dq_reasons") > 0).withColumnRenamed(
+        "_dq_reasons", "dq_reasons"
+    )
+    return good, bad

@@ -84,3 +84,39 @@ def test_clean_table_all_zero(spark, tables):
 def test_unknown_rule_rejected(spark, tables):
     with pytest.raises(ValueError):
         check(tables["orders"], "orders", [("no_such_rule", "x")])
+
+
+def test_quarantine_split_and_reasons(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.quality import quarantine
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, v=5.0, s="1-OK"),
+            Row(k=2, v=-1.0, s="1-OK"),
+            Row(k=3, v=5.0, s="9-BAD"),
+            Row(k=4, v=-2.0, s="9-BAD"),
+            Row(k=5, v=None, s=None),
+        ]
+    )
+    rules = [("in_range", "v", 0.0, None), ("matches", "s", r"^[1-3]-")]
+    good, bad = quarantine(df, rules)
+    assert {r.k for r in good.collect()} == {1, 5}  # nulls pass both
+    reasons = {r.k: set(r.dq_reasons) for r in bad.collect()}
+    assert reasons[2] == {"in_range:v"}
+    assert reasons[3] == {"matches:s"}
+    assert reasons[4] == {"in_range:v", "matches:s"}
+    # conservation: every row lands on exactly one side
+    assert good.count() + bad.count() == df.count()
+
+
+def test_quarantine_rejects_relation_rules(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.quality import quarantine
+
+    df = spark.createDataFrame([Row(k=1)])
+    with _pytest.raises(ValueError, match="row-level"):
+        quarantine(df, [("unique", ["k"])])
