@@ -3738,6 +3738,103 @@ FROM d WHERE rn = 1
 """
 
 
+def q_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data flagship — the documents analog of
+    profiler_e2e, FULLY hash-verified: prepare (one-pass quality →
+    language → exact-dedup keep-first) → token-window chunking of the
+    survivors (128/96) → concat-and-chunk packing of the chunks into
+    256-token sequences across 4 hash streams. Every stage is the
+    already-oracled operator, composed; the oracle composes the three
+    SQL forms, so the driver hash covers the whole chain — survivors
+    feed chunking via a semi-join on the prepared ids (the kept set
+    is corpus-sized, the join key is just doc_id). Chunk identity
+    rides a doc_id·100000+chunk_id surrogate through the packer and
+    is decomposed back for the output."""
+    from lakehouse_tools_spark.ext.chunking import chunk_tokens
+    from lakehouse_tools_spark.ext.corpus import prepare_corpus
+    from lakehouse_tools_spark.ext.packing import pack_chunks
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    kept = prepare_corpus(docs, min_quality=0.725, langs=("en",)).select(
+        "doc_id"
+    )
+    surv = docs.join(kept, "doc_id", "left_semi")
+    chunks = chunk_tokens(surv, size=128, stride=96).filter(
+        F.col("n_tokens") > 0
+    )
+    with_cid = chunks.select(
+        (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("cid"),
+        F.col("n_tokens"),
+    )
+    packed = pack_chunks(with_cid, "cid", "n_tokens", budget=256, num_buckets=4)
+    return packed.select(
+        "bucket",
+        "seq_id",
+        F.floor(F.col("cid") / 100000).cast("long").alias("doc_id"),
+        F.pmod(F.col("cid"), F.lit(100000)).cast("long").alias("chunk_id"),
+        "frag_start",
+        "frag_len",
+    )
+
+
+def _corpus_e2e_oracle() -> str:
+    return f"""
+WITH kept AS (
+  SELECT doc_id FROM ({_corpus_oracle()})
+),
+surv AS (
+  SELECT d.doc_id, d.text FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM kept) AND length(d.text) > 0
+),
+w AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(c="text")}, ' ') AS words
+  FROM surv
+),
+chunks AS (
+  SELECT doc_id, g AS chunk_id,
+         CAST(len(list_slice(words, g * 96 + 1, g * 96 + 128)) AS INT)
+           AS n_tokens
+  FROM (
+    SELECT doc_id, words,
+           unnest(generate_series(0,
+             CAST(floor((len(words) - 1) / 96) AS BIGINT))) AS g
+    FROM w
+  )
+),
+c2 AS (
+  SELECT doc_id * 100000 + chunk_id AS cid, n_tokens
+  FROM chunks WHERE n_tokens > 0
+),
+b AS (
+  SELECT cid, n_tokens,
+         CAST(concat('0x', substr(md5(CAST(cid AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 4 AS bucket
+  FROM c2
+),
+s AS (
+  SELECT bucket, cid, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY cid)
+              - n_tokens AS BIGINT) AS st,
+         CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY cid)
+              AS BIGINT) AS en
+  FROM b
+),
+e AS (
+  SELECT bucket, cid, st, en,
+         unnest(generate_series(CAST(floor(st / 256.0) AS BIGINT),
+                                CAST(floor((en - 1) / 256.0) AS BIGINT)))
+           AS seq_id
+  FROM s
+)
+SELECT bucket, seq_id,
+       CAST(floor(cid / 100000.0) AS BIGINT) AS doc_id,
+       cid % 100000 AS chunk_id,
+       greatest(0, seq_id * 256 - st) AS frag_start,
+       least(en, (seq_id + 1) * 256) - greatest(st, seq_id * 256) AS frag_len
+FROM e
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(_spark(spark), sf_dir, "documents")
     return X_text.quality_features(docs, "text", "doc_id")
@@ -5226,6 +5323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe": q_text_bpe,
         "layout_report": q_layout_report,
         "quality_quarantine": q_quality_quarantine,
+        "corpus_e2e": q_corpus_e2e,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -5364,6 +5462,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe": _TEXT_BPE_ORACLE,
         "layout_report": _LAYOUT_REPORT_ORACLE,
         "quality_quarantine": _QUARANTINE_ORACLE,
+        "corpus_e2e": _corpus_e2e_oracle(),
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "text_bpe",
     "layout_report",
     "quality_quarantine",
+    "corpus_e2e",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with
