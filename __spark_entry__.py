@@ -5101,6 +5101,41 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CSV_ROUNDTRIP_ORACLE = "SELECT * FROM nation"
 
 
+def q_source_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side schema evolution (sources/formats.read_evolved): two
+    generations of nation land in one directory — v1 without, v2 with
+    a `n_comment` column — and a mergeSchema read unions the schemas,
+    nulling the missing column for v1 rows. Costs one footer read per
+    file at planning time, no data scan. Oracle: the same union with
+    NULLs in SQL."""
+    from lakehouse_tools_spark.sources.formats import read_evolved
+
+    s = _spark(spark)
+    nation = load_table(s, sf_dir, "nation")
+    path = "/root/repo/spark-warehouse/_io/nation_evolved"
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    v1 = nation.filter(F.col("n_nationkey") < 12)
+    v2 = nation.filter(F.col("n_nationkey") >= 12).withColumn(
+        "n_comment", F.concat(F.lit("gen2-"), F.col("n_name"))
+    )
+    v1.write.mode("append").parquet(path)
+    v2.write.mode("append").parquet(path)
+    return read_evolved(s, path).select(
+        "n_nationkey", "n_name", "n_regionkey", "n_comment"
+    )
+
+
+_SOURCE_EVOLVED_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey, NULL AS n_comment
+FROM nation WHERE n_nationkey < 12
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, 'gen2-' || n_name AS n_comment
+FROM nation WHERE n_nationkey >= 12
+"""
+
+
 def q_source_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned parquet sink+source
     (sources/formats.write_partitioned): documents written partitioned
@@ -5324,6 +5359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_report": q_layout_report,
         "quality_quarantine": q_quality_quarantine,
         "corpus_e2e": q_corpus_e2e,
+        "source_evolved": q_source_evolved,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -5463,6 +5499,7 @@ def oracle_sql() -> dict[str, str]:
         "layout_report": _LAYOUT_REPORT_ORACLE,
         "quality_quarantine": _QUARANTINE_ORACLE,
         "corpus_e2e": _corpus_e2e_oracle(),
+        "source_evolved": _SOURCE_EVOLVED_ORACLE,
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

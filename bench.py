@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "layout_report",
     "quality_quarantine",
     "corpus_e2e",
+    "source_evolved",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

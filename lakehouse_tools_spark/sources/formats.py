@@ -197,6 +197,22 @@ def read_partitioned(
     return spark.read.format(fmt).load(path)
 
 
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files carry DIFFERENT schemas
+    (a table that gained columns over time) with schema merging: the
+    result schema is the union of all file schemas, and rows from
+    files lacking a column read as null — the read-side half of
+    schema evolution (``merge.upsert(evolve_schema=True)`` is the
+    write side).
+
+    ``mergeSchema`` costs one footer read per file at planning time
+    (not a data scan); Spark leaves it off by default for exactly
+    that planning cost, so this entry point makes the trade explicit
+    rather than flipping a global conf.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def roundtrip(df: DataFrame, path: str, fmt: str) -> DataFrame:
     """Write ``df`` to ``path`` as ``fmt`` and read it back with the
     source DataFrame's own schema — the self-check used by the
