@@ -955,6 +955,53 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
 """
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with direction='nearest' (pandas merge_asof parity):
+    each purchase matched to the same user's CLOSEST view in time,
+    ties to the earlier one. Both directional fills run over one
+    shuffle (two window sorts); DuckDB verifies with an explicit
+    argmin-by-|gap| window."""
+    from lakehouse_tools_spark.operators.asof import asof_join
+
+    s = _spark(spark)
+    ev = load_table(s, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        left, right, ["user_id"], "ts", "ts", ["view_value"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+        "view_value",
+    )
+
+
+_ASOF_NEAREST_ORACLE = f"""
+SELECT event_id, user_id, ts_s, view_value FROM (
+  SELECT l.event_id, l.user_id, strftime(l.ts, '{TS_FMT_SQL}') AS ts_s,
+         r.value AS view_value,
+         row_number() OVER (
+           PARTITION BY l.event_id
+           ORDER BY abs(epoch(l.ts) - epoch(r.ts)) ASC,
+                    CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END ASC,
+                    r.ts ASC
+         ) AS rn
+  FROM (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase') l
+  LEFT JOIN (SELECT user_id, ts, value FROM events
+             WHERE event_type = 'view') r
+    ON l.user_id = r.user_id
+) WHERE rn = 1
+"""
+
+
 MERGE_RESIDUAL_EXCL = ["NATION_7", "NATION_20"]
 
 
@@ -5360,6 +5407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quarantine": q_quality_quarantine,
         "corpus_e2e": q_corpus_e2e,
         "source_evolved": q_source_evolved,
+        "asof_nearest": q_asof_nearest,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -5500,6 +5548,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_quarantine": _QUARANTINE_ORACLE,
         "corpus_e2e": _corpus_e2e_oracle(),
         "source_evolved": _SOURCE_EVOLVED_ORACLE,
+        "asof_nearest": _ASOF_NEAREST_ORACLE,
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "quality_quarantine",
     "corpus_e2e",
     "source_evolved",
+    "asof_nearest",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

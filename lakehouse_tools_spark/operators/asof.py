@@ -41,7 +41,9 @@ def asof_join(
     ``value_cols`` from ``right`` (null when no matching right row).
 
     ``direction='backward'`` (default) matches the greatest
-    ``right_ts <= ts``; ``'forward'`` the smallest ``right_ts >= ts``
+    ``right_ts <= ts``; ``'forward'`` the smallest ``right_ts >= ts``;
+    ``'nearest'`` whichever of the two is closer in time (ties to the
+    backward match — pandas ``merge_asof`` semantics)
     — same union-tag plan, the window just sorts descending, so both
     directions cost one shuffle + one sort. ``tolerance_seconds``
     nulls the match when it is further than the tolerance from the
@@ -49,8 +51,10 @@ def asof_join(
     right timestamp rides along as one extra filled column and the
     bound is a codegen'd post-filter — no second join.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     value_cols = value_cols or [
         c for c in right.columns if c not in keys and c != right_ts
     ]
@@ -75,25 +79,55 @@ def asof_join(
         F.col(right_ts).alias("_r___rts"),
     ).select(*l.columns)  # align column order for the union
 
-    if direction == "backward":
-        order = [F.col("_ts").asc(), F.col("_side").asc()]
-    else:
-        # reversed time: "latest preceding" in the sort order is the
-        # earliest at-or-after in real time; right still sorts first
-        # at equal timestamps so an exactly-simultaneous row matches
-        order = [F.col("_ts").desc(), F.col("_side").asc()]
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = l.unionByName(r).select(
-        *l.columns,
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_f_{c}")
+    union = l.unionByName(r)
+    # backward sorts time ascending; forward sorts time DESCENDING so
+    # "latest preceding" in the sort order is the earliest at-or-after
+    # in real time. Right rows sort before left at equal timestamps so
+    # an exactly-simultaneous row matches in either direction.
+    back_order = [F.col("_ts").asc(), F.col("_side").asc()]
+    fwd_order = [F.col("_ts").desc(), F.col("_side").asc()]
+
+    def _fills(order):
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return {
+            c: F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w)
             for c in fill_cols
-        ],
-    )
+        }
+
+    if direction in ("backward", "forward"):
+        m = _fills(back_order if direction == "backward" else fwd_order)
+        filled = union.select(
+            *l.columns, *[m[c].alias(f"_f_{c}") for c in fill_cols]
+        )
+    else:
+        # nearest: fill BOTH directions over the same single shuffle
+        # (one exchange on the keys; the two windows each sort) and
+        # pick the closer match per row, ties to the backward side —
+        # pandas merge_asof(direction='nearest') semantics.
+        b, f = _fills(back_order), _fills(fwd_order)
+        tmp = union.select(
+            *l.columns,
+            *[b[c].alias(f"_b_{c}") for c in fill_cols],
+            *[f[c].alias(f"_fw_{c}") for c in fill_cols],
+        )
+        bgap = F.col("_ts").cast("double") - F.col("_b___rts").cast("double")
+        fgap = F.col("_fw___rts").cast("double") - F.col("_ts").cast("double")
+        use_b = F.col("_fw___rts").isNull() | (
+            F.col("_b___rts").isNotNull() & (bgap <= fgap)
+        )
+        filled = tmp.select(
+            *l.columns,
+            *[
+                F.when(use_b, F.col(f"_b_{c}"))
+                .otherwise(F.col(f"_fw_{c}"))
+                .alias(f"_f_{c}")
+                for c in fill_cols
+            ],
+        )
     out_vals = [F.col(f"_f_{c}") for c in value_cols]
     if tolerance_seconds is not None:
         gap = F.abs(

@@ -93,4 +93,66 @@ def test_asof_rejects_bad_direction(spark):
 
     left = spark.createDataFrame([(1, ts(0))], "k long, ts timestamp")
     with pytest.raises(ValueError):
-        asof_join(left, left, ["k"], "ts", "ts", direction="nearest")
+        asof_join(left, left, ["k"], "ts", "ts", direction="sideways")
+
+
+def test_asof_nearest(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [
+            Row(lid=1, k="a", ts=t(10)),  # right at 7 (gap 3) vs 12 (gap 2) -> forward
+            Row(lid=2, k="a", ts=t(8)),   # 7 (gap 1) vs 12 (gap 4) -> backward
+            Row(lid=3, k="a", ts=t(30)),  # only backward candidate (12)
+            Row(lid=4, k="a", ts=t(1)),   # only forward candidate (7)
+            Row(lid=5, k="b", ts=t(5)),   # no right rows at all
+        ]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", ts=t(7), v=70.0), Row(k="a", ts=t(12), v=120.0)]
+    )
+    out = {r.lid: r.v for r in asof_join(
+        left, right, ["k"], "ts", "ts", ["v"], direction="nearest"
+    ).collect()}
+    assert out[1] == 120.0 and out[2] == 70.0
+    assert out[3] == 120.0 and out[4] == 70.0 and out[5] is None
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([Row(lid=1, k="a", ts=t(10))])
+    right = spark.createDataFrame(
+        [Row(k="a", ts=t(8), v=1.0), Row(k="a", ts=t(12), v=2.0)]
+    )
+    out = asof_join(
+        left, right, ["k"], "ts", "ts", ["v"], direction="nearest"
+    ).collect()
+    assert out[0].v == 1.0  # equal 2s gaps -> backward wins
+
+
+def test_asof_nearest_with_tolerance(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([Row(lid=1, k="a", ts=t(30))])
+    right = spark.createDataFrame([Row(k="a", ts=t(7), v=70.0)])
+    out = asof_join(
+        left, right, ["k"], "ts", "ts", ["v"],
+        direction="nearest", tolerance_seconds=5,
+    ).collect()
+    assert out[0].v is None  # 23s gap > 5s tolerance
