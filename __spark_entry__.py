@@ -955,6 +955,48 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
 """
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join
+    (operators/ranges.interval_overlap_join): purchase windows
+    [ts, ts+5min] against the same user's view windows [ts, ts+10min]
+    — the campaign-attribution shape. Both sides explode across
+    covered buckets and equi-join on (user, bucket); the owner-bucket
+    rule (keep the pair only in max(starts)'s bucket) makes each
+    overlapping pair appear exactly once with NO dedup pass. DuckDB
+    verifies with the plain inequality join."""
+    from lakehouse_tools_spark.operators.ranges import interval_overlap_join
+
+    s = _spark(spark)
+    ev = load_table(s, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("p_end"),
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        "user_id",
+        F.col("ts").alias("v_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("v_end"),
+    )
+    out = interval_overlap_join(
+        left, right, "p_start", "p_end", "v_start", "v_end",
+        bucket_seconds=600, extra_keys=("user_id",),
+    )
+    return out.select("p_id", "user_id", "v_id")
+
+
+_EVENTS_INTERVAL_ORACLE = """
+SELECT p.event_id AS p_id, p.user_id, v.event_id AS v_id
+FROM (SELECT event_id, user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+      FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+      FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.s <= v.e AND v.s <= p.e
+"""
+
+
 def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with direction='nearest' (pandas merge_asof parity):
     each purchase matched to the same user's CLOSEST view in time,
@@ -5408,6 +5450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_e2e": q_corpus_e2e,
         "source_evolved": q_source_evolved,
         "asof_nearest": q_asof_nearest,
+        "events_interval_join": q_events_interval_join,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -5549,6 +5592,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_e2e": _corpus_e2e_oracle(),
         "source_evolved": _SOURCE_EVOLVED_ORACLE,
         "asof_nearest": _ASOF_NEAREST_ORACLE,
+        "events_interval_join": _EVENTS_INTERVAL_ORACLE,
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

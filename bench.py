@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "corpus_e2e",
     "source_evolved",
     "asof_nearest",
+    "events_interval_join",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

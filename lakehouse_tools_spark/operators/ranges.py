@@ -91,3 +91,71 @@ def interval_bin_join(
     )
     joined = p.join(iv, cond, how)
     return joined.drop("_rbucket", "_rbucket_iv", *[f"_iv_{k}" for k in extra_keys])
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 3600,
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Interval × interval overlap join: every (left, right) pair
+    whose closed intervals intersect (``l_start <= r_end AND
+    r_start <= l_end``), optionally also equi-matched on
+    ``extra_keys``. The genomics/campaign-attribution shape Spark
+    would otherwise plan as a nested-loop cross product.
+
+    Both sides explode across their covered buckets and equi-join on
+    the bucket id; each overlapping pair is emitted EXACTLY once via
+    the owner-bucket rule: the pair is kept only in the bucket of
+    ``max(l_start, r_start)``. Overlap means
+    ``max(starts) <= min(ends)``, so that bucket is covered by BOTH
+    intervals — it always survives the equi-join — and it is unique
+    by construction, so no dedup pass is needed. Candidates are ∝
+    per-bucket density (local, AQE-splittable), never global n·m.
+    Column names must be disjoint apart from ``extra_keys``.
+    """
+    w = F.lit(int(bucket_seconds))
+    l = left.withColumn(
+        "_ob_l",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_start).cast("long") / w).cast("long"),
+                F.floor(F.col(left_end).cast("long") / w).cast("long"),
+            )
+        ),
+    )
+    r = right
+    for k in extra_keys:
+        r = r.withColumnRenamed(k, f"_iv_{k}")
+    r = r.withColumn(
+        "_ob_r",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_start).cast("long") / w).cast("long"),
+                F.floor(F.col(right_end).cast("long") / w).cast("long"),
+            )
+        ),
+    )
+    owner = F.floor(
+        F.greatest(
+            F.col(left_start).cast("long"), F.col(right_start).cast("long")
+        )
+        / w
+    ).cast("long")
+    cond = F.col("_ob_l") == F.col("_ob_r")
+    for k in extra_keys:
+        cond = cond & (F.col(k) == F.col(f"_iv_{k}"))
+    cond = (
+        cond
+        & (F.col(left_start) <= F.col(right_end))
+        & (F.col(right_start) <= F.col(left_end))
+        & (F.col("_ob_l") == owner)
+    )
+    return l.join(r, cond, "inner").drop(
+        "_ob_l", "_ob_r", *[f"_iv_{k}" for k in extra_keys]
+    )

@@ -120,3 +120,51 @@ def test_extra_keys(spark):
         .collect()
     )
     assert got == naive and len(got) > 0
+
+
+def test_interval_overlap_join_exactly_once(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.ranges import interval_overlap_join
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    left = spark.createDataFrame(
+        [
+            Row(lid=1, ls=t(0), le=t(30)),    # overlaps r1, r2
+            Row(lid=2, ls=t(50), le=t(55)),   # overlaps nothing
+            Row(lid=3, ls=t(100), le=t(400)), # long: spans many buckets, overlaps r3
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(rid=1, rs=t(10), re=t(20)),
+            Row(rid=2, rs=t(25), re=t(45)),
+            Row(rid=3, rs=t(390), re=t(600)),
+        ]
+    )
+    out = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_seconds=600
+    )
+    pairs = sorted((r.lid, r.rid) for r in out.collect())
+    # each overlapping pair appears exactly once despite multi-bucket
+    # intervals (owner-bucket rule)
+    assert pairs == [(1, 1), (1, 2), (3, 3)]
+
+
+def test_interval_overlap_join_touching_bounds(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.ranges import interval_overlap_join
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    left = spark.createDataFrame([Row(lid=1, ls=t(0), le=t(10))])
+    right = spark.createDataFrame([Row(rid=1, rs=t(10), re=t(20))])
+    # closed bounds: touching endpoints overlap
+    out = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_seconds=60
+    )
+    assert out.count() == 1
