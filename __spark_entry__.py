@@ -4042,6 +4042,50 @@ WHERE {h} / 4294967296.0 < CASE lang {cases} ELSE 0.0 END
 """
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling (ext/sampling.weighted_sample):
+    keep-probability ∝ n_chars targeting 30% overall — long documents
+    over-sampled, tail kept probabilistically. One broadcast mean +
+    a pure hash filter; no data shuffle."""
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return X_sample.weighted_sample(docs, "n_chars", 0.3, "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _sample_weighted_oracle() -> str:
+    h = _HASH_U32_SQL.format(key="doc_id", salt="")
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents,
+     (SELECT avg(n_chars) AS mw FROM documents)
+WHERE {h} / 4294967296.0 < least(1.0, 0.3 * n_chars / mw)
+"""
+
+
+def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first selection under a token budget
+    (ext/corpus.budget_select): keep the longest documents (score =
+    cost = n_chars here) until the cumulative size reaches 50k chars
+    — how a fixed-size training mix is filled from a curated pool.
+    Global window cumsum = range-partitioned sort at scale."""
+    from lakehouse_tools_spark.ext.corpus import budget_select
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return budget_select(docs, "n_chars", "n_chars", 50000, "doc_id").select(
+        "doc_id", "n_chars"
+    )
+
+
+_BUDGET_SELECT_ORACLE = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+) WHERE cum <= 50000
+"""
+
+
 def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-balanced cap: at most 40 docs per language, winners
     picked by (uniform hash, id) so the kept set is stable across
@@ -5451,6 +5495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_evolved": q_source_evolved,
         "asof_nearest": q_asof_nearest,
         "events_interval_join": q_events_interval_join,
+        "sample_weighted": q_sample_weighted,
+        "corpus_budget_select": q_corpus_budget_select,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -5593,6 +5639,8 @@ def oracle_sql() -> dict[str, str]:
         "source_evolved": _SOURCE_EVOLVED_ORACLE,
         "asof_nearest": _ASOF_NEAREST_ORACLE,
         "events_interval_join": _EVENTS_INTERVAL_ORACLE,
+        "sample_weighted": _sample_weighted_oracle(),
+        "corpus_budget_select": _BUDGET_SELECT_ORACLE,
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

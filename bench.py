@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "source_evolved",
     "asof_nearest",
     "events_interval_join",
+    "sample_weighted",
+    "corpus_budget_select",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

@@ -79,3 +79,35 @@ def prepare_corpus(
         F.count(F.lit(1)).over(by_fp).alias("n_dups"),
     )
     return dd.filter(F.col("_rn") == 1).drop("_rn")
+
+
+def budget_select(
+    df: DataFrame,
+    score_col: str,
+    cost_col: str,
+    budget: int,
+    id_col: str,
+) -> DataFrame:
+    """Quality-first selection under a budget: keep the best-scoring
+    documents until their cumulative cost (tokens, chars, bytes)
+    reaches ``budget`` — how a fixed-size training mix is filled from
+    a larger curated pool.
+
+    One global sort by (score desc, id asc — deterministic ties) and
+    a running-sum window; a row is kept while the cumulative cost
+    INCLUDING it stays ≤ budget (greedy prefix). At scale the global
+    window is a range-partitioned sort — the same plan Spark uses
+    for any global ranking; the output is a prefix, so downstream
+    reads stay sorted by quality for free.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_cum", F.sum(F.col(cost_col)).over(w))
+        .filter(F.col("_cum") <= budget)
+        .drop("_cum")
+    )

@@ -143,3 +143,38 @@ def balanced_sample(
         .filter(F.col("_bsrn") <= n_per_group)
         .drop("_bsrn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    fraction: float,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic importance sampling: row keep-probability ∝ its
+    weight, targeting ``fraction`` of rows overall — the curation
+    step that over-samples high-quality documents without dropping
+    the tail entirely.
+
+    Keep rule: ``hash_u32(key)/2³² < fraction · w / mean(w)``
+    (clamped to 1). One 1-row mean aggregate broadcast back, then a
+    pure filter — no shuffle of the data, same scale shape as
+    ``hash_sample``. Deterministic: same inputs → same kept set on
+    any engine/partitioning. Rows with weight ≥ mean/fraction are
+    always kept (probability clamps at 1), so the realized rate can
+    undershoot ``fraction`` on heavy-tailed weights — the standard
+    behavior of clamped importance sampling.
+    """
+    mean = df.agg(F.avg(F.col(weight_col)).alias("_mw"))
+    return (
+        df.crossJoin(F.broadcast(mean))
+        .filter(
+            hash_fraction(F.col(key_col), salt)
+            < F.least(
+                F.lit(1.0),
+                F.lit(float(fraction)) * F.col(weight_col) / F.col("_mw"),
+            )
+        )
+        .drop("_mw")
+    )

@@ -117,3 +117,36 @@ def test_build_mixture_validates(spark, tables):
         build_mixture({"a": docs}, {"b": 1.0}, 10, "doc_id")
     with pytest.raises(ValueError):
         build_mixture({"a": docs}, {"a": 0.0}, 10, "doc_id")
+
+
+def test_weighted_sample_biases_by_weight(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.ext.sampling import weighted_sample
+
+    rows = [Row(k=i, w=1.0 if i % 2 else 10.0) for i in range(400)]
+    df = spark.createDataFrame(rows)
+    kept = weighted_sample(df, "w", 0.2, "k").collect()
+    heavy = sum(1 for r in kept if r.w == 10.0)
+    light = sum(1 for r in kept if r.w == 1.0)
+    # heavy rows keep with clamped p=1 under mean 5.5 (0.2*10/5.5=0.36)
+    # -> far more heavy than light survivors
+    assert heavy > 2 * light
+    # deterministic
+    again = weighted_sample(df, "w", 0.2, "k").collect()
+    assert {r.k for r in kept} == {r.k for r in again}
+
+
+def test_budget_select_greedy_prefix(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.ext.corpus import budget_select
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, score=float(10 - i), cost=10) for i in range(10)]
+    )
+    out = budget_select(df, "score", "cost", 35, "doc_id").collect()
+    # 35/10 -> exactly the 3 best-scoring rows fit
+    assert sorted(r.doc_id for r in out) == [0, 1, 2]
+    # budget smaller than any row -> empty
+    assert budget_select(df, "score", "cost", 5, "doc_id").count() == 0
