@@ -87,27 +87,56 @@ def budget_select(
     cost_col: str,
     budget: int,
     id_col: str,
+    num_partitions: int = 32,
 ) -> DataFrame:
     """Quality-first selection under a budget: keep the best-scoring
     documents until their cumulative cost (tokens, chars, bytes)
     reaches ``budget`` — how a fixed-size training mix is filled from
-    a larger curated pool.
+    a larger curated pool. Greedy prefix of the (score desc, id asc —
+    deterministic ties) order; a row is kept while the cumulative
+    cost INCLUDING it stays ≤ budget.
 
-    One global sort by (score desc, id asc — deterministic ties) and
-    a running-sum window; a row is kept while the cumulative cost
-    INCLUDING it stays ≤ budget (greedy prefix). At scale the global
-    window is a range-partitioned sort — the same plan Spark uses
-    for any global ranking; the output is a prefix, so downstream
-    reads stay sorted by quality for free.
+    The global running sum is TWO-PHASE, never a single-partition
+    window (an unpartitioned ``Window.orderBy`` funnels the whole
+    relation through one task — Spark even warns): rows range-
+    partition by the sort key, each partition cumsums locally, and
+    the per-partition totals (one row per partition — metadata) come
+    back as a broadcast offset map added to the local sums. Same
+    two-phase shape as any scalable global ranking.
     """
     from pyspark.sql import Window
 
-    w = (
-        Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    parts = df.repartitionByRange(num_partitions, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # persisted: the relation feeds the totals job AND the final plan,
+    # and a recompute must see the identical range partitioning
+    from pyspark import StorageLevel
+
+    local = parts.withColumn(
+        "_cum_in", F.sum(F.col(cost_col)).over(w_in)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in local.groupBy("_pid")
+        .agg(F.sum(F.col(cost_col)).alias("_t"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off = F.create_map(
+        *[x for pid in sorted(offsets) for x in (F.lit(pid), F.lit(offsets[pid]))]
+    )
     return (
-        df.withColumn("_cum", F.sum(F.col(cost_col)).over(w))
+        local.withColumn("_cum", F.col("_cum_in") + off[F.col("_pid")])
         .filter(F.col("_cum") <= budget)
-        .drop("_cum")
+        .drop("_pid", "_cum_in", "_cum")
     )
