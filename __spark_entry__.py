@@ -5497,6 +5497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": q_events_interval_join,
         "sample_weighted": q_sample_weighted,
         "corpus_budget_select": q_corpus_budget_select,
+        # rows-only but semantics changed this round (straggler-merge
+        # fix) — keep in the snapshot window so r04 re-records it
+        "events_stream_sessionize": q_events_stream_sessionize,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -5510,7 +5513,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "semantic_dedup": q_semantic_dedup,
         "profile_quantiles_exact": q_profile_quantiles_exact,
-        "events_stream_sessionize": q_events_stream_sessionize,
         "dedup_jaccard": q_dedup_jaccard,
         "zorder_rowset": q_zorder_rowset,
         "merge_upsert": q_merge_upsert,
