@@ -715,6 +715,47 @@ FROM documents GROUP BY lang
 """
 
 
+_ENTROPY_COLS = {
+    "orders": ["o_orderstatus", "o_orderpriority"],
+    "documents": ["lang", "source"],
+}
+
+
+def q_profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per categorical column
+    (profile.column_entropy): ≈0 flags a near-constant column (dead
+    feature / broken join), ln(k) means uniform over k values. One
+    melt + one distinct-value count per table — the profiler's
+    shuffle shape — then a per-column fold of −Σ p·ln p expressed as
+    ln(n) − (Σ c·ln c)/n so the float path has one division."""
+    from lakehouse_tools_spark.operators.profile import column_entropy
+
+    s = _spark(spark)
+    parts = [
+        column_entropy(load_table(s, sf_dir, t), DB, t, cols)
+        for t, cols in _ENTROPY_COLS.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_PROFILE_ENTROPY_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{DB}' AS databaseName, '{t}' AS tableName,
+       '{c}' AS columnName,
+       CAST(count(*) AS BIGINT) AS n_values,
+       floor((ln(n) - sum(cnt * ln(cnt)) / n) * 1000000) / 1000000
+         AS entropy
+FROM (SELECT {c} AS v, CAST(count(*) AS DOUBLE) AS cnt
+      FROM {t} GROUP BY 1),
+     (SELECT CAST(count(*) AS DOUBLE) AS n FROM {t})
+GROUP BY n"""
+    for t, cols in _ENTROPY_COLS.items()
+    for c in cols
+)
+
+
 def q_profile_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation for every pair of lineitem measure columns
     (profile.numeric_correlations) — the redundancy/leakage screen of
@@ -3097,6 +3138,53 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = X_dedup.minhash_wide_from_shingles(sh, num_hashes=8)
     cand = X_dedup.lsh_candidate_pairs_wide(wide, bands=4, rows_per_band=2)
     return X_dedup.jaccard_pairs(sh, candidates=cand, threshold=0.1)
+
+
+def q_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph on the oracle-
+    computable vec_id<300 window: how many vertices have how many
+    duplicate partners — the diagnostic that tells a dedup run
+    whether it faces scattered pairs (degree 1-2) or hub documents
+    (high degree ⇒ boilerplate/template detection). Exact pairs →
+    symmetrize → per-vertex degree → degree histogram; every step is
+    one aggregate."""
+    emb = load_table(_spark(spark), sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    pairs = X_sim.neardup_pairs(emb, threshold=0.2).select(
+        "vec_id", "vec_id2"
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("vec_id2").alias("vec_id"), F.col("vec_id").alias("vec_id2")
+        )
+    )
+    deg = sym.groupBy("vec_id").agg(F.count(F.lit(1)).alias("_deg"))
+    return (
+        deg.groupBy("_deg")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .select(
+            F.col("_deg").cast("long").alias("degree"),
+            F.col("n_vertices").cast("long"),
+        )
+    )
+
+
+_DEDUP_GRAPH_STATS_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 300),
+pairs AS (
+  SELECT a.vec_id AS x, b.vec_id AS y
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.2
+),
+sym AS (SELECT x, y FROM pairs UNION ALL SELECT y, x FROM pairs),
+deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY x)
+SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY d
+"""
 
 
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5497,6 +5585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": q_events_interval_join,
         "sample_weighted": q_sample_weighted,
         "corpus_budget_select": q_corpus_budget_select,
+        "dedup_graph_stats": q_dedup_graph_stats,
+        "profile_entropy": q_profile_entropy,
         # rows-only but semantics changed this round (straggler-merge
         # fix) — keep in the snapshot window so r04 re-records it
         "events_stream_sessionize": q_events_stream_sessionize,
@@ -5643,6 +5733,8 @@ def oracle_sql() -> dict[str, str]:
         "events_interval_join": _EVENTS_INTERVAL_ORACLE,
         "sample_weighted": _sample_weighted_oracle(),
         "corpus_budget_select": _BUDGET_SELECT_ORACLE,
+        "dedup_graph_stats": _DEDUP_GRAPH_STATS_ORACLE,
+        "profile_entropy": _PROFILE_ENTROPY_ORACLE,
         "profile_drift": _profile_drift_oracle(),
         "profiler_incremental": _profile_intended_oracle(
             PROFILE_TABLES, table_sql={"orders": _ORDERS_MODIFIED_SQL}

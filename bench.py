@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "events_interval_join",
     "sample_weighted",
     "corpus_budget_select",
+    "dedup_graph_stats",
+    "profile_entropy",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

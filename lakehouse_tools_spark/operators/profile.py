@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from lakehouse_tools_spark.functions.portable import floor6
 from lakehouse_tools_spark.sources.tables import ensure_parallelism
 
 PROFILE_DATA_SCHEMA = T.StructType(
@@ -620,6 +621,69 @@ def grouped_quantiles(
         F.round(F.col("_q")[1].cast("double"), 6).alias("q50"),
         F.round(F.col("_q")[2].cast("double"), 6).alias("q75"),
         F.col("n_values").cast("long").alias("n_values"),
+    )
+
+
+def column_entropy(
+    df: DataFrame,
+    database: str,
+    table: str,
+    cols: list[str],
+) -> DataFrame:
+    """Shannon entropy (nats) per categorical column — the
+    information-content profile: ≈0 flags a near-constant column
+    (dead feature, broken upstream join), ln(k) means uniform over k
+    values. Complements distinct counts: two columns with 5 values
+    can carry very different signal.
+
+    One melt over the chosen columns, one (column, value) count with
+    map-side combine — the shuffle carries distinct values, exactly
+    the profiler's shape — then one per-column aggregate folding
+    −Σ p·ln p. Null is a legitimate category (counted, not dropped).
+    floor6 keeps the sum engine-portable.
+    """
+    n_cols = len(cols)
+    if not n_cols:
+        return df.sparkSession.createDataFrame(
+            [],
+            "databaseName string, tableName string, columnName string,"
+            " n_values bigint, entropy double",
+        )
+    stacked = df.select(
+        F.stack(
+            F.lit(n_cols),
+            *[
+                x
+                for c in cols
+                for x in (F.lit(c), F.col(f"`{c}`").cast("string"))
+            ],
+        ).alias("columnName", "_v")
+    )
+    counts = stacked.groupBy("columnName", "_v").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        counts.groupBy("columnName")
+        .agg(
+            # counts has one row per distinct (column, value) INCLUDING
+            # the null category, so a plain row count is the distinct
+            # count (countDistinct would skip the null row)
+            F.count(F.lit(1)).alias("_nv"),
+            F.sum("_c").alias("_n"),
+            F.sum(F.col("_c") * F.log(F.col("_c"))).alias("_clogc"),
+        )
+        .select(
+            F.lit(database).alias("databaseName"),
+            F.lit(table).alias("tableName"),
+            "columnName",
+            F.col("_nv").cast("long").alias("n_values"),
+            # H = ln(n) − (Σ c·ln c)/n  — algebraically −Σ p ln p, but
+            # with ONE division so the float path is short and stable
+            floor6(
+                F.log(F.col("_n").cast("double"))
+                - F.col("_clogc") / F.col("_n")
+            ).alias("entropy"),
+        )
     )
 
 

@@ -200,3 +200,31 @@ def test_grouped_quantiles_exact_and_sketch(spark):
         df, "g", "v", "db", "t", exact=False
     ).collect()}
     assert 1.0 <= sk["a"].q50 <= 5.0
+
+
+def test_column_entropy(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.profile import column_entropy
+
+    df = spark.createDataFrame(
+        [Row(a="x", b="u"), Row(a="x", b="v"), Row(a="x", b=None), Row(a="x", b="u")]
+    )
+    out = {r.columnName: r for r in column_entropy(df, "db", "t", ["a", "b"]).collect()}
+    # constant column: zero entropy, one value
+    assert out["a"].n_values == 1 and out["a"].entropy == 0.0
+    # b: u,u,v,null -> p = (2/4, 1/4, 1/4); null is a category
+    assert out["b"].n_values == 3
+    expected = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    assert abs(out["b"].entropy - math.floor(expected * 1e6) / 1e6) < 2e-6
+
+
+def test_column_entropy_no_cols(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.profile import column_entropy
+
+    df = spark.createDataFrame([Row(a="x")])
+    assert column_entropy(df, "db", "t", []).count() == 0
