@@ -756,6 +756,56 @@ GROUP BY n"""
 )
 
 
+def q_profile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (profile.clip_outliers): lineitem's
+    l_extendedprice clamped to its Tukey fences, verified through the
+    clipped column's row count, min, max, and floor6 mean — the
+    repair action for what profile_outliers reports. Fences derive
+    from 6-rounded quartiles, so the clamped values are bit-identical
+    across engines."""
+    from lakehouse_tools_spark.operators.profile import clip_outliers
+
+    li = load_table(_spark(spark), sf_dir, "lineitem").select(
+        "l_extendedprice"
+    )
+    clipped = clip_outliers(li, ["l_extendedprice"])
+    return clipped.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("l_extendedprice"), 6).alias("min_clipped"),
+        F.round(F.max("l_extendedprice"), 6).alias("max_clipped"),
+        F.expr(
+            "floor(avg(l_extendedprice) * 1000000) / 1000000"
+        ).alias("mean_clipped"),
+    ).select(
+        F.col("n_rows").cast("long"),
+        "min_clipped",
+        "max_clipped",
+        "mean_clipped",
+    )
+
+
+_PROFILE_CLIP_ORACLE = """
+WITH q AS (
+  SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+         round(quantile_cont(l_extendedprice, 0.75), 6) AS q3
+  FROM lineitem
+),
+c AS (
+  SELECT CASE WHEN l_extendedprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                THEN q.q1 - 1.5 * (q.q3 - q.q1)
+              WHEN l_extendedprice > q.q3 + 1.5 * (q.q3 - q.q1)
+                THEN q.q3 + 1.5 * (q.q3 - q.q1)
+              ELSE l_extendedprice END AS v
+  FROM lineitem, q
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(min(v), 6) AS min_clipped,
+       round(max(v), 6) AS max_clipped,
+       floor(avg(v) * 1000000) / 1000000 AS mean_clipped
+FROM c
+"""
+
+
 def q_profile_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation for every pair of lineitem measure columns
     (profile.numeric_correlations) — the redundancy/leakage screen of
@@ -5693,6 +5743,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_pricing": q_cube_pricing,
         "pack_chunks": q_pack_chunks,
         "source_binaryfile": q_source_binaryfile,
+        # registered BELOW the ~50-entry driver snapshot on purpose:
+        # the window is full of this round's new surfaces; these get
+        # their driver row in the next rotation (oracle-checked
+        # locally meanwhile)
+        "profile_clip": q_profile_clip,
     }
 
 
@@ -5773,6 +5828,7 @@ def oracle_sql() -> dict[str, str]:
         "source_json_roundtrip": _JSON_ROUNDTRIP_ORACLE,
         "source_orc_roundtrip": _ORC_ROUNDTRIP_ORACLE,
         "source_binaryfile": _BINARYFILE_ORACLE,
+        "profile_clip": _PROFILE_CLIP_ORACLE,
         "fuzzy_join": _FUZZY_ORACLE,
         "cdc_apply": _CDC_APPLY_ORACLE,
         "cdc_merge_into": _CDC_APPLY_ORACLE,

@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "corpus_budget_select",
     "dedup_graph_stats",
     "profile_entropy",
+    "profile_clip",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

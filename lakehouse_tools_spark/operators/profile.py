@@ -624,6 +624,47 @@ def grouped_quantiles(
     )
 
 
+def clip_outliers(
+    df: DataFrame,
+    cols: list[str],
+    k: float = 1.5,
+) -> DataFrame:
+    """Winsorize numeric columns to their Tukey fences: values outside
+    ``[q1 − k·IQR, q3 + k·IQR]`` clamp to the fence — the repair
+    action for what :func:`numeric_outliers` reports (clip the fat
+    tail before training instead of dropping rows).
+
+    Same two-pass shape as the report: one wide exact-quartile
+    aggregate, then the 1-row fence relation broadcast back into a
+    pure projection (no second shuffle). Quartiles round to 6 before
+    the fence arithmetic, so the clamped values are bit-identical
+    across engines. Nulls pass through unchanged.
+    """
+    if not cols:
+        return df
+    quarts = df.agg(
+        *[
+            F.round(F.percentile(F.col(c), F.lit(p)), 6).alias(f"_q{tag}_{c}")
+            for c in cols
+            for p, tag in ((0.25, "1"), (0.75, "3"))
+        ]
+    )
+    out = df.crossJoin(F.broadcast(quarts))
+    for c in cols:
+        iqr = F.col(f"_q3_{c}") - F.col(f"_q1_{c}")
+        lo = F.col(f"_q1_{c}") - k * iqr
+        hi = F.col(f"_q3_{c}") + k * iqr
+        out = out.withColumn(
+            c,
+            F.when(F.col(c) < lo, lo)
+            .when(F.col(c) > hi, hi)
+            .otherwise(F.col(c)),
+        )
+    return out.drop(
+        *[f"_q{tag}_{c}" for c in cols for tag in ("1", "3")]
+    )
+
+
 def column_entropy(
     df: DataFrame,
     database: str,

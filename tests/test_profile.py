@@ -228,3 +228,23 @@ def test_column_entropy_no_cols(spark):
 
     df = spark.createDataFrame([Row(a="x")])
     assert column_entropy(df, "db", "t", []).count() == 0
+
+
+def test_clip_outliers(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.profile import clip_outliers
+
+    vals = [float(v) for v in range(1, 9)] + [100.0, -100.0, None]
+    df = spark.createDataFrame([Row(x=v) for v in vals])
+    out = [r.x for r in clip_outliers(df, ["x"]).collect()]
+    # extremes clamp to the fences, inliers and nulls untouched
+    assert None in out
+    clipped = [v for v in out if v is not None]
+    assert max(clipped) < 100.0 and min(clipped) > -100.0
+    for v in range(1, 9):
+        assert float(v) in clipped
+    # idempotent: clipping the clipped relation changes nothing...
+    # (fences recompute on clipped data but all values are inside)
+    again = [r.x for r in clip_outliers(clip_outliers(df, ["x"]), ["x"]).collect()]
+    assert sorted(clipped) == sorted(v for v in again if v is not None)
