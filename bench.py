@@ -253,9 +253,9 @@ def main() -> None:
             "profile_summary[_approx], all <4s, no plan change) are "
             "the same session-position noise. Expected-expensive "
             "audit/contract queries: sim_recall_report (4 ANN paths "
-            "+ exact), quantile_error_report & profile_outliers "
-            "(exact-percentile audit modes, GK sketch is the scale "
-            "path)."
+            "+ exact), quantile_error_report / profile_outliers / "
+            "profile_clip (exact-percentile audit modes, GK sketch "
+            "is the scale path)."
         ),
     }
     here = os.path.dirname(os.path.abspath(__file__))
