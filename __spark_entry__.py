@@ -5165,6 +5165,37 @@ def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(sessions, "events_stream_sessions")
 
 
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-type time series (streaming/windows.gap_fill):
+    hourly counts INCLUDING zero-filled empty buckets between each
+    type's first and last event — resampling for charts/anomaly
+    scans, where a missing bucket and a zero bucket are different
+    facts. Sparse counts left-join onto an exploded per-key bucket
+    spine; the spine is output-sized."""
+    from lakehouse_tools_spark.streaming.windows import gap_fill
+
+    ev = load_table(_spark(spark), sf_dir, "events")
+    return gap_fill(ev, "1 hour")
+
+
+_EVENTS_GAP_FILL_ORACLE = f"""
+WITH c AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT key, min(b) AS lo, max(b) AS hi FROM c GROUP BY key),
+spine AS (
+  SELECT key, unnest(generate_series(lo, hi)) AS b FROM spans
+)
+SELECT s.key,
+       strftime(to_timestamp(s.b * 3600), '{TS_FMT_SQL}') AS window_start,
+       coalesce(c.n, 0) AS n_events
+FROM spine s LEFT JOIN c ON c.key = s.key AND c.b = s.b
+"""
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(_spark(spark), sf_dir, "events")
     return X_win.tumbling_counts(ev, "5 minutes")
@@ -5748,6 +5779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their driver row in the next rotation (oracle-checked
         # locally meanwhile)
         "profile_clip": q_profile_clip,
+        "events_gap_fill": q_events_gap_fill,
     }
 
 
@@ -5829,6 +5861,7 @@ def oracle_sql() -> dict[str, str]:
         "source_orc_roundtrip": _ORC_ROUNDTRIP_ORACLE,
         "source_binaryfile": _BINARYFILE_ORACLE,
         "profile_clip": _PROFILE_CLIP_ORACLE,
+        "events_gap_fill": _EVENTS_GAP_FILL_ORACLE,
         "fuzzy_join": _FUZZY_ORACLE,
         "cdc_apply": _CDC_APPLY_ORACLE,
         "cdc_merge_into": _CDC_APPLY_ORACLE,

@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "dedup_graph_stats",
     "profile_entropy",
     "profile_clip",
+    "events_gap_fill",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

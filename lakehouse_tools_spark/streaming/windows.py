@@ -97,3 +97,56 @@ def sessionize(
             "sum_value",
         )
     )
+
+
+def gap_fill(
+    events: DataFrame,
+    duration: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Dense per-key time series: bucketed counts INCLUDING the empty
+    buckets between each key's first and last event, zero-filled —
+    the resampling step charting/anomaly pipelines need (a missing
+    bucket and a zero bucket are different facts; ``tumbling_counts``
+    alone can't distinguish them).
+
+    Plan: one bucketed count (map-side combined), one per-key
+    min/max-bucket aggregate (keys-sized), an explode of each key's
+    bucket range (output-sized — the dense series IS the result), and
+    a left join of the sparse counts onto the dense spine. The spine
+    join keys are (key, bucket) — co-partitioned with the counts, no
+    broadcast needed, and the spine is metadata-scale relative to the
+    raw events whenever buckets aggregate many rows.
+    """
+    sec = F.lit(_duration_seconds(duration))
+    b = F.floor(F.col(ts_col).cast("long") / sec).cast("long")
+    counts = (
+        events.select(F.col(key_col).alias("key"), b.alias("_b"))
+        .groupBy("key", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    spans = counts.groupBy("key").agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    spine = spans.select(
+        "key", F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_b")
+    )
+    return (
+        spine.join(counts, ["key", "_b"], "left")
+        .select(
+            "key",
+            F.date_format(
+                F.to_timestamp(F.col("_b") * sec), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+def _duration_seconds(duration: str) -> int:
+    """'5 minutes' / '1 hour' / '30 seconds' → seconds."""
+    qty, unit = duration.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    return int(qty) * mult

@@ -105,3 +105,29 @@ def test_streaming_watermark_matches_batch_cut(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_gap_fill_zero_buckets(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.streaming.windows import gap_fill
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    rows = [
+        Row(event_id=1, ts=t(0), event_type="a"),
+        Row(event_id=2, ts=t(0), event_type="a"),
+        Row(event_id=3, ts=t(3), event_type="a"),  # hours 1,2 empty
+        Row(event_id=4, ts=t(5), event_type="b"),
+    ]
+    out = {(r.key, r.window_start): r.n_events for r in gap_fill(
+        spark.createDataFrame(rows), "1 hour"
+    ).collect()}
+    assert out[("a", "2024-01-01 00:00:00")] == 2
+    assert out[("a", "2024-01-01 01:00:00")] == 0
+    assert out[("a", "2024-01-01 02:00:00")] == 0
+    assert out[("a", "2024-01-01 03:00:00")] == 1
+    # key b has a single bucket; no spine outside its own span
+    assert out[("b", "2024-01-01 05:00:00")] == 1
+    assert len(out) == 5
