@@ -5196,6 +5196,62 @@ FROM spine s LEFT JOIN c ON c.key = s.key AND c.b = s.b
 """
 
 
+def q_events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample + impute: hourly mean value per event type on the
+    dense gap-filled spine, with empty buckets forward-filled from
+    the last observed bucket (streaming/windows.forward_fill — LOCF).
+    A chart/model consumes the held value, not null; leading nulls
+    before a key's first observation stay null by design."""
+    from lakehouse_tools_spark.streaming.windows import forward_fill
+
+    ev = load_table(_spark(spark), sf_dir, "events")
+    sec = 3600
+    b = F.floor(F.col("ts").cast("long") / sec).cast("long")
+    stats = (
+        ev.select(F.col("event_type").alias("key"), b.alias("_b"), "value")
+        .groupBy("key", "_b")
+        .agg(
+            F.expr("floor(avg(value) * 1000000) / 1000000").alias("v_avg")
+        )
+    )
+    spans = stats.groupBy("key").agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    spine = spans.select(
+        "key", F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_b")
+    )
+    joined = spine.join(stats, ["key", "_b"], "left")
+    filled = forward_fill(joined, "_b", "key", ["v_avg"])
+    return filled.select(
+        "key",
+        F.date_format(
+            F.to_timestamp(F.col("_b") * sec), "yyyy-MM-dd HH:mm:ss"
+        ).alias("window_start"),
+        F.col("v_avg").alias("v_filled"),
+    )
+
+
+_EVENTS_FFILL_ORACLE = f"""
+WITH c AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+         floor(avg(value) * 1000000) / 1000000 AS v
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT key, min(b) AS lo, max(b) AS hi FROM c GROUP BY key),
+spine AS (SELECT key, unnest(generate_series(lo, hi)) AS b FROM spans),
+j AS (
+  SELECT s.key, s.b, c.v
+  FROM spine s LEFT JOIN c ON c.key = s.key AND c.b = s.b
+)
+SELECT key, strftime(to_timestamp(b * 3600), '{TS_FMT_SQL}') AS window_start,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY key ORDER BY b ROWS UNBOUNDED PRECEDING
+       ) AS v_filled
+FROM j
+"""
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(_spark(spark), sf_dir, "events")
     return X_win.tumbling_counts(ev, "5 minutes")
@@ -5780,6 +5836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally meanwhile)
         "profile_clip": q_profile_clip,
         "events_gap_fill": q_events_gap_fill,
+        "events_forward_fill": q_events_forward_fill,
     }
 
 
@@ -5862,6 +5919,7 @@ def oracle_sql() -> dict[str, str]:
         "source_binaryfile": _BINARYFILE_ORACLE,
         "profile_clip": _PROFILE_CLIP_ORACLE,
         "events_gap_fill": _EVENTS_GAP_FILL_ORACLE,
+        "events_forward_fill": _EVENTS_FFILL_ORACLE,
         "fuzzy_join": _FUZZY_ORACLE,
         "cdc_apply": _CDC_APPLY_ORACLE,
         "cdc_merge_into": _CDC_APPLY_ORACLE,

@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "profile_entropy",
     "profile_clip",
     "events_gap_fill",
+    "events_forward_fill",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

@@ -11,7 +11,7 @@ identically in both, and streaming callers add a watermark first
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -150,3 +150,31 @@ def _duration_seconds(duration: str) -> int:
     mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
             "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
     return int(qty) * mult
+
+
+def forward_fill(
+    df: DataFrame,
+    order_col: str,
+    key_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """Last-observation-carried-forward per key: nulls in ``cols``
+    take the most recent non-null value in ``order_col`` order — the
+    imputation step after resampling (``gap_fill``'s empty buckets
+    carry no measurement; charts and models usually want the held
+    value, not null).
+
+    One window per call (single key exchange, one sort), all columns
+    filled in the same pass with ``last(ignorenulls)``. Rows before a
+    key's first observation stay null — forward fill has nothing to
+    carry; compose with a backward pass if leading nulls must fill.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out

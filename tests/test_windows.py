@@ -131,3 +131,24 @@ def test_gap_fill_zero_buckets(spark):
     # key b has a single bucket; no spine outside its own span
     assert out[("b", "2024-01-01 05:00:00")] == 1
     assert len(out) == 5
+
+
+def test_forward_fill_locf(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.streaming.windows import forward_fill
+
+    rows = [
+        Row(k="a", i=1, v=10.0),
+        Row(k="a", i=2, v=None),
+        Row(k="a", i=3, v=None),
+        Row(k="a", i=4, v=40.0),
+        Row(k="b", i=1, v=None),  # leading null stays null
+        Row(k="b", i=2, v=5.0),
+    ]
+    out = {(r.k, r.i): r.v for r in forward_fill(
+        spark.createDataFrame(rows), "i", "k", ["v"]
+    ).collect()}
+    assert out[("a", 2)] == 10.0 and out[("a", 3)] == 10.0
+    assert out[("a", 4)] == 40.0
+    assert out[("b", 1)] is None and out[("b", 2)] == 5.0
