@@ -908,8 +908,8 @@ z AS (
   FROM c
 )
 SELECT key, strftime(ws, '{TS_FMT_SQL}') AS window_start, n_events,
-       floor(zraw * 1000000) / 1000000 AS z,
-       abs(zraw) >= 2.0 AS is_anomaly
+       floor((zraw + 1e-9) * 1000000) / 1000000 AS z,
+       abs(zraw) >= 2.0 - 1e-9 AS is_anomaly
 FROM z
 """
 
@@ -5252,6 +5252,42 @@ FROM j
 """
 
 
+def q_events_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection
+    (operators/anomaly.rolling_zscores): each hourly bucket z-scored
+    against its key's previous 6 OBSERVED buckets (current excluded)
+    — the production form: slow drift moves the baseline, only level
+    shifts alarm, and the score is incrementally computable. Windows
+    run over the keys×buckets relation; rows basis = observed
+    buckets (compose with gap_fill first when a dense basis is
+    wanted)."""
+    from lakehouse_tools_spark.operators.anomaly import rolling_zscores
+
+    ev = load_table(_spark(spark), sf_dir, "events")
+    return rolling_zscores(ev, bucket="1 hour", trailing=6, z_threshold=2.0)
+
+
+_EVENTS_ANOMALY_ROLLING_ORACLE = f"""
+WITH c AS (
+  SELECT event_type AS key, time_bucket(INTERVAL '1 hour', ts) AS ws,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+z AS (
+  SELECT key, ws, n_events,
+         (n_events - avg(n_events) OVER tw)
+         / nullif(stddev_samp(n_events) OVER tw, 0) AS zraw
+  FROM c
+  WINDOW tw AS (PARTITION BY key ORDER BY ws
+                ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT key, strftime(ws, '{TS_FMT_SQL}') AS window_start, n_events,
+       floor((zraw + 1e-9) * 1000000) / 1000000 AS z,
+       abs(zraw) >= 2.0 - 1e-9 AS is_anomaly
+FROM z
+"""
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(_spark(spark), sf_dir, "events")
     return X_win.tumbling_counts(ev, "5 minutes")
@@ -5837,6 +5873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_clip": q_profile_clip,
         "events_gap_fill": q_events_gap_fill,
         "events_forward_fill": q_events_forward_fill,
+        "events_anomaly_rolling": q_events_anomaly_rolling,
     }
 
 
@@ -5920,6 +5957,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_clip": _PROFILE_CLIP_ORACLE,
         "events_gap_fill": _EVENTS_GAP_FILL_ORACLE,
         "events_forward_fill": _EVENTS_FFILL_ORACLE,
+        "events_anomaly_rolling": _EVENTS_ANOMALY_ROLLING_ORACLE,
         "fuzzy_join": _FUZZY_ORACLE,
         "cdc_apply": _CDC_APPLY_ORACLE,
         "cdc_merge_into": _CDC_APPLY_ORACLE,

@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "profile_clip",
     "events_gap_fill",
     "events_forward_fill",
+    "events_anomaly_rolling",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

@@ -52,3 +52,28 @@ def test_rate_zscores_zero_variance_null_z(spark):
 def test_rate_zscores_single_bucket_null_z(spark):
     out = rate_zscores(spark.createDataFrame([_ev(1, 0)])).collect()
     assert len(out) == 1 and out[0].z is None
+
+
+def test_rolling_zscores_trailing_window(spark):
+    from lakehouse_tools_spark.operators.anomaly import rolling_zscores
+
+    # 8 quiet hours then a spike: the trailing window (previous 6,
+    # current excluded) has zero variance -> quiet hours z NULL;
+    # the spike's trailing window is all 2s -> z NULL too (sd=0)...
+    # so vary the baseline slightly to give variance
+    rows, i = [], 0
+    base = [2, 3, 2, 3, 2, 3, 2, 3]
+    for h, n in enumerate(base):
+        for _ in range(n):
+            rows.append(_ev(i, h)); i += 1
+    for _ in range(30):
+        rows.append(_ev(i, 8)); i += 1
+    out = {r.window_start: r for r in rolling_zscores(
+        spark.createDataFrame(rows), trailing=6, z_threshold=2.0
+    ).collect()}
+    spike = out["2024-01-01 08:00:00"]
+    assert spike.n_events == 30 and spike.is_anomaly
+    # first bucket has no trailing history -> z NULL
+    assert out["2024-01-01 00:00:00"].z is None
+    # mid-baseline buckets are within band
+    assert not out["2024-01-01 05:00:00"].is_anomaly
