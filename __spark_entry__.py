@@ -5288,6 +5288,51 @@ FROM z
 """
 
 
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing moving aggregates per key: 6-bucket rolling mean and
+    sum of hourly event counts (current bucket included) — the
+    smoothing step dashboards and simple forecasters consume. Windows
+    over the keys×buckets relation; observed-buckets basis, same as
+    the rolling anomaly scorer."""
+    ev = load_table(_spark(spark), sf_dir, "events")
+    counts = ev.groupBy(
+        F.col("event_type").alias("key"),
+        F.window(F.col("ts"), "1 hour").alias("_w"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    base = counts.select("key", F.col("_w.start").alias("_ws"), "n_events")
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.col("_ws").asc())
+        .rowsBetween(-5, 0)
+    )
+    return base.select(
+        "key",
+        F.date_format("_ws", TS_FMT_SPARK).alias("window_start"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.sum("n_events").over(w).cast("long").alias("rolling_sum"),
+        (
+            F.floor((F.avg("n_events").over(w) + F.lit(1e-9)) * 1000000)
+            / 1000000
+        ).alias("rolling_avg"),
+    )
+
+
+_EVENTS_ROLLING_ORACLE = f"""
+WITH c AS (
+  SELECT event_type AS key, time_bucket(INTERVAL '1 hour', ts) AS ws,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT key, strftime(ws, '{TS_FMT_SQL}') AS window_start, n_events,
+       CAST(sum(n_events) OVER tw AS BIGINT) AS rolling_sum,
+       floor((avg(n_events) OVER tw + 1e-9) * 1000000) / 1000000
+         AS rolling_avg
+FROM c
+WINDOW tw AS (PARTITION BY key ORDER BY ws
+              ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(_spark(spark), sf_dir, "events")
     return X_win.tumbling_counts(ev, "5 minutes")
@@ -5874,6 +5919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_fill": q_events_gap_fill,
         "events_forward_fill": q_events_forward_fill,
         "events_anomaly_rolling": q_events_anomaly_rolling,
+        "events_rolling": q_events_rolling,
     }
 
 
@@ -5958,6 +6004,7 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_fill": _EVENTS_GAP_FILL_ORACLE,
         "events_forward_fill": _EVENTS_FFILL_ORACLE,
         "events_anomaly_rolling": _EVENTS_ANOMALY_ROLLING_ORACLE,
+        "events_rolling": _EVENTS_ROLLING_ORACLE,
         "fuzzy_join": _FUZZY_ORACLE,
         "cdc_apply": _CDC_APPLY_ORACLE,
         "cdc_merge_into": _CDC_APPLY_ORACLE,

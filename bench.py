@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "events_gap_fill",
     "events_forward_fill",
     "events_anomaly_rolling",
+    "events_rolling",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with
