@@ -5144,6 +5144,43 @@ _STREAM_PROFILE_ORACLE = "\nUNION ALL\n".join(
 )
 
 
+def q_events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events readStream joined per
+    micro-batch against a static customer dimension (user_id →
+    nation) and aggregated to counts per nation — the canonical
+    streaming lookup-join, stateless by design (each batch joins
+    against the current dim snapshot; Spark broadcasts the static
+    side). Complete mode because the aggregation has no watermark;
+    availableNow drains the fixture, so the result equals the batch
+    join exactly and the oracle is plain SQL."""
+    from lakehouse_tools_spark.sources.tables import load_stream
+    from lakehouse_tools_spark.streaming.sink import run_to_memory
+
+    s = _spark(spark)
+    stream = load_stream(s, sf_dir, "events")
+    cust = load_table(s, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").alias("nation_key"),
+    )
+    enriched = (
+        stream.join(F.broadcast(cust), "user_id", "left")
+        .groupBy("nation_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    return run_to_memory(enriched, "events_stream_enrich", "complete")
+
+
+_EVENTS_STREAM_ENRICH_ORACLE = """
+SELECT c.c_nationkey AS nation_key, count(*) AS n_events,
+       round(sum(e.value), 6) AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
 def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator e2e: per-user sessionization
     with explicit state via applyInPandasWithState (event-time timeout
@@ -5920,6 +5957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_forward_fill": q_events_forward_fill,
         "events_anomaly_rolling": q_events_anomaly_rolling,
         "events_rolling": q_events_rolling,
+        "events_stream_enrich": q_events_stream_enrich,
     }
 
 
@@ -6005,6 +6043,7 @@ def oracle_sql() -> dict[str, str]:
         "events_forward_fill": _EVENTS_FFILL_ORACLE,
         "events_anomaly_rolling": _EVENTS_ANOMALY_ROLLING_ORACLE,
         "events_rolling": _EVENTS_ROLLING_ORACLE,
+        "events_stream_enrich": _EVENTS_STREAM_ENRICH_ORACLE,
         "fuzzy_join": _FUZZY_ORACLE,
         "cdc_apply": _CDC_APPLY_ORACLE,
         "cdc_merge_into": _CDC_APPLY_ORACLE,

@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "events_forward_fill",
     "events_anomaly_rolling",
     "events_rolling",
+    "events_stream_enrich",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with
@@ -195,6 +196,7 @@ NOISY = {
     "events_stream_join",
     "events_stream_dedup",
     "events_stream_profile",
+    "events_stream_enrich",
 }
 
 
