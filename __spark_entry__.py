@@ -3237,6 +3237,75 @@ FROM deg GROUP BY d
 """
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (ext/graph.pagerank) over the
+    symmetrized near-dup graph on the oracle-computable vec_id<300
+    window — link analysis for ranking hub documents / weighting
+    cluster representatives by centrality. 3 damped iterations with
+    uniform dangling-mass redistribution; the fixed iteration count
+    is what lets a chained-CTE SQL oracle replay the computation
+    exactly, value for value."""
+    from lakehouse_tools_spark.ext.graph import pagerank
+
+    emb = load_table(_spark(spark), sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    pairs = X_sim.neardup_pairs(emb, threshold=0.2).select(
+        "vec_id", "vec_id2"
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("vec_id2").alias("vec_id"), F.col("vec_id").alias("vec_id2")
+        )
+    )
+    verts = emb.select("vec_id")
+    return pagerank(
+        verts, sym, id_col="vec_id", src_col="vec_id", dst_col="vec_id2",
+        iters=3, damping=0.85,
+    )
+
+
+def _pagerank_oracle(iters: int = 3, d: float = 0.85) -> str:
+    head = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 300),
+pairs AS (
+  SELECT a.vec_id AS x, b.vec_id AS y
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.2
+),
+sym AS (SELECT x AS src, y AS dst FROM pairs
+        UNION ALL SELECT y, x FROM pairs),
+od AS (SELECT src AS s, CAST(count(*) AS BIGINT) AS deg
+       FROM sym GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+p0 AS (SELECT vec_id AS id, 1.0 / nn.n AS pr FROM e CROSS JOIN nn)"""
+    its = []
+    for k in range(1, iters + 1):
+        prev = f"p{k - 1}"
+        its.append(f""",
+p{k} AS (
+  SELECT v.vec_id AS id,
+         (1 - {d}) / nn.n + {d} * (coalesce(c.s, 0) + dm.m / nn.n) AS pr
+  FROM e v
+  CROSS JOIN nn
+  CROSS JOIN (SELECT coalesce(sum(p.pr), 0) AS m FROM {prev} p
+              WHERE p.id NOT IN (SELECT s FROM od)) dm
+  LEFT JOIN (SELECT s.dst AS dst, sum(p.pr / od.deg) AS s
+             FROM sym s JOIN {prev} p ON p.id = s.src
+             JOIN od ON od.s = s.src
+             GROUP BY s.dst) c ON c.dst = v.vec_id
+)""")
+    tail = f"""
+SELECT id AS vec_id,
+       floor((pr + 1e-9) * 1000000) / 1000000 AS pagerank
+FROM p{iters}
+"""
+    return head + "".join(its) + tail
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric n-gram containment pairs (ext/dedup.containment_pairs):
     C(A in B) = |A∩B|/|A| — the verdict Jaccard misses when a short
@@ -5958,6 +6027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_rolling": q_events_anomaly_rolling,
         "events_rolling": q_events_rolling,
         "events_stream_enrich": q_events_stream_enrich,
+        "graph_pagerank": q_graph_pagerank,
     }
 
 
@@ -6044,6 +6114,7 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly_rolling": _EVENTS_ANOMALY_ROLLING_ORACLE,
         "events_rolling": _EVENTS_ROLLING_ORACLE,
         "events_stream_enrich": _EVENTS_STREAM_ENRICH_ORACLE,
+        "graph_pagerank": _pagerank_oracle(),
         "fuzzy_join": _FUZZY_ORACLE,
         "cdc_apply": _CDC_APPLY_ORACLE,
         "cdc_merge_into": _CDC_APPLY_ORACLE,

@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "events_anomaly_rolling",
     "events_rolling",
     "events_stream_enrich",
+    "graph_pagerank",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

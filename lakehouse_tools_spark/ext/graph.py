@@ -316,3 +316,72 @@ def cluster_representatives(
     minimum id (== the cluster id itself, by construction of
     :func:`connected_components`)."""
     return assignment.filter(F.col(id_col) == F.col("cluster_id"))
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank — link analysis over the dup/citation
+    graph (rank hub documents, weight representatives by centrality).
+
+    Per iteration: contributions flow src→dst as ``pr/outdeg`` (one
+    equi-join + one groupBy — shuffles carry (vertex, partial sum),
+    never adjacency lists), dangling mass (outdeg-0 vertices) is
+    redistributed uniformly via a broadcast 1-row aggregate, and
+    ``pr' = (1−d)/n + d·(contrib + dangling/n)``. Each iteration
+    persists — the plan would otherwise double per round (the
+    connected-components lesson). Fixed ``iters`` keeps the whole
+    computation expressible as chained relational passes, so a SQL
+    oracle can replay it exactly; production convergence loops swap
+    the range for a delta test without touching the per-round plan.
+    Output: ``(id, pagerank)`` floored at 6 with the exact-rational
+    boundary nudge shared by the scoring operators.
+    """
+    n = vertices.count()
+    v = vertices.select(F.col(id_col).alias("_vid"))
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    )
+    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    p = v.select("_vid", F.lit(1.0 / n).alias("_pr"))
+    for _ in range(int(iters)):
+        p = p.persist(StorageLevel.MEMORY_AND_DISK)
+        dangling = (
+            p.join(outdeg, p["_vid"] == outdeg["_src"], "left_anti")
+            .agg(F.coalesce(F.sum("_pr"), F.lit(0.0)).alias("_dm"))
+        )
+        contrib = (
+            e.join(p, e["_src"] == p["_vid"])
+            .join(outdeg, "_src")
+            .groupBy("_dst")
+            .agg(F.sum(F.col("_pr") / F.col("_deg")).alias("_c"))
+        )
+        p = (
+            v.join(contrib, v["_vid"] == contrib["_dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "_vid",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_dm") / n
+                    )
+                ).alias("_pr"),
+            )
+        )
+    return p.select(
+        F.col("_vid").alias(id_col),
+        (F.floor((F.col("_pr") + 1e-9) * 1000000) / 1000000).alias(
+            "pagerank"
+        ),
+    )

@@ -137,3 +137,45 @@ def test_work_dir_result_survives_rerun(spark, tmp_path):
         (3, 1),
         (9, 9),
     }
+
+
+def test_pagerank_probability_and_hubs(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.ext.graph import pagerank
+
+    # star graph: hub 0 connected to 1..4 (symmetrized), plus an
+    # isolated vertex 5
+    edges = []
+    for i in range(1, 5):
+        edges.append(Row(src=0, dst=i))
+        edges.append(Row(src=i, dst=0))
+    verts = spark.createDataFrame([Row(id=i) for i in range(6)])
+    e = spark.createDataFrame(edges)
+    out = {r.id: r.pagerank for r in pagerank(
+        verts, e, id_col="id", src_col="src", dst_col="dst", iters=5
+    ).collect()}
+    # ranks approximately sum to 1 (floor truncation loses <6e-6)
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    # the hub dominates every leaf; leaves tie; isolated is lowest
+    assert out[0] > out[1] > out[5]
+    assert out[1] == out[2] == out[3] == out[4]
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.ext.graph import pagerank
+
+    n = 4
+    e = spark.createDataFrame(
+        [Row(src=i, dst=(i + 1) % n) for i in range(n)]
+    )
+    verts = spark.createDataFrame([Row(id=i) for i in range(n)])
+    out = {r.id: r.pagerank for r in pagerank(
+        verts, e, id_col="id", src_col="src", dst_col="dst", iters=4
+    ).collect()}
+    # symmetric cycle: stationary distribution is uniform from the
+    # uniform start, every iteration preserves it exactly
+    assert len(set(out.values())) == 1
+    assert abs(out[0] - 0.25) < 1e-5
