@@ -3237,6 +3237,39 @@ FROM deg GROUP BY d
 """
 
 
+def q_sim_cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic contamination screen
+    (ext/similarity.cross_neardup_pairs): training-corpus vectors
+    (vec_id ≥ 100) within 0.3 cosine of an eval set (vec_id < 100) —
+    the paraphrase-level leak exact-fingerprint / shared-n-gram
+    decontamination can't see. Exact mode: the small eval side
+    broadcasts and every cross pair scores (the audit baseline; the
+    LSH-bucketed mode is the corpus×corpus path)."""
+    from lakehouse_tools_spark.ext.similarity import cross_neardup_pairs
+
+    emb = load_table(_spark(spark), sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    ref = emb.filter(F.col("vec_id") < 100)
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    return cross_neardup_pairs(corpus, ref, threshold=0.3)
+
+
+_SIM_CROSS_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 300)
+SELECT a.vec_id AS vec_id, b.vec_id AS ref_id,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM (SELECT * FROM e WHERE vec_id >= 100) a
+JOIN (SELECT * FROM e WHERE vec_id < 100) b ON TRUE
+WHERE round(list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+"""
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (ext/graph.pagerank) over the
     symmetrized near-dup graph on the oracle-computable vec_id<300
@@ -6028,6 +6061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling": q_events_rolling,
         "events_stream_enrich": q_events_stream_enrich,
         "graph_pagerank": q_graph_pagerank,
+        "sim_cross_contamination": q_sim_cross_contamination,
     }
 
 
@@ -6115,6 +6149,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling": _EVENTS_ROLLING_ORACLE,
         "events_stream_enrich": _EVENTS_STREAM_ENRICH_ORACLE,
         "graph_pagerank": _pagerank_oracle(),
+        "sim_cross_contamination": _SIM_CROSS_ORACLE,
         "fuzzy_join": _FUZZY_ORACLE,
         "cdc_apply": _CDC_APPLY_ORACLE,
         "cdc_merge_into": _CDC_APPLY_ORACLE,

@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "events_rolling",
     "events_stream_enrich",
     "graph_pagerank",
+    "sim_cross_contamination",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

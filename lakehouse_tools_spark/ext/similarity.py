@@ -653,3 +653,59 @@ def embedding_centroids(
         floor6(F.avg(F.col("_val").cast("double"))).alias("centroid"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+def cross_neardup_pairs(
+    corpus: DataFrame,
+    reference: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN two corpora — semantic contamination
+    screening: a training document whose embedding sits within
+    ``threshold`` cosine of an eval-set document is a paraphrase-level
+    leak the exact-fingerprint and shared-n-gram decontamination
+    rules (ext/dedup.decontaminate) can't see.
+
+    ``num_planes=None`` scores every cross pair exactly (|corpus| ×
+    |reference| — the audit baseline; fine when the reference side is
+    an eval set, i.e. small). With ``num_planes`` set, both sides
+    bucket by hyperplane signs and only same-bucket pairs score — the
+    corpus×corpus scale path, recall < 1 like the self-join LSH.
+    Output: ``(vec_id, ref_id, cos)``.
+    """
+    a = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+    )
+    b = reference.select(
+        F.col(id_col).alias("ref_id"),
+        F.col(vec_col).alias("_vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+    )
+    if num_planes is None:
+        joined = a.crossJoin(F.broadcast(b))
+    else:
+        a = a.withColumn(
+            "_b", lsh_bucket_column(F.col("_va"), num_planes, dim)
+        )
+        b = b.withColumn(
+            "_b2", lsh_bucket_column(F.col("_vb"), num_planes, dim)
+        )
+        joined = a.join(b, F.col("_b") == F.col("_b2")).drop("_b", "_b2")
+    return (
+        joined.select(
+            "vec_id",
+            "ref_id",
+            F.round(
+                dot_product(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -191,3 +191,32 @@ def test_embedding_centroids(spark):
     assert out[(0, 0)].centroid == 2.0 and out[(0, 1)].centroid == 3.0
     assert out[(1, 0)].centroid == 10.0 and out[(1, 1)].centroid == 20.0
     assert out[(0, 0)].n_vecs == 2 and out[(1, 0)].n_vecs == 1
+
+
+def test_cross_neardup_exact_and_lsh_subset(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.ext.similarity import cross_neardup_pairs
+
+    def vec(*xs):
+        return [float(x) for x in xs] + [0.0] * (64 - len(xs))
+
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=vec(1, 0)),
+            Row(vec_id=11, embedding=vec(0, 1)),
+        ]
+    )
+    ref = spark.createDataFrame(
+        [Row(vec_id=1, embedding=vec(1, 0.1))]
+    )
+    exact = cross_neardup_pairs(corpus, ref, threshold=0.9)
+    rows = exact.collect()
+    # only the aligned pair clears 0.9; identity pairs can't appear
+    # (different relations)
+    assert [(r.vec_id, r.ref_id) for r in rows] == [(10, 1)]
+    assert rows[0].cos > 0.99
+    # LSH-bucketed mode returns a subset of the exact pairs
+    lsh = cross_neardup_pairs(corpus, ref, threshold=0.9, num_planes=4)
+    exact_set = {(r.vec_id, r.ref_id) for r in rows}
+    assert {(r.vec_id, r.ref_id) for r in lsh.collect()} <= exact_set
