@@ -101,3 +101,68 @@ def test_containment_jaccard_laws(spark, texts):
         assert abs(r.containment - max(r.c_1in2, r.c_2in1)) < 1e-9
         # containment dominates jaccard: |A∩B|/min-side >= |A∩B|/|A∪B|
         assert r.containment >= jac[pair] - 1e-9
+
+
+TS_COUNTS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=20),
+              st.integers(min_value=0, max_value=4)),
+    min_size=1, max_size=25,
+)
+
+
+@_settings
+@given(events=TS_COUNTS)
+def test_gap_fill_laws(spark, events):
+    import datetime as dt
+
+    from lakehouse_tools_spark.streaming.windows import gap_fill
+
+    rows = [
+        Row(ts=dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+            event_type=f"k{k}")
+        for h, k in events
+    ]
+    df = spark.createDataFrame(rows)
+    out = gap_fill(df, "1 hour").collect()
+    by_key: dict[str, list] = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append(r)
+    # conservation: per key, filled counts sum to the raw event count
+    raw = {}
+    for h, k in events:
+        raw[f"k{k}"] = raw.get(f"k{k}", 0) + 1
+    for k, rs in by_key.items():
+        assert sum(r.n_events for r in rs) == raw[k]
+        # density: the spine is contiguous hours (no missing bucket)
+        hours = sorted(r.window_start for r in rs)
+        assert len(hours) == len(set(hours))
+        first, last = hours[0], hours[-1]
+        span_h = int((_parse(last) - _parse(first)).total_seconds() // 3600)
+        assert len(hours) == span_h + 1
+
+
+def _parse(s):
+    import datetime as dt
+
+    return dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+
+@_settings
+@given(vals=st.lists(st.one_of(st.none(), st.floats(min_value=-100,
+       max_value=100, allow_nan=False)), min_size=1, max_size=20))
+def test_forward_fill_laws(spark, vals):
+    from lakehouse_tools_spark.streaming.windows import forward_fill
+
+    rows = [Row(k="a", i=i, v=v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = {r.i: r.v for r in forward_fill(df, "i", "k", ["v"]).collect()}
+    # reference LOCF
+    held = None
+    for i, v in enumerate(vals):
+        if v is not None:
+            held = v
+        assert out[i] == held
+    # idempotence: filling a filled relation is a no-op
+    filled = forward_fill(df, "i", "k", ["v"])
+    again = {r.i: r.v for r in forward_fill(filled, "i", "k", ["v"]).collect()}
+    assert again == out
