@@ -204,3 +204,40 @@ def test_partitioned_read_prunes_partitions(spark):
     assert m and "lang" in m.group(1)
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert pushed is None or "lang" not in pushed.group(1)
+
+
+def test_interval_overlap_join_is_equi_not_nested_loop(spark):
+    # interval x interval must plan as an equi join on the bucket id
+    # (hash/merge family), never BroadcastNestedLoop/Cartesian — the
+    # whole point of the owner-bucket binning.
+    plan = plan_of(E.queries()["events_interval_join"](spark, SF))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert ("BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+            or "SortMergeJoin" in plan)
+
+
+def test_centroids_single_exchange_partial_agg(spark):
+    # the posexplode must feed a partial aggregate INSIDE the scan
+    # stage: exactly one Exchange, carrying labels x dim combined
+    # rows — rows x dim never crosses a shuffle.
+    plan = plan_of(E.queries()["sim_centroids"](spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "partial" in plan.lower()
+
+
+def test_containment_no_cartesian(spark):
+    # shares jaccard's shingle equi-join core: pairs come from the
+    # shingle match, never an all-pairs product
+    plan = plan_of(E.queries()["dedup_containment"](spark, SF))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_tfidf_consumers_read_the_cached_tf(spark):
+    # the persisted TF relation must serve both consumers (the scored
+    # join and the DF aggregate) from cache: at least two
+    # InMemoryTableScans in the plan — the pre-fix plan re-ran the
+    # tokenize->explode->groupBy pipeline per consumer with zero
+    # cache reads. (Raw Scan-parquet counts mislead here: the plan
+    # string reprints the cache's child scan per InMemoryRelation.)
+    plan = plan_of(E.queries()["text_keywords"](spark, SF))
+    assert plan.count("InMemoryTableScan") >= 2
