@@ -3437,6 +3437,31 @@ SELECT DISTINCT doc_id, unnest(f) AS fingerprint FROM fps
 """
 
 
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style plagiarism candidates (ext/dedup.winnow_pairs):
+    document pairs sharing ≥40 winnowing fingerprints — copied
+    PASSAGES between otherwise different documents, a different
+    detection axis than whole-document Jaccard/containment. The
+    fixture's generated boilerplate puts the pairwise noise floor at
+    ~7 shared fingerprints (median) with a 99th percentile of 25, so
+    40 isolates genuine passage-level copies. One equi-self-join on
+    the fingerprint value, never all-pairs."""
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    fps = X_dedup.winnow_fingerprints(docs, "text", "doc_id", k=8, window=4)
+    return X_dedup.winnow_pairs(fps, min_shared=40)
+
+
+_WINNOW_PAIRS_ORACLE = f"""
+SELECT a.doc_id, b.doc_id2, CAST(count(*) AS BIGINT) AS n_shared
+FROM ({_DEDUP_WINNOW_ORACLE}) a
+JOIN (SELECT doc_id AS doc_id2, fingerprint
+      FROM ({_DEDUP_WINNOW_ORACLE})) b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id2
+GROUP BY 1, 2
+HAVING count(*) >= 40
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(_spark(spark), sf_dir, "documents")
     return X_dedup.simhash(docs, "text", "doc_id", bits=32)
@@ -6062,6 +6087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_enrich": q_events_stream_enrich,
         "graph_pagerank": q_graph_pagerank,
         "sim_cross_contamination": q_sim_cross_contamination,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
     }
 
 
@@ -6150,6 +6176,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_enrich": _EVENTS_STREAM_ENRICH_ORACLE,
         "graph_pagerank": _pagerank_oracle(),
         "sim_cross_contamination": _SIM_CROSS_ORACLE,
+        "dedup_winnow_pairs": _WINNOW_PAIRS_ORACLE,
         "fuzzy_join": _FUZZY_ORACLE,
         "cdc_apply": _CDC_APPLY_ORACLE,
         "cdc_merge_into": _CDC_APPLY_ORACLE,

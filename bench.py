@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "events_stream_enrich",
     "graph_pagerank",
     "sim_cross_contamination",
+    "dedup_winnow_pairs",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

@@ -534,3 +534,35 @@ def decontaminate(
             "left_anti",
         )
     return clean.drop("_fp")
+
+
+def winnow_pairs(
+    fingerprints: DataFrame, min_shared: int = 2
+) -> DataFrame:
+    """MOSS-style plagiarism candidate pairs: documents sharing at
+    least ``min_shared`` winnowing fingerprints
+    (:func:`winnow_fingerprints` output — ``(doc_id, fingerprint)``).
+    Winnowing guarantees any sufficiently long shared substring
+    leaves a shared fingerprint, so this surfaces copied PASSAGES
+    between otherwise different documents — a different detection
+    axis than whole-document Jaccard/containment.
+
+    One equi-self-join on the fingerprint value (never all-pairs) +
+    one pair count. Hot fingerprints (shared boilerplate) are the
+    skew risk: AQE's skew-join splitting handles the join, and
+    ``min_shared`` suppresses the single-shared-stamp noise; at
+    corpus scale pre-filter fingerprints whose document frequency
+    explodes (they carry no discriminative signal, same argument as
+    stopwords). Output: ``(doc_id, doc_id2, n_shared)``.
+    """
+    a = fingerprints.select(F.col("doc_id"), F.col("fingerprint"))
+    b = fingerprints.select(
+        F.col("doc_id").alias("doc_id2"), F.col("fingerprint")
+    )
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_id") < F.col("doc_id2"))
+        .groupBy("doc_id", "doc_id2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
