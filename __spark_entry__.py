@@ -5497,6 +5497,78 @@ WINDOW tw AS (PARTITION BY key ORDER BY ws
 """
 
 
+def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense resampled series
+    (streaming/windows.interpolate_linear): empty hourly buckets take
+    the straight-line value between their neighboring observations —
+    the imputation a rate-like series wants where LOCF would step.
+    Endpoint nulls stay null by design. Position math is exact
+    integer-derived doubles, so the oracle replays it bit-for-bit
+    before the floor."""
+    from lakehouse_tools_spark.streaming.windows import interpolate_linear
+
+    ev = load_table(_spark(spark), sf_dir, "events")
+    sec = 3600
+    b = F.floor(F.col("ts").cast("long") / sec).cast("long")
+    stats = (
+        ev.select(F.col("event_type").alias("key"), b.alias("_b"), "value")
+        .groupBy("key", "_b")
+        .agg(F.expr("floor(avg(value) * 1000000) / 1000000").alias("v_avg"))
+    )
+    spans = stats.groupBy("key").agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    spine = spans.select(
+        "key", F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_b")
+    )
+    joined = spine.join(stats, ["key", "_b"], "left")
+    out = interpolate_linear(joined, "_b", "key", "v_avg")
+    return out.select(
+        "key",
+        F.date_format(
+            F.to_timestamp(F.col("_b") * sec), "yyyy-MM-dd HH:mm:ss"
+        ).alias("window_start"),
+        F.expr("floor((v_avg + 1e-9) * 1000000) / 1000000").alias("v_interp"),
+    )
+
+
+_EVENTS_INTERP_ORACLE = f"""
+WITH c AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+         floor(avg(value) * 1000000) / 1000000 AS v
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT key, min(b) AS lo, max(b) AS hi FROM c GROUP BY key),
+spine AS (SELECT key, unnest(generate_series(lo, hi)) AS b FROM spans),
+j AS (
+  SELECT s.key, s.b, c.v
+  FROM spine s LEFT JOIN c ON c.key = s.key AND c.b = s.b
+),
+w AS (
+  SELECT key, b, v,
+         last_value(v IGNORE NULLS) OVER pw AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN CAST(b AS DOUBLE) END
+                    IGNORE NULLS) OVER pw AS pp,
+         first_value(v IGNORE NULLS) OVER nw AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN CAST(b AS DOUBLE) END
+                     IGNORE NULLS) OVER nw AS np
+  FROM j
+  WINDOW pw AS (PARTITION BY key ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         nw AS (PARTITION BY key ORDER BY b
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT key, strftime(to_timestamp(b * 3600), '{TS_FMT_SQL}') AS window_start,
+       floor((CASE WHEN v IS NOT NULL THEN v
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL
+                     THEN pv + (nv - pv) * (CAST(b AS DOUBLE) - pp)
+                          / (np - pp)
+              END + 1e-9) * 1000000) / 1000000 AS v_interp
+FROM w
+"""
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(_spark(spark), sf_dir, "events")
     return X_win.tumbling_counts(ev, "5 minutes")
@@ -6088,6 +6160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "sim_cross_contamination": q_sim_cross_contamination,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "events_interpolate": q_events_interpolate,
     }
 
 
@@ -6177,6 +6250,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle(),
         "sim_cross_contamination": _SIM_CROSS_ORACLE,
         "dedup_winnow_pairs": _WINNOW_PAIRS_ORACLE,
+        "events_interpolate": _EVENTS_INTERP_ORACLE,
         "fuzzy_join": _FUZZY_ORACLE,
         "cdc_apply": _CDC_APPLY_ORACLE,
         "cdc_merge_into": _CDC_APPLY_ORACLE,

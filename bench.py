@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "sim_cross_contamination",
     "dedup_winnow_pairs",
+    "events_interpolate",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

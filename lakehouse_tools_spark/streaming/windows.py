@@ -178,3 +178,49 @@ def forward_fill(
     for c in cols:
         out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return out
+
+
+def interpolate_linear(
+    df: DataFrame,
+    order_col: str,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Linear interpolation of nulls per key: a missing value between
+    two observations takes the straight-line value for its position —
+    the imputation a rate-like series wants where LOCF would
+    introduce steps. Endpoint nulls (before the first / after the
+    last observation) stay null; compose with forward/backward fill
+    when edges must fill too.
+
+    Two windows over the same key exchange (preceding and following
+    pass, both ``last/first(ignorenulls)``), carrying the neighbor
+    VALUE and POSITION; the interpolated value is then a pure
+    projection: ``prev + (next−prev)·(i−i_prev)/(i_next−i_prev)``.
+    All position math is exact integer-derived doubles, so two
+    engines produce identical IEEE results.
+    """
+    wp = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    pos = F.when(v.isNotNull(), F.col(order_col).cast("double"))
+    pv = F.last(v, ignorenulls=True).over(wp)
+    pp = F.last(pos, ignorenulls=True).over(wp)
+    nv = F.first(v, ignorenulls=True).over(wn)
+    np_ = F.first(pos, ignorenulls=True).over(wn)
+    i = F.col(order_col).cast("double")
+    interp = pv + (nv - pv) * (i - pp) / (np_ - pp)
+    return df.withColumn(
+        value_col,
+        F.when(v.isNotNull(), v).otherwise(
+            F.when(pv.isNotNull() & nv.isNotNull(), interp)
+        ),
+    )

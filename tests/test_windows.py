@@ -152,3 +152,31 @@ def test_forward_fill_locf(spark):
     assert out[("a", 2)] == 10.0 and out[("a", 3)] == 10.0
     assert out[("a", 4)] == 40.0
     assert out[("b", 1)] is None and out[("b", 2)] == 5.0
+
+
+def test_interpolate_linear(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.streaming.windows import interpolate_linear
+
+    rows = [
+        Row(k="a", i=0, v=10.0),
+        Row(k="a", i=1, v=None),
+        Row(k="a", i=2, v=None),
+        Row(k="a", i=3, v=40.0),
+        Row(k="a", i=4, v=None),   # trailing -> stays null
+        Row(k="b", i=0, v=None),   # leading -> stays null
+        Row(k="b", i=1, v=7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = {(r.k, r.i): r.v for r in interpolate_linear(df, "i", "k", "v").collect()}
+    assert out[("a", 1)] == 20.0 and out[("a", 2)] == 30.0
+    assert out[("a", 0)] == 10.0 and out[("a", 3)] == 40.0
+    assert out[("a", 4)] is None and out[("b", 0)] is None
+    # non-uniform gaps interpolate by POSITION, not by rank
+    df2 = spark.createDataFrame(
+        [Row(k="c", i=0, v=0.0), Row(k="c", i=10, v=None), Row(k="c", i=20, v=100.0)],
+        "k string, i long, v double",
+    )
+    o2 = {r.i: r.v for r in interpolate_linear(df2, "i", "k", "v").collect()}
+    assert o2[10] == 50.0
