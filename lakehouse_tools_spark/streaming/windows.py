@@ -224,3 +224,25 @@ def interpolate_linear(
             F.when(pv.isNotNull() & nv.isNotNull(), interp)
         ),
     )
+
+
+def backward_fill(
+    df: DataFrame,
+    order_col: str,
+    key_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """Next-observation-carried-backward per key — the mirror of
+    :func:`forward_fill`, for filling the leading nulls a forward
+    pass can't reach (compose both for a fully dense series). Same
+    single-key-exchange window, scanning forward with
+    ``first(ignorenulls)``."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
+    return out

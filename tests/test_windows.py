@@ -180,3 +180,28 @@ def test_interpolate_linear(spark):
     )
     o2 = {r.i: r.v for r in interpolate_linear(df2, "i", "k", "v").collect()}
     assert o2[10] == 50.0
+
+
+def test_backward_fill_and_composition(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.streaming.windows import (
+        backward_fill,
+        forward_fill,
+    )
+
+    rows = [
+        Row(k="a", i=0, v=None),
+        Row(k="a", i=1, v=10.0),
+        Row(k="a", i=2, v=None),
+        Row(k="a", i=3, v=30.0),
+        Row(k="a", i=4, v=None),
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    b = {r.i: r.v for r in backward_fill(df, "i", "k", ["v"]).collect()}
+    assert b[0] == 10.0 and b[2] == 30.0 and b[4] is None
+    # forward then backward leaves no nulls when any observation exists
+    dense = backward_fill(forward_fill(df, "i", "k", ["v"]), "i", "k", ["v"])
+    vals = {r.i: r.v for r in dense.collect()}
+    assert None not in vals.values()
+    assert vals[0] == 10.0 and vals[2] == 10.0 and vals[4] == 30.0
