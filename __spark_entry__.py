@@ -539,6 +539,100 @@ _SKETCH_ERROR_ORACLE = "\nUNION ALL\n".join(
 )
 
 
+_CMS_WIDTH, _CMS_DEPTH, _CMS_TOPK = 512, 3, 20
+
+
+def q_profile_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch
+    (operators/sketches.countmin_sketch): events.user_id frequencies
+    sketched into depth×width counters built as TWO merged batches
+    (the incremental pattern — per-batch sketches sum pointwise, no
+    rescan), then the top-20 users' estimates read back from the
+    merged sketch. Shuffle is ≤ 3×512 counter rows regardless of
+    input size; the estimate join broadcasts the sketch.
+
+    Unlike the HLL path, the CMS is md5-derived, so an ANSI engine
+    building the same sketch gets IDENTICAL counters — the oracle
+    recomputes sketch + estimates and the driver hash-verifies the
+    estimates themselves, overcount included (one-sided error: the
+    sketch never undercounts, pinned in tests/test_sketches.py).
+    The exact top-20 here is the audit companion; at 100 TB the
+    candidate set comes from a sample or prior profile, and only the
+    broadcast-sized sketch touches the full data."""
+    from lakehouse_tools_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+        merge_countmin,
+    )
+
+    ev = load_table(_spark(spark), sf_dir, "events")
+    batches = [
+        countmin_sketch(
+            ev.filter(F.col("event_id") % 2 == i),
+            "user_id",
+            _CMS_WIDTH,
+            _CMS_DEPTH,
+        )
+        for i in (0, 1)
+    ]
+    sketch = merge_countmin(batches)
+    true_counts = (
+        ev.groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt_true"))
+    )
+    top = (
+        true_counts.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt_true").desc(), F.col("key"))
+            ),
+        )
+        .filter(F.col("_rn") <= _CMS_TOPK)
+        .drop("_rn")
+    )
+    est = countmin_estimate(sketch, top, "key", _CMS_WIDTH, _CMS_DEPTH)
+    return top.join(est, "key").select(
+        F.col("key").alias("user_id"),
+        "cnt_true",
+        F.col("cnt_est").cast("long"),
+        (F.col("cnt_est") - F.col("cnt_true")).cast("long").alias("overcount"),
+    )
+
+
+_CMS_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(d.d || ':' || {key}), 1, 8)) AS BIGINT) % "
+    f"{_CMS_WIDTH}"
+)
+
+_HEAVY_HITTERS_ORACLE = f"""
+WITH d AS (SELECT unnest(range({_CMS_DEPTH})) AS d),
+tc AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS cnt_true
+  FROM events GROUP BY 1
+),
+top AS (
+  SELECT k, cnt_true FROM tc
+  ORDER BY cnt_true DESC, k LIMIT {_CMS_TOPK}
+),
+sk AS (
+  SELECT d.d, {_CMS_BUCKET_SQL.format(key="CAST(e.user_id AS VARCHAR)")} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events e CROSS JOIN d GROUP BY 1, 2
+),
+est AS (
+  SELECT t.k, min(sk.cnt) AS cnt_est
+  FROM top t
+  CROSS JOIN d
+  JOIN sk ON sk.d = d.d
+         AND sk.bucket = {_CMS_BUCKET_SQL.format(key="t.k")}
+  GROUP BY t.k
+)
+SELECT t.k AS user_id, t.cnt_true, e.cnt_est,
+       e.cnt_est - t.cnt_true AS overcount
+FROM top t JOIN est e ON e.k = t.k
+"""
+
+
 #: GK-sketch rank-error contract: percentile_approx(accuracy=10000)
 #: guarantees rank error ≤ n/10000; the check brackets each approx
 #: quartile between the exact quantiles at p ± _QERR_EPS, with eps set
@@ -5416,6 +5510,75 @@ FROM j
 """
 
 
+def q_events_dense_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully dense resample: hourly mean value per event type on the
+    gap-filled spine, imputed forward THEN backward
+    (streaming/windows.forward_fill + backward_fill) — every bucket
+    of every key carries a value whenever the key has any observation
+    (the leading nulls LOCF can't reach take the next observation).
+    Two windows over the SAME key exchange: Spark plans both passes
+    in one sort, so composing the mirror costs no extra shuffle."""
+    from lakehouse_tools_spark.streaming.windows import (
+        backward_fill,
+        forward_fill,
+    )
+
+    ev = load_table(_spark(spark), sf_dir, "events")
+    sec = 3600
+    b = F.floor(F.col("ts").cast("long") / sec).cast("long")
+    stats = (
+        ev.select(F.col("event_type").alias("key"), b.alias("_b"), "value")
+        .groupBy("key", "_b")
+        .agg(
+            F.expr("floor(avg(value) * 1000000) / 1000000").alias("v_dense")
+        )
+    )
+    spans = stats.groupBy("key").agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    spine = spans.select(
+        "key", F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_b")
+    )
+    joined = spine.join(stats, ["key", "_b"], "left")
+    filled = backward_fill(
+        forward_fill(joined, "_b", "key", ["v_dense"]), "_b", "key", ["v_dense"]
+    )
+    return filled.select(
+        "key",
+        F.date_format(
+            F.to_timestamp(F.col("_b") * sec), "yyyy-MM-dd HH:mm:ss"
+        ).alias("window_start"),
+        "v_dense",
+    )
+
+
+_EVENTS_DENSE_IMPUTE_ORACLE = f"""
+WITH c AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+         floor(avg(value) * 1000000) / 1000000 AS v
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT key, min(b) AS lo, max(b) AS hi FROM c GROUP BY key),
+spine AS (SELECT key, unnest(generate_series(lo, hi)) AS b FROM spans),
+j AS (
+  SELECT s.key, s.b, c.v
+  FROM spine s LEFT JOIN c ON c.key = s.key AND c.b = s.b
+)
+SELECT key, strftime(to_timestamp(b * 3600), '{TS_FMT_SQL}') AS window_start,
+       coalesce(
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY key ORDER BY b ROWS UNBOUNDED PRECEDING
+         ),
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY key ORDER BY b
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+         )
+       ) AS v_dense
+FROM j
+"""
+
+
 def q_events_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly detection
     (operators/anomaly.rolling_zscores): each hourly bucket z-scored
@@ -6007,7 +6170,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
         "catalog_show_tables": q_catalog_show_tables,
-        "text_language": q_text_language,
         "sim_ann_multiprobe": q_sim_ann_multiprobe,
         "profile_nested": q_profile_nested,
         "sim_recall_report": q_sim_recall_report,
@@ -6041,6 +6203,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_budget_select": q_corpus_budget_select,
         "dedup_graph_stats": q_dedup_graph_stats,
         "profile_entropy": q_profile_entropy,
+        "events_anomaly_rolling": q_events_anomaly_rolling,
+        "events_stream_enrich": q_events_stream_enrich,
+        "graph_pagerank": q_graph_pagerank,
+        "sim_cross_contamination": q_sim_cross_contamination,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "events_interpolate": q_events_interpolate,
         # rows-only but semantics changed this round (straggler-merge
         # fix) — keep in the snapshot window so r04 re-records it
         "events_stream_sessionize": q_events_stream_sessionize,
@@ -6049,6 +6217,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": q_tpch_q11,
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
+        # --- position 51+: outside the ~50-entry driver snapshot window.
+        # Next-round (r05) priority: the four never-verified deferred here
+        # (profile_clip, events_gap_fill, events_forward_fill,
+        # events_rolling — each one's code path is exercised by an
+        # in-window sibling this round) plus text_language (r01-only).
+        "profile_clip": q_profile_clip,
+        "events_gap_fill": q_events_gap_fill,
+        "events_forward_fill": q_events_forward_fill,
+        "events_rolling": q_events_rolling,
+        "events_dense_impute": q_events_dense_impute,
+        "profile_heavy_hitters": q_profile_heavy_hitters,
+        "text_language": q_text_language,
         "profiler_e2e": q_profiler_e2e,
         "fuzzy_join": q_fuzzy_join,
         "table_versions": q_table_versions,
@@ -6147,20 +6327,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_pricing": q_cube_pricing,
         "pack_chunks": q_pack_chunks,
         "source_binaryfile": q_source_binaryfile,
-        # registered BELOW the ~50-entry driver snapshot on purpose:
-        # the window is full of this round's new surfaces; these get
-        # their driver row in the next rotation (oracle-checked
-        # locally meanwhile)
-        "profile_clip": q_profile_clip,
-        "events_gap_fill": q_events_gap_fill,
-        "events_forward_fill": q_events_forward_fill,
-        "events_anomaly_rolling": q_events_anomaly_rolling,
-        "events_rolling": q_events_rolling,
-        "events_stream_enrich": q_events_stream_enrich,
-        "graph_pagerank": q_graph_pagerank,
-        "sim_cross_contamination": q_sim_cross_contamination,
-        "dedup_winnow_pairs": q_dedup_winnow_pairs,
-        "events_interpolate": q_events_interpolate,
     }
 
 
@@ -6244,6 +6410,8 @@ def oracle_sql() -> dict[str, str]:
         "profile_clip": _PROFILE_CLIP_ORACLE,
         "events_gap_fill": _EVENTS_GAP_FILL_ORACLE,
         "events_forward_fill": _EVENTS_FFILL_ORACLE,
+        "events_dense_impute": _EVENTS_DENSE_IMPUTE_ORACLE,
+        "profile_heavy_hitters": _HEAVY_HITTERS_ORACLE,
         "events_anomaly_rolling": _EVENTS_ANOMALY_ROLLING_ORACLE,
         "events_rolling": _EVENTS_ROLLING_ORACLE,
         "events_stream_enrich": _EVENTS_STREAM_ENRICH_ORACLE,

@@ -74,3 +74,86 @@ def estimate_distinct(sketches: DataFrame) -> DataFrame:
         "columnName",
         F.hll_sketch_estimate("sketch").cast("long").alias("n_distinct_est"),
     )
+
+
+def countmin_sketch(
+    df: DataFrame, key_col: str, width: int = 512, depth: int = 3
+) -> DataFrame:
+    """Count-min sketch of ``key_col`` frequencies: ``(d, bucket,
+    cnt)``, ``depth × width`` counters. The frequency companion to the
+    HLL distinct sketch: build one per batch, MERGE by summing
+    counters (:func:`merge_countmin`), and answer "how often does key
+    k appear across any union of batches" without rescanning — with
+    one-sided error (never undercounts; overcount ≤ εN with
+    ε = e/width at probability 1−e^−depth).
+
+    Shuffle is ≤ ``depth × width`` rows after map-side combine
+    regardless of input size — the whole sketch is broadcast-sized.
+    Buckets derive from md5 (functions/portable.md5_int32 form), not
+    Murmur3, so the sketch is DETERMINISTIC ACROSS ENGINES: an ANSI
+    engine building the same sketch gets identical counters, which is
+    what lets the driver hash-verify estimates end-to-end (unlike the
+    HLL sketches, whose bytes are engine-specific)."""
+    rows = df.select(F.col(f"`{key_col}`").cast("string").alias("_k")).select(
+        "_k",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("d"), F.col("_k"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return (
+        rows.select("d", bucket.alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_countmin(parts: list[DataFrame]) -> DataFrame:
+    """Merge per-batch count-min sketches by summing counters
+    pointwise — associative, commutative, deterministic (integer
+    sums)."""
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    return unioned.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 512,
+    depth: int = 3,
+) -> DataFrame:
+    """Point-frequency estimates ``(key, cnt_est)`` for each distinct
+    key in ``keys``: min over the key's ``depth`` counters. The sketch
+    side is ≤ depth×width rows → broadcast join; the candidate side
+    never touches the original data. ``width``/``depth`` must match
+    the sketch's build parameters."""
+    cand = (
+        keys.select(F.col(f"`{key_col}`").cast("string").alias("key"))
+        .distinct()
+        .select(
+            "key",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("d"), F.col("key"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    joined = cand.withColumn("bucket", bucket).join(
+        F.broadcast(sketch), ["d", "bucket"], "left"
+    )
+    return joined.groupBy("key").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cnt_est")
+    )
