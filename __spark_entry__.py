@@ -5242,6 +5242,71 @@ SELECT event_id, strftime(ts, '{TS_FMT_SQL}') AS ts_s, user_id FROM events
 """
 
 
+def q_events_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed upsert e2e (streaming/sink.upsert_stream): the
+    events stream drains via availableNow foreachBatch into the
+    durable table layer — each micro-batch dedups to its
+    deterministic newest row per user (latest_per_key: ts desc + a
+    total tiebreak, so replayed batches keep the SAME winner) and
+    MERGEs by user_id with the batch writer's atomic swap. Final
+    state = the globally latest event per user: exact here (the
+    fixture drains in one batch) and whenever batch arrival respects
+    event time (the append-log case); keyed idempotent upsert is what
+    turns foreachBatch's at-least-once replay into effectively
+    exactly-once."""
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_tools_spark.operators.writer import create_or_replace
+    from lakehouse_tools_spark.sources.tables import load_stream
+    from lakehouse_tools_spark.streaming.sink import upsert_stream
+
+    s = _spark(spark)
+    tbl = "events_latest_by_user"
+    for t in s.catalog.listTables():
+        if t.name == tbl or t.name.startswith(f"{tbl}__"):
+            s.sql(f"DROP TABLE `{t.name}`")
+    wh = s.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    if os.path.isdir(wh):
+        for d in os.listdir(wh):
+            if d == tbl or d.startswith(f"{tbl}__"):
+                shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    create_or_replace(
+        s, load_table(s, sf_dir, "events").select(*cols).limit(0), tbl
+    )
+    stream = load_stream(s, sf_dir, "events").select(*cols)
+    ckpt = tempfile.mkdtemp(prefix="lts_stream_upsert_ckpt_")
+    q = upsert_stream(stream, tbl, ["user_id"], ckpt, order_by=["ts"])
+    q.awaitTermination()
+    return s.table(tbl).select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+        "event_type",
+        "value",
+    )
+
+
+_EVENTS_STREAM_UPSERT_ORACLE = f"""
+WITH r AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST,
+                    event_type DESC NULLS LAST, value DESC NULLS LAST
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_id, strftime(ts, '{TS_FMT_SQL}') AS ts_s,
+       event_type, value
+FROM r WHERE rn = 1
+"""
+
+
 def q_events_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Structured Streaming e2e: readStream file source →
     10-minute watermark → 5-minute tumbling windows → memory sink,
@@ -6228,6 +6293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling": q_events_rolling,
         "events_dense_impute": q_events_dense_impute,
         "profile_heavy_hitters": q_profile_heavy_hitters,
+        "events_stream_upsert": q_events_stream_upsert,
         "text_language": q_text_language,
         "profiler_e2e": q_profiler_e2e,
         "fuzzy_join": q_fuzzy_join,
@@ -6412,6 +6478,7 @@ def oracle_sql() -> dict[str, str]:
         "events_forward_fill": _EVENTS_FFILL_ORACLE,
         "events_dense_impute": _EVENTS_DENSE_IMPUTE_ORACLE,
         "profile_heavy_hitters": _HEAVY_HITTERS_ORACLE,
+        "events_stream_upsert": _EVENTS_STREAM_UPSERT_ORACLE,
         "events_anomaly_rolling": _EVENTS_ANOMALY_ROLLING_ORACLE,
         "events_rolling": _EVENTS_ROLLING_ORACLE,
         "events_stream_enrich": _EVENTS_STREAM_ENRICH_ORACLE,
