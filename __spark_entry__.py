@@ -2873,6 +2873,52 @@ JOIN (SELECT DISTINCT l_returnflag FROM lineitem) d
 """
 
 
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style join pruning (functions/prune.semi_prune): a
+    selective orders filter (urgent + high-value) is reduced to a
+    broadcast fingerprint of distinct md5 key buckets, and lineitem
+    drops non-member rows MAP-SIDE — before its join shuffle — via a
+    broadcast left-semi join on the bucket. The fingerprint stays
+    ≤ num_buckets rows no matter how many orders qualify, which is
+    the point at 100 TB: the fact side's shuffle shrinks to ≈ the
+    joining rows (+ n/num_buckets false positives the real join then
+    drops) without the dim side having to fit a raw broadcast. The
+    oracle is the PLAIN join + aggregate: pruning must be invisible
+    in the result (no false negatives). Catalyst's AQE runtime bloom
+    does this automatically when its thresholds see the case; this is
+    the explicit operator for when they can't."""
+    from lakehouse_tools_spark.functions.prune import semi_prune
+
+    s = _spark(spark)
+    hot = load_table(s, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    )
+    li = load_table(s, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    pruned = semi_prune(li, "l_orderkey", hot, "o_orderkey", num_buckets=1 << 16)
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        pruned.join(hot, pruned.l_orderkey == hot.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+_BLOOM_PRUNE_ORACLE = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+GROUP BY l_returnflag
+"""
+
+
 def q_window_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ranking-function family in one pass: row_number /
     rank / dense_rank / ntile / percent_rank / cume_dist per customer
@@ -6294,6 +6340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dense_impute": q_events_dense_impute,
         "profile_heavy_hitters": q_profile_heavy_hitters,
         "events_stream_upsert": q_events_stream_upsert,
+        "bloom_join_prune": q_bloom_join_prune,
         "text_language": q_text_language,
         "profiler_e2e": q_profiler_e2e,
         "fuzzy_join": q_fuzzy_join,
@@ -6479,6 +6526,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dense_impute": _EVENTS_DENSE_IMPUTE_ORACLE,
         "profile_heavy_hitters": _HEAVY_HITTERS_ORACLE,
         "events_stream_upsert": _EVENTS_STREAM_UPSERT_ORACLE,
+        "bloom_join_prune": _BLOOM_PRUNE_ORACLE,
         "events_anomaly_rolling": _EVENTS_ANOMALY_ROLLING_ORACLE,
         "events_rolling": _EVENTS_ROLLING_ORACLE,
         "events_stream_enrich": _EVENTS_STREAM_ENRICH_ORACLE,
