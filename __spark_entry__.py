@@ -4910,6 +4910,74 @@ ORDER BY n_total DESC, bigram ASC LIMIT 200
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screen (ext/text.repetition_signals):
+    per document, the fraction of 1/2/3-gram occurrences taken by the
+    most frequent gram plus vocabulary richness, and a `repetitive`
+    verdict at fixed thresholds — the repetition block of web-corpus
+    quality filtering (boilerplate and keyword stuffing light up
+    these signals before any LM score). All gram sizes build from the
+    token array JVM-side and explode ONCE; the counting shuffle
+    carries distinct (doc, size, gram) partials, never text."""
+    from lakehouse_tools_spark.ext.text import repetition_signals
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    sig = repetition_signals(docs, "text", "doc_id")
+    return sig.select(
+        "doc_id",
+        "n_words",
+        "distinct_word_ratio",
+        "top_word_frac",
+        "top_bigram_frac",
+        "top_trigram_frac",
+        (
+            (F.col("top_word_frac") > 0.09)
+            | (F.col("top_bigram_frac") > 0.035)
+            | (F.col("distinct_word_ratio") < 0.24)
+        ).alias("repetitive"),
+    )
+
+
+_TEXT_REPETITION_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(c="text")}, ' ') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, 1 AS n, unnest(toks) AS gram FROM d
+  UNION ALL
+  SELECT doc_id, 2 AS n, array_to_string(toks[u.i + 1 : u.i + 2], ' ') AS gram
+  FROM d, UNNEST(CASE WHEN len(toks) >= 2
+                      THEN generate_series(0, len(toks) - 2)
+                      ELSE [] END) AS u(i)
+  UNION ALL
+  SELECT doc_id, 3 AS n, array_to_string(toks[u.i + 1 : u.i + 3], ' ') AS gram
+  FROM d, UNNEST(CASE WHEN len(toks) >= 3
+                      THEN generate_series(0, len(toks) - 3)
+                      ELSE [] END) AS u(i)
+),
+c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+ps AS (
+  SELECT doc_id, n, max(c) AS top_c, sum(c) AS total,
+         count(*) AS n_distinct
+  FROM c GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         CAST(max(CASE WHEN n = 1 THEN total END) AS BIGINT) AS n_words,
+         floor(max(CASE WHEN n = 1 THEN n_distinct / CAST(total AS DOUBLE) END) * 1000000) / 1000000 AS distinct_word_ratio,
+         floor(max(CASE WHEN n = 1 THEN top_c / CAST(total AS DOUBLE) END) * 1000000) / 1000000 AS top_word_frac,
+         floor(max(CASE WHEN n = 2 THEN top_c / CAST(total AS DOUBLE) END) * 1000000) / 1000000 AS top_bigram_frac,
+         floor(max(CASE WHEN n = 3 THEN top_c / CAST(total AS DOUBLE) END) * 1000000) / 1000000 AS top_trigram_frac
+  FROM ps GROUP BY doc_id
+)
+SELECT *,
+       (top_word_frac > 0.09 OR top_bigram_frac > 0.035
+        OR distinct_word_ratio < 0.24) AS repetitive
+FROM agg
+"""
+
+
 def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean negative log-probability under the corpus's
     own Laplace-smoothed unigram LM (ext/text.unigram_logprob) — the
@@ -6341,6 +6409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_heavy_hitters": q_profile_heavy_hitters,
         "events_stream_upsert": q_events_stream_upsert,
         "bloom_join_prune": q_bloom_join_prune,
+        "text_repetition": q_text_repetition,
         "text_language": q_text_language,
         "profiler_e2e": q_profiler_e2e,
         "fuzzy_join": q_fuzzy_join,
@@ -6527,6 +6596,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_heavy_hitters": _HEAVY_HITTERS_ORACLE,
         "events_stream_upsert": _EVENTS_STREAM_UPSERT_ORACLE,
         "bloom_join_prune": _BLOOM_PRUNE_ORACLE,
+        "text_repetition": _TEXT_REPETITION_ORACLE,
         "events_anomaly_rolling": _EVENTS_ANOMALY_ROLLING_ORACLE,
         "events_rolling": _EVENTS_ROLLING_ORACLE,
         "events_stream_enrich": _EVENTS_STREAM_ENRICH_ORACLE,

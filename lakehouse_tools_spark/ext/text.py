@@ -550,3 +550,82 @@ def apply_bpe(
     return words.groupBy("doc_id").agg(
         F.sum(mapping[F.col("w")]).cast("long").alias("n_tokens")
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str, id_col: str, max_n: int = 3
+) -> DataFrame:
+    """Gopher-style per-document repetition statistics: for each gram
+    size 1..max_n, the fraction of gram occurrences taken by the
+    single most frequent gram, plus vocabulary richness
+    (distinct words / total words). Boilerplate, keyword-stuffed, and
+    template-generated pages show up as high top-gram fractions and
+    low richness long before any LM-based score — this is the
+    standard repetition block of web-corpus quality filters
+    (Gopher §A.1.1 shape), expressed relationally.
+
+    One pass: every gram size is built JVM-side from the token array
+    (``transform`` over index ranges, no UDF), tagged with its size,
+    and exploded ONCE; counting is a single groupBy whose shuffle
+    carries distinct ``(doc, size, gram)`` partial counts after
+    map-side combine — ∝ max_n × token volume, never document text.
+    Per-doc reduction is a second, output-sized aggregate. Documents
+    shorter than a gram size contribute no rows for it and surface
+    null fractions (no gram of that size exists — a fact, not a 0).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    empty = F.array().cast("array<string>")
+
+    def grams(k: int) -> Column:
+        if k == 1:
+            return toks
+        idx = F.sequence(F.lit(0), n - k)
+        return F.when(
+            n >= k,
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+            ),
+        ).otherwise(empty)
+
+    def _tagger(k: int):
+        # NB: must be a ONE-argument lambda — pyspark passes (element,
+        # index) to two-argument transform lambdas, so a `_k=k` default
+        # parameter would silently receive the array index
+        return lambda g: F.struct(F.lit(k).alias("n"), g.alias("gram"))
+
+    tagged = F.concat(
+        *[F.transform(grams(k), _tagger(k)) for k in range(1, max_n + 1)]
+    )
+    ex = base.select("doc_id", F.explode(tagged).alias("_g")).select(
+        "doc_id", F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram")
+    )
+    counts = ex.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_size = counts.groupBy("doc_id", "n").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+
+    def _of(k: int, col: Column) -> Column:
+        return F.max(F.when(F.col("n") == k, col))
+
+    return per_size.groupBy("doc_id").agg(
+        _of(1, F.col("total")).cast("long").alias("n_words"),
+        floor6(_of(1, F.col("n_distinct") / F.col("total"))).alias(
+            "distinct_word_ratio"
+        ),
+        floor6(_of(1, F.col("top_c") / F.col("total"))).alias("top_word_frac"),
+        floor6(_of(2, F.col("top_c") / F.col("total"))).alias(
+            "top_bigram_frac"
+        ),
+        floor6(_of(3, F.col("top_c") / F.col("total"))).alias(
+            "top_trigram_frac"
+        ),
+    )

@@ -216,3 +216,28 @@ def test_apply_bpe_token_counts(spark):
     assert none[1] == 8
     # merges strictly compress and never go below one token per word
     assert 3 <= out[1] < 8
+
+
+def test_repetition_signals_hand_computed(spark):
+    """'a b a b a': 5 words (2 distinct → ratio 0.4, top 'a' 3/5),
+    4 bigrams (top 'a b' 2/4), 3 trigrams (top 'a b a' 2/3)."""
+    from lakehouse_tools_spark.ext.text import repetition_signals
+
+    df = spark.createDataFrame([(1, "a b a b a")], ["doc_id", "text"])
+    [r] = repetition_signals(df, "text", "doc_id").collect()
+    assert r.n_words == 5
+    assert r.distinct_word_ratio == 0.4
+    assert r.top_word_frac == 0.6
+    assert r.top_bigram_frac == 0.5
+    assert abs(r.top_trigram_frac - 0.666666) < 1e-9
+
+
+def test_repetition_signals_short_doc_null_grams(spark):
+    """A 2-word doc has no trigram: the fraction is null (no gram of
+    that size exists), not 0."""
+    from lakehouse_tools_spark.ext.text import repetition_signals
+
+    df = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
+    [r] = repetition_signals(df, "text", "doc_id").collect()
+    assert r.n_words == 2 and r.top_bigram_frac == 1.0
+    assert r.top_trigram_frac is None
