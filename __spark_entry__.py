@@ -4467,6 +4467,32 @@ WHERE {h} / 4294967296.0 < least(1.0, 0.3 * n_chars / mw)
 """
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment
+    (ext/sampling.split_corpus): each document's uniform md5 hash
+    picks its split from cumulative-weight intervals — a pure
+    projection, so the deal is reproducible across engines and
+    partitionings and STABLE UNDER APPENDS (new docs never flip old
+    ones), unlike randomSplit whose assignment depends on partition
+    layout. Exactly one split per row; 80/10/10."""
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return X_sample.split_corpus(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id"
+    ).select("doc_id", "lang", "split")
+
+
+def _corpus_split_oracle() -> str:
+    h = _HASH_U32_SQL.format(key="doc_id", salt="")
+    # sorted split names: test (0.1), train (0.9), val (1.0)
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN {h} / 4294967296.0 < 0.1 THEN 'test'
+            WHEN {h} / 4294967296.0 < 0.9 THEN 'train'
+            ELSE 'val' END AS split
+FROM documents
+"""
+
+
 def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-first selection under a token budget
     (ext/corpus.budget_select): keep the longest documents (score =
@@ -6410,6 +6436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_upsert": q_events_stream_upsert,
         "bloom_join_prune": q_bloom_join_prune,
         "text_repetition": q_text_repetition,
+        "corpus_split": q_corpus_split,
         "text_language": q_text_language,
         "profiler_e2e": q_profiler_e2e,
         "fuzzy_join": q_fuzzy_join,
@@ -6597,6 +6624,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_upsert": _EVENTS_STREAM_UPSERT_ORACLE,
         "bloom_join_prune": _BLOOM_PRUNE_ORACLE,
         "text_repetition": _TEXT_REPETITION_ORACLE,
+        "corpus_split": _corpus_split_oracle(),
         "events_anomaly_rolling": _EVENTS_ANOMALY_ROLLING_ORACLE,
         "events_rolling": _EVENTS_ROLLING_ORACLE,
         "events_stream_enrich": _EVENTS_STREAM_ENRICH_ORACLE,

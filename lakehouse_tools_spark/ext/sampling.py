@@ -178,3 +178,38 @@ def weighted_sample(
         )
         .drop("_mw")
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets the
+    split whose cumulative-weight interval contains its uniform hash
+    — a pure projection (no shuffle, no RNG state), so the assignment
+    is reproducible on any engine/partitioning/cluster size and
+    STABLE UNDER APPENDS: a new document never flips an old one's
+    split (the failure mode of randomSplit, whose assignment depends
+    on partition layout). ``salt`` re-deals the whole assignment.
+
+    Splits partition the data exactly: intervals are half-open and
+    cover [0, 1), so every row lands in exactly one split. Weights
+    must sum to 1 (validated); interval edges computed in one pass
+    over the sorted split names for a canonical order.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = hash_fraction(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    for name, w in sorted(weights.items()):
+        acc += w
+        cond = u < F.lit(min(acc, 1.0))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # float edge guard: a hash exactly at the last boundary (acc may
+    # land at 0.99999999…) falls through to the final split
+    last = sorted(weights)[-1]
+    return df.withColumn("split", expr.otherwise(F.lit(last)))

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from lakehouse_tools_spark.ext.sampling import (
     balanced_sample,
     hash_sample,
@@ -150,3 +152,38 @@ def test_budget_select_greedy_prefix(spark):
     assert sorted(r.doc_id for r in out) == [0, 1, 2]
     # budget smaller than any row -> empty
     assert budget_select(df, "score", "cost", 5, "doc_id").count() == 0
+
+
+def test_split_corpus_partitions_exactly(spark, tables):
+    from lakehouse_tools_spark.ext.sampling import split_corpus
+
+    docs = tables["documents"]
+    out = split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id")
+    assert out.count() == docs.count()
+    assert out.filter(F.col("split").isNull()).count() == 0
+    sizes = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = docs.count()
+    assert set(sizes) == {"train", "val", "test"}
+    assert abs(sizes["train"] / n - 0.8) < 0.1
+
+
+def test_split_corpus_stable_under_appends(spark):
+    """The property randomSplit lacks: adding rows never flips an
+    existing row's split."""
+    from lakehouse_tools_spark.ext.sampling import split_corpus
+
+    w = {"train": 0.7, "val": 0.3}
+    small = spark.range(100).withColumnRenamed("id", "k")
+    big = spark.range(1000).withColumnRenamed("id", "k")
+    a = {r.k: r.split for r in split_corpus(small, w, "k").collect()}
+    b = {r.k: r.split for r in split_corpus(big, w, "k").collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_split_corpus_rejects_bad_weights(spark):
+    from lakehouse_tools_spark.ext.sampling import split_corpus
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_corpus(spark.range(5), {"a": 0.5, "b": 0.6}, "id")
