@@ -4786,6 +4786,48 @@ WHERE o.o_totalprice IS DISTINCT FROM n.o_totalprice
 """
 
 
+def q_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC loop closed end-to-end: diff two snapshots
+    (operators/diff.snapshot_diff), convert the diff to a net
+    op-coded feed (diff.to_change_feed), and apply that feed back
+    onto the OLD snapshot (cdc.apply_changes_into) — the result must
+    be exactly the NEW snapshot, which is what the oracle asserts.
+    This is the ship-diffs-not-snapshots contract: a downstream
+    replica pays one churn-sized batch per sync instead of a full
+    copy. Same deterministic snapshot construction as snapshot_diff."""
+    from lakehouse_tools_spark.operators.cdc import apply_changes_into
+    from lakehouse_tools_spark.operators.diff import (
+        snapshot_diff,
+        to_change_feed,
+    )
+
+    orders = load_table(_spark(spark), sf_dir, "orders")
+    key = F.col("o_orderkey")
+    old = orders.filter(X_sample.hash_fraction(key, "old") < 0.95)
+    bumped = X_sample.hash_fraction(key, "upd") < 0.10
+    new = orders.filter(X_sample.hash_fraction(key, "new") < 0.95).withColumn(
+        "o_totalprice",
+        F.when(bumped, F.col("o_totalprice") + F.lit(1.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    feed = to_change_feed(snapshot_diff(old, new, ["o_orderkey"]), sequence=1)
+    return apply_changes_into(old, feed, ["o_orderkey"], "_seq")
+
+
+def _cdc_roundtrip_oracle() -> str:
+    def h(salt: str) -> str:
+        return _HASH_U32_SQL.format(key="o_orderkey", salt=salt) + " / 4294967296.0"
+
+    return f"""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN {h("upd")} < 0.10 THEN o_totalprice + 1.0 ELSE o_totalprice END
+         AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE {h("new")} < 0.95
+"""
+
+
 _SCD_T0 = "2024-01-01 00:00:00"
 _SCD_T1 = "2024-02-01 00:00:00"
 
@@ -6437,6 +6479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join_prune": q_bloom_join_prune,
         "text_repetition": q_text_repetition,
         "corpus_split": q_corpus_split,
+        "cdc_roundtrip": q_cdc_roundtrip,
         "text_language": q_text_language,
         "profiler_e2e": q_profiler_e2e,
         "fuzzy_join": q_fuzzy_join,
@@ -6625,6 +6668,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_join_prune": _BLOOM_PRUNE_ORACLE,
         "text_repetition": _TEXT_REPETITION_ORACLE,
         "corpus_split": _corpus_split_oracle(),
+        "cdc_roundtrip": _cdc_roundtrip_oracle(),
         "events_anomaly_rolling": _EVENTS_ANOMALY_ROLLING_ORACLE,
         "events_rolling": _EVENTS_ROLLING_ORACLE,
         "events_stream_enrich": _EVENTS_STREAM_ENRICH_ORACLE,

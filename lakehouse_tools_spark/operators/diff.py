@@ -98,3 +98,24 @@ def snapshot_diff(
         j.select(F.explode(events).alias("_e"))
         .select(F.col(f"_e.{CHANGE_COL}").alias(CHANGE_COL), *[F.col(f"_e.`{c}`").alias(c) for c in cols])
     )
+
+
+def to_change_feed(diff: DataFrame, sequence: int) -> DataFrame:
+    """Net op-coded CDC feed from a snapshot diff: update preimages
+    dropped (the postimage carries the new values), insert /
+    update_postimage → ``op='U'``, delete → ``op='D'`` (the deleted
+    key's last-known image travels with it), every row tagged with
+    the batch's ``sequence`` position in ``_seq``.
+
+    This closes the CDC loop: ``apply_changes_into(old,
+    to_change_feed(snapshot_diff(old, new, keys), n), keys, '_seq')``
+    reconstructs ``new`` exactly (pinned in tests/test_diff.py and
+    driver-verified by ``cdc_roundtrip``) — so a parquet-backend
+    pipeline can SHIP diffs instead of snapshots, output ∝ churn."""
+    ct = F.col(CHANGE_COL)
+    return (
+        diff.filter(ct != "update_preimage")
+        .withColumn("op", F.when(ct == "delete", "D").otherwise(F.lit("U")))
+        .withColumn("_seq", F.lit(sequence))
+        .drop(CHANGE_COL)
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from lakehouse_tools_spark.operators.diff import snapshot_diff
 
@@ -84,3 +85,42 @@ def test_single_join_plan(spark):
         .toString()
     )
     assert plan.count("Join") == 1  # one full-outer join, one pass per side
+
+
+def test_diff_feed_apply_roundtrip(spark, tables):
+    """apply(old, feed(diff(old,new))) == new — the ship-diffs-not-
+    snapshots law, covering inserts, updates, and deletes at once."""
+    from lakehouse_tools_spark.operators.cdc import apply_changes_into
+    from lakehouse_tools_spark.operators.diff import snapshot_diff, to_change_feed
+
+    cust = tables["customer"].select("c_custkey", "c_name", "c_acctbal")
+    old = cust.filter(F.col("c_custkey") % 5 != 0)          # deletes: %5==0 in new only... 
+    new = (
+        cust.filter(F.col("c_custkey") % 7 != 0)            # deletes: %7==0 present in old
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 10).otherwise(F.col("c_acctbal")),
+        )
+    )
+    feed = to_change_feed(snapshot_diff(old, new, ["c_custkey"]), sequence=7)
+    rebuilt = apply_changes_into(old, feed, ["c_custkey"], "_seq")
+    assert sorted(rebuilt.collect()) == sorted(new.collect())
+
+
+def test_to_change_feed_shape(spark, tables):
+    from lakehouse_tools_spark.operators.diff import (
+        CHANGE_COL,
+        snapshot_diff,
+        to_change_feed,
+    )
+
+    cust = tables["customer"].select("c_custkey", "c_acctbal")
+    old = cust.filter(F.col("c_custkey") <= 100)
+    new = cust.filter(F.col("c_custkey") >= 50).withColumn(
+        "c_acctbal", F.col("c_acctbal") * 2
+    )
+    feed = to_change_feed(snapshot_diff(old, new, ["c_custkey"]), sequence=3)
+    assert CHANGE_COL not in feed.columns
+    ops = {r.op for r in feed.select("op").distinct().collect()}
+    assert ops == {"U", "D"}
+    assert feed.filter(F.col("_seq") != 3).count() == 0
