@@ -4786,6 +4786,46 @@ WHERE o.o_totalprice IS DISTINCT FROM n.o_totalprice
 """
 
 
+def q_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized rollup (operators/rollup.py): orders
+    arrive as three hash-split batches; each batch reduces to per-key
+    algebraic partials (count/sum/min/max, sums in decimal so merge
+    order can't perturb them), the partials merge, and finals (incl.
+    avg = sum/count at read time) are derived from the merged state.
+    The oracle aggregates the WHOLE table in one pass — merged
+    partials must equal it exactly, the law that lets a 100 TB
+    summary stay current for the cost of each day's batch."""
+    from lakehouse_tools_spark.operators.rollup import (
+        merge_rollups,
+        rollup_partials,
+        rollup_result,
+    )
+
+    orders = load_table(_spark(spark), sf_dir, "orders")
+    parts = [
+        rollup_partials(
+            orders.filter(F.col("o_orderkey") % 3 == i),
+            ["o_orderpriority"],
+            ["o_totalprice"],
+        )
+        for i in (0, 1, 2)
+    ]
+    merged = merge_rollups(parts, ["o_orderpriority"])
+    return rollup_result(merged, ["o_orderpriority"])
+
+
+_ROLLUP_MAINTENANCE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(o_totalprice) AS BIGINT) AS o_totalprice_n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS o_totalprice_sum,
+       min(o_totalprice) AS o_totalprice_min,
+       max(o_totalprice) AS o_totalprice_max,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+         / count(o_totalprice) AS o_totalprice_avg
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC loop closed end-to-end: diff two snapshots
     (operators/diff.snapshot_diff), convert the diff to a net
@@ -6480,6 +6520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "corpus_split": q_corpus_split,
         "cdc_roundtrip": q_cdc_roundtrip,
+        "rollup_maintenance": q_rollup_maintenance,
         "text_language": q_text_language,
         "profiler_e2e": q_profiler_e2e,
         "fuzzy_join": q_fuzzy_join,
@@ -6669,6 +6710,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _TEXT_REPETITION_ORACLE,
         "corpus_split": _corpus_split_oracle(),
         "cdc_roundtrip": _cdc_roundtrip_oracle(),
+        "rollup_maintenance": _ROLLUP_MAINTENANCE_ORACLE,
         "events_anomaly_rolling": _EVENTS_ANOMALY_ROLLING_ORACLE,
         "events_rolling": _EVENTS_ROLLING_ORACLE,
         "events_stream_enrich": _EVENTS_STREAM_ENRICH_ORACLE,
