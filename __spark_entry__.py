@@ -4786,6 +4786,69 @@ WHERE o.o_totalprice IS DISTINCT FROM n.o_totalprice
 """
 
 
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (operators/golden.py): customers
+    folded into synthetic entity clusters (custkey % 300 — the stand-
+    in for a dedup/matching verdict) and reduced to one master row
+    per cluster with per-column rules: latest non-null name (recency
+    = custkey, ties to the larger value), max balance, modal market
+    segment (ties to the smallest value). ONE groupBy carries every
+    rule — no self-joins; all tie-breaks total, so both engines elect
+    identical survivors."""
+    from lakehouse_tools_spark.operators.golden import golden_records
+
+    cust = load_table(_spark(spark), sf_dir, "customer").withColumn(
+        "cluster_id", F.col("c_custkey") % 300
+    )
+    return golden_records(
+        cust,
+        "cluster_id",
+        {
+            "c_name": "latest",
+            "c_acctbal": "max",
+            "c_mktsegment": "most_common",
+        },
+        recency_col="c_custkey",
+    )
+
+
+_GOLDEN_RECORDS_ORACLE = """
+WITH c AS (
+  SELECT c_custkey % 300 AS cluster_id, c_custkey, c_name, c_acctbal,
+         c_mktsegment
+  FROM customer
+),
+latest AS (
+  SELECT cluster_id, c_name AS c_name_latest FROM (
+    SELECT cluster_id, c_name,
+           row_number() OVER (
+             PARTITION BY cluster_id
+             ORDER BY c_custkey DESC, c_name DESC
+           ) AS rn
+    FROM c WHERE c_name IS NOT NULL
+  ) WHERE rn = 1
+),
+md AS (
+  SELECT cluster_id, c_mktsegment AS c_mktsegment_most_common FROM (
+    SELECT cluster_id, c_mktsegment,
+           row_number() OVER (
+             PARTITION BY cluster_id ORDER BY cnt DESC, c_mktsegment ASC
+           ) AS rn
+    FROM (
+      SELECT cluster_id, c_mktsegment, count(*) AS cnt
+      FROM c WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2
+    )
+  ) WHERE rn = 1
+),
+mx AS (SELECT cluster_id, max(c_acctbal) AS c_acctbal_max FROM c GROUP BY 1)
+SELECT mx.cluster_id, latest.c_name_latest, mx.c_acctbal_max,
+       md.c_mktsegment_most_common
+FROM mx
+LEFT JOIN latest USING (cluster_id)
+LEFT JOIN md USING (cluster_id)
+"""
+
+
 def q_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized rollup (operators/rollup.py): orders
     arrive as three hash-split batches; each batch reduces to per-key
@@ -6521,6 +6584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "cdc_roundtrip": q_cdc_roundtrip,
         "rollup_maintenance": q_rollup_maintenance,
+        "golden_records": q_golden_records,
         "text_language": q_text_language,
         "profiler_e2e": q_profiler_e2e,
         "fuzzy_join": q_fuzzy_join,
@@ -6711,6 +6775,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": _corpus_split_oracle(),
         "cdc_roundtrip": _cdc_roundtrip_oracle(),
         "rollup_maintenance": _ROLLUP_MAINTENANCE_ORACLE,
+        "golden_records": _GOLDEN_RECORDS_ORACLE,
         "events_anomaly_rolling": _EVENTS_ANOMALY_ROLLING_ORACLE,
         "events_rolling": _EVENTS_ROLLING_ORACLE,
         "events_stream_enrich": _EVENTS_STREAM_ENRICH_ORACLE,
