@@ -4786,6 +4786,35 @@ WHERE o.o_totalprice IS DISTINCT FROM n.o_totalprice
 """
 
 
+def q_profile_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count histograms (profile.equi_depth_histogram) over the
+    lineitem measure columns: every bucket holds n/8 rows (±1) with
+    its observed value range — informative on skew where equi-width
+    collapses. ntile audit mode (per-column single-partition sort,
+    exact and ANSI-reproducible); the 100 TB path is GK-sketch
+    boundaries + a bounded groupBy."""
+    from lakehouse_tools_spark.operators.profile import equi_depth_histogram
+
+    li = load_table(_spark(spark), sf_dir, "lineitem")
+    cols = [c for c, _ in _QUANT_COLS["lineitem"]]
+    return equi_depth_histogram(li, DB, "lineitem", cols, bins=8)
+
+
+_EQDEPTH_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{DB}' AS databaseName, 'lineitem' AS tableName,
+       '{c}' AS columnName, bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       min(x) AS lo, max(x) AS hi
+FROM (
+  SELECT CAST({c} AS DOUBLE) AS x,
+         ntile(8) OVER (ORDER BY CAST({c} AS DOUBLE) ASC) AS bucket
+  FROM lineitem WHERE {c} IS NOT NULL
+) GROUP BY bucket
+"""
+    for c, _ in _QUANT_COLS["lineitem"]
+)
+
+
 def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-record survivorship (operators/golden.py): customers
     folded into synthetic entity clusters (custkey % 300 — the stand-
@@ -6585,6 +6614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_roundtrip": q_cdc_roundtrip,
         "rollup_maintenance": q_rollup_maintenance,
         "golden_records": q_golden_records,
+        "profile_histogram_eqdepth": q_profile_histogram_eqdepth,
         "text_language": q_text_language,
         "profiler_e2e": q_profiler_e2e,
         "fuzzy_join": q_fuzzy_join,
@@ -6776,6 +6806,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_roundtrip": _cdc_roundtrip_oracle(),
         "rollup_maintenance": _ROLLUP_MAINTENANCE_ORACLE,
         "golden_records": _GOLDEN_RECORDS_ORACLE,
+        "profile_histogram_eqdepth": _EQDEPTH_ORACLE,
         "events_anomaly_rolling": _EVENTS_ANOMALY_ROLLING_ORACLE,
         "events_rolling": _EVENTS_ROLLING_ORACLE,
         "events_stream_enrich": _EVENTS_STREAM_ENRICH_ORACLE,

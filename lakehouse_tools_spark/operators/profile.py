@@ -978,3 +978,55 @@ def schema_information(
             )
     ss = spark or next(iter(tables.values())).sparkSession
     return ss.createDataFrame(rows, SCHEMA_INFORMATION_SCHEMA)
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    database: str,
+    table: str,
+    cols: list[str],
+    bins: int = 8,
+) -> DataFrame:
+    """Equal-count (quantile) binning per column: every bucket holds
+    n/bins rows (±1), with its observed [lo, hi] value range — the
+    histogram that stays informative on skewed distributions where
+    equi-width piles everything into one bar. Output ≤ bins rows per
+    column: (columnName, bucket, n_rows, lo, hi).
+
+    AUDIT MODE, like numeric_quantiles_exact: ``ntile`` needs each
+    column's rows sorted in ONE window partition, so per-column data
+    must fit a task — exact and ANSI-reproducible (bucket sizes and
+    bounds are deterministic even under value ties, because a sorted
+    multiset is unique as a sequence), which is what makes it the
+    oracle-checkable companion. The 100 TB path is GK-sketch
+    boundaries (numeric_quantiles) + one bounded groupBy on the
+    precomputed edges.
+
+    One melt feeds every column through the same two windows —
+    columns sort in parallel, one shuffle total.
+    """
+    branches = []
+    for c in cols:
+        branches.extend([F.lit(c), F.col(f"`{c}`").cast("double")])
+    melted = df.select(
+        F.stack(F.lit(len(cols)), *branches).alias("columnName", "x")
+    ).filter(F.col("x").isNotNull())
+    w = Window.partitionBy("columnName").orderBy(F.col("x").asc())
+    return (
+        melted.withColumn("bucket", F.ntile(bins).over(w))
+        .groupBy("columnName", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+        )
+        .select(
+            F.lit(database).alias("databaseName"),
+            F.lit(table).alias("tableName"),
+            "columnName",
+            "bucket",
+            "n_rows",
+            "lo",
+            "hi",
+        )
+    )

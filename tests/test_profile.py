@@ -248,3 +248,20 @@ def test_clip_outliers(spark):
     # (fences recompute on clipped data but all values are inside)
     again = [r.x for r in clip_outliers(clip_outliers(df, ["x"]), ["x"]).collect()]
     assert sorted(clipped) == sorted(v for v in again if v is not None)
+
+
+def test_equi_depth_buckets_balanced_and_ordered(spark, tables):
+    """Bucket sizes differ by ≤1 and value ranges are non-overlapping
+    and ordered — the definition of equal-count binning."""
+    from lakehouse_tools_spark.operators.profile import equi_depth_histogram
+
+    out = equi_depth_histogram(
+        tables["orders"], "db1", "orders", ["o_totalprice"], bins=10
+    ).collect()
+    assert len(out) == 10
+    sizes = [r.n_rows for r in out]
+    assert max(sizes) - min(sizes) <= 1
+    by_bucket = sorted(out, key=lambda r: r.bucket)
+    for a, b in zip(by_bucket, by_bucket[1:]):
+        assert a.hi <= b.lo
+        assert a.lo <= a.hi
