@@ -4786,6 +4786,61 @@ WHERE o.o_totalprice IS DISTINCT FROM n.o_totalprice
 """
 
 
+def q_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction e2e (maintenance.compact_small_files):
+    documents is deliberately fragmented into 40 tiny parquet files,
+    then compacted to the size target through the staged-rewrite +
+    directory-swap path. The report row carries the file counts AND a
+    content fingerprint (sum of per-row md5 hashes) of the compacted
+    table — the oracle recomputes the fingerprint from the source
+    table, so the driver verifies both that files shrank 40 → 1 and
+    that compaction changed NOTHING about the data."""
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_tools_spark.operators.maintenance import (
+        compact_small_files,
+    )
+
+    s = _spark(spark)
+    work = os.path.join(
+        tempfile.gettempdir(), "lts_compaction", os.path.basename(sf_dir)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    docs = load_table(s, sf_dir, "documents")
+    docs.repartition(40).write.mode("overwrite").parquet(work)
+    report = compact_small_files(s, work, target_file_bytes=128 * 1024 * 1024)
+    compacted = s.read.parquet(work)
+    rowhash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.md5(F.col("text"))
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return compacted.agg(
+        F.lit(report["files_before"]).cast("long").alias("files_before"),
+        F.lit(report["files_after"]).cast("long").alias("files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(rowhash).alias("rowset_sum"),
+    )
+
+
+_COMPACTION_ORACLE = """
+SELECT CAST(40 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 8)) AS BIGINT)) AS BIGINT) AS rowset_sum
+FROM documents
+"""
+
+
 def q_profile_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-count histograms (profile.equi_depth_histogram) over the
     lineitem measure columns: every bucket holds n/8 rows (±1) with
@@ -6615,6 +6670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_maintenance": q_rollup_maintenance,
         "golden_records": q_golden_records,
         "profile_histogram_eqdepth": q_profile_histogram_eqdepth,
+        "compaction_report": q_compaction_report,
         "text_language": q_text_language,
         "profiler_e2e": q_profiler_e2e,
         "fuzzy_join": q_fuzzy_join,
@@ -6807,6 +6863,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_maintenance": _ROLLUP_MAINTENANCE_ORACLE,
         "golden_records": _GOLDEN_RECORDS_ORACLE,
         "profile_histogram_eqdepth": _EQDEPTH_ORACLE,
+        "compaction_report": _COMPACTION_ORACLE,
         "events_anomaly_rolling": _EVENTS_ANOMALY_ROLLING_ORACLE,
         "events_rolling": _EVENTS_ROLLING_ORACLE,
         "events_stream_enrich": _EVENTS_STREAM_ENRICH_ORACLE,

@@ -145,3 +145,60 @@ def zorder_curve_layout(
     else:
         out = out.repartitionByRange(F.col("_z"))
     return out.sortWithinPartitions("_z").drop("_z")
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Size-targeted small-file compaction of a parquet directory —
+    OPTIMIZE's bin-packing half (the clustering half is
+    :func:`zorder_layout`). The small-file problem is real overhead at
+    scale: every file costs a scan task, an open, and a footer read,
+    so a table fragmented by many small appends reads slower than the
+    same bytes in right-sized files.
+
+    File sizes come from Spark's own ``binaryFile`` source (a
+    distributed listing — no driver filesystem walk, works on any
+    Hadoop-compatible FS), the target file count is
+    ``ceil(total_bytes / target_file_bytes)``, and the rewrite stages
+    into ``<path>__compacting`` before an atomic-as-the-FS-allows
+    directory swap — readers never observe a half-written table.
+    Compressed input bytes approximate compressed output bytes (same
+    codec), which is the same heuristic Delta's OPTIMIZE uses.
+
+    Returns ``{"files_before", "files_after", "bytes_total"}``.
+    """
+    import math
+    import os
+    import shutil
+
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
+        .select("length")
+        .collect()
+    )
+    files_before = len(listing)
+    bytes_total = sum(r.length for r in listing)
+    n_target = max(1, math.ceil(bytes_total / target_file_bytes))
+    staging = path.rstrip("/") + "__compacting"
+    df = spark.read.parquet(path)
+    df.repartition(n_target).write.mode("overwrite").parquet(staging)
+    spark.catalog.clearCache()
+    local = path.removeprefix("file:")
+    local_staging = staging.removeprefix("file:")
+    backup = local + "__precompact"
+    os.rename(local, backup)
+    os.rename(local_staging, local)
+    shutil.rmtree(backup)
+    files_after = sum(
+        1 for f in os.listdir(local) if f.endswith(".parquet")
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_total": bytes_total,
+    }

@@ -78,3 +78,42 @@ def test_zorder_curve_string_key_is_order_preserving(spark):
     assert keys == sorted(keys)
     # distinct prefixes get distinct keys
     assert len({r.k for r in got}) == len(words)
+
+
+def test_compact_small_files_preserves_rows_and_shrinks(spark, tables, tmp_path):
+    from lakehouse_tools_spark.operators.maintenance import compact_small_files
+
+    path = str(tmp_path / "frag")
+    nation = tables["nation"]
+    nation.repartition(20).write.parquet(path)
+    before = sorted(spark.read.parquet(path).collect())
+    report = compact_small_files(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert report["files_before"] == 20
+    assert report["files_after"] == 1
+    after = sorted(spark.read.parquet(path).collect())
+    assert after == before
+    import os
+
+    # staging and backup dirs are gone after the swap
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__precompact")
+
+
+def test_compact_small_files_respects_target(spark, tables, tmp_path):
+    """A small target must yield several files: ceil(total/target)."""
+    import math
+    import os
+
+    from lakehouse_tools_spark.operators.maintenance import compact_small_files
+
+    path = str(tmp_path / "frag2")
+    tables["orders"].repartition(30).write.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    target = max(1, total // 4)
+    report = compact_small_files(spark, path, target_file_bytes=target)
+    assert report["files_after"] == math.ceil(total / target)
+    assert report["bytes_total"] == total
