@@ -3650,6 +3650,38 @@ SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10
 """
 
 
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (ext/similarity.hard_negatives): for each
+    of 5 query embeddings, the 10 most-similar vectors with a
+    DIFFERENT label — the contrastive-training negatives that sit on
+    the decision boundary. Exact broadcast scoring with the label
+    exclusion applied before ranking; fully oracle-checkable."""
+    emb = load_table(_spark(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = X_sim.hard_negatives(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank")
+    )
+
+
+_SIM_HARD_NEG_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                  CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, label AS clabel, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+s AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+  FROM c, q
+  WHERE c.clabel IS NOT NULL AND c.clabel IS DISTINCT FROM q.qlabel
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM s)
+SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10
+"""
+
+
 def q_sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same exact top-k through the Arrow/Pandas-UDF path
     (mapInPandas + numpy batch scoring) — shares the Catalyst path's
@@ -6671,6 +6703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_records": q_golden_records,
         "profile_histogram_eqdepth": q_profile_histogram_eqdepth,
         "compaction_report": q_compaction_report,
+        "sim_hard_negatives": q_sim_hard_negatives,
         "text_language": q_text_language,
         "profiler_e2e": q_profiler_e2e,
         "fuzzy_join": q_fuzzy_join,
@@ -6864,6 +6897,7 @@ def oracle_sql() -> dict[str, str]:
         "golden_records": _GOLDEN_RECORDS_ORACLE,
         "profile_histogram_eqdepth": _EQDEPTH_ORACLE,
         "compaction_report": _COMPACTION_ORACLE,
+        "sim_hard_negatives": _SIM_HARD_NEG_ORACLE,
         "events_anomaly_rolling": _EVENTS_ANOMALY_ROLLING_ORACLE,
         "events_rolling": _EVENTS_ROLLING_ORACLE,
         "events_stream_enrich": _EVENTS_STREAM_ENRICH_ORACLE,

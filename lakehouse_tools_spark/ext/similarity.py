@@ -709,3 +709,64 @@ def cross_neardup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: each query's
+    top-k most-similar corpus vectors whose ``label_col`` DIFFERS —
+    the near-misses that teach an embedding model its decision
+    boundary (random negatives are too easy; same-label neighbors are
+    positives, not negatives).
+
+    Same exact-scoring shape as :func:`cosine_topk` — broadcast query
+    side, codegen'd dot/norm, per-query windowed top-k — with the
+    label exclusion applied BEFORE ranking so every returned row is a
+    usable negative. Null-labeled corpus rows are excluded outright
+    (unknown label can't be certified a negative). For query sets too
+    large to broadcast, mine per IVF cell (with_ivf_cell) and accept
+    approximate negatives — at which point recall is measured by
+    sim_recall_report's pattern, not assumed.
+
+    Output: ``(query_id, vec_id, cos, rank)``, rank 1 = hardest.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_qlabel"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("_clabel"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            F.col("_clabel").isNotNull()
+            & ~F.col("_clabel").eqNullSafe(F.col("_qlabel"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot_product(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

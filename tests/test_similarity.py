@@ -220,3 +220,42 @@ def test_cross_neardup_exact_and_lsh_subset(spark):
     lsh = cross_neardup_pairs(corpus, ref, threshold=0.9, num_planes=4)
     exact_set = {(r.vec_id, r.ref_id) for r in rows}
     assert {(r.vec_id, r.ref_id) for r in lsh.collect()} <= exact_set
+
+
+def test_hard_negatives_exclude_same_and_null_labels(spark):
+    from lakehouse_tools_spark.ext.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.99, 0.1], "a"),   # same label: excluded
+        (2, [0.98, 0.2], "b"),   # different: usable negative
+        (3, [0.97, 0.3], None),  # unknown: excluded
+        (4, [-1.0, 0.0], "b"),   # different but far: ranks below 2
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = emb.filter(F.col("vec_id") == 0)
+    got = hard_negatives(emb, q, k=10).collect()
+    ids = [r.vec_id for r in sorted(got, key=lambda r: r.rank)]
+    assert ids == [2, 4]
+
+
+def test_hard_negatives_match_topk_when_labels_differ(spark, tables):
+    """With every label distinct from the query's, hard negatives ARE
+    the plain top-k (minus self, which shares the query's label)."""
+    from lakehouse_tools_spark.ext.similarity import cosine_topk, hard_negatives
+
+    emb = tables["embeddings"].withColumn(
+        "label", (F.col("vec_id") % 2).cast("string")
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    hn = {
+        (r.query_id, r.vec_id)
+        for r in hard_negatives(emb, q, k=5).collect()
+    }
+    tk = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(
+            emb.filter(F.col("vec_id") % 2 == 1), q, k=5
+        ).collect()
+    }
+    assert hn == tk
