@@ -3682,6 +3682,73 @@ SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10
 """
 
 
+def q_sim_quantize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization accuracy contract
+    (functions/vectors.quantize_int8): every vector is quantized to
+    symmetric int8 + per-vector scale (4× smaller storage/IO for ANN
+    corpora), dequantized, and scored — max per-element error must
+    sit within scale/2 and the original↔reconstructed cosine is
+    reported. floor(x+0.5) rounding makes the codes bit-identical
+    across engines, so the oracle recomputes the whole round trip and
+    the driver hash-verifies errors and cosines, not just row
+    counts."""
+    from lakehouse_tools_spark.functions.portable import floor6
+    from lakehouse_tools_spark.functions.vectors import (
+        dequantize_int8,
+        dot_product,
+        l2_norm,
+        quantize_int8,
+    )
+
+    emb = load_table(_spark(spark), sf_dir, "embeddings")
+    vd = F.col("embedding").cast("array<double>")
+    base = emb.select(
+        "vec_id",
+        vd.alias("_v"),
+        dequantize_int8(quantize_int8(vd)).alias("_dq"),
+        quantize_int8(vd).getField("scale").alias("_scale"),
+    )
+    max_err = F.array_max(
+        F.zip_with(F.col("_v"), F.col("_dq"), lambda x, y: F.abs(x - y))
+    )
+    cos = dot_product(F.col("_v"), F.col("_dq")) / (
+        l2_norm(F.col("_v")) * l2_norm(F.col("_dq"))
+    )
+    return base.select(
+        "vec_id",
+        floor6(F.col("_scale")).alias("scale6"),
+        floor6(max_err).alias("max_abs_err"),
+        floor6(cos).alias("cos_dq"),
+        (max_err <= F.col("_scale") * 0.500001).alias("within_bound"),
+    )
+
+
+_SIM_QUANTIZE_ORACLE = """
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(v, x -> floor(x / scale + 0.5) * scale)
+         END AS dq
+  FROM b
+)
+SELECT vec_id,
+       floor(scale * 1000000) / 1000000 AS scale6,
+       floor(list_max(list_transform(generate_series(1, len(v)), i -> abs(v[i] - dq[i]))) * 1000000) / 1000000 AS max_abs_err,
+       floor(list_dot_product(v, dq)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq)))
+             * 1000000) / 1000000 AS cos_dq,
+       list_max(list_transform(generate_series(1, len(v)), i -> abs(v[i] - dq[i])))
+         <= scale * 0.500001 AS within_bound
+FROM d
+"""
+
+
 def q_sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same exact top-k through the Arrow/Pandas-UDF path
     (mapInPandas + numpy batch scoring) — shares the Catalyst path's
@@ -6704,6 +6771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_histogram_eqdepth": q_profile_histogram_eqdepth,
         "compaction_report": q_compaction_report,
         "sim_hard_negatives": q_sim_hard_negatives,
+        "sim_quantize_report": q_sim_quantize_report,
         "text_language": q_text_language,
         "profiler_e2e": q_profiler_e2e,
         "fuzzy_join": q_fuzzy_join,
@@ -6898,6 +6966,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_histogram_eqdepth": _EQDEPTH_ORACLE,
         "compaction_report": _COMPACTION_ORACLE,
         "sim_hard_negatives": _SIM_HARD_NEG_ORACLE,
+        "sim_quantize_report": _SIM_QUANTIZE_ORACLE,
         "events_anomaly_rolling": _EVENTS_ANOMALY_ROLLING_ORACLE,
         "events_rolling": _EVENTS_ROLLING_ORACLE,
         "events_stream_enrich": _EVENTS_STREAM_ENRICH_ORACLE,

@@ -36,3 +36,41 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def quantize_int8(v: Column) -> Column:
+    """Symmetric per-vector int8 quantization:
+    ``struct(scale double, q array<int>)`` with ``scale =
+    max|vᵢ|/127`` and ``qᵢ = floor(vᵢ/scale + 0.5)`` ∈ [−127, 127] —
+    the storage/IO scheme that shrinks an fp32 embedding 4× (plus one
+    scale) while keeping cosine ranking nearly intact.
+
+    ``floor(x + 0.5)`` instead of ``round``: half-way handling of
+    ``round`` differs across engines (banker's vs decimal-string),
+    while floor of an IEEE sum is the same everywhere — so quantized
+    codes are bit-identical in any engine and the whole pipeline
+    stays oracle-checkable. No clamp is needed: |v/scale| ≤ 127 by
+    construction and floor(±127 + 0.5) stays in range. An all-zero
+    vector quantizes to scale 0 with all-zero codes (0/0 guards to
+    0).
+    """
+    vd = _as_double(v)
+    scale = (
+        F.array_max(F.transform(vd, lambda x: F.abs(x))) / F.lit(127.0)
+    )
+    q = F.transform(
+        vd,
+        lambda x: F.when(scale == 0.0, F.lit(0)).otherwise(
+            F.floor(x / scale + F.lit(0.5)).cast("int")
+        ),
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(qs: Column) -> Column:
+    """Reconstruct ``array<double>`` from :func:`quantize_int8`'s
+    struct: ``qᵢ · scale`` — error per element ≤ scale/2."""
+    scale = qs.getField("scale")
+    return F.transform(
+        qs.getField("q"), lambda x: x.cast("double") * scale
+    )
