@@ -6265,6 +6265,56 @@ FROM w
 """
 
 
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over the dense resampled
+    series (streaming/windows.ewma): hourly per-type counts on the
+    gap-filled spine, smoothed with α=0.4 truncated to the trailing 8
+    buckets. The sequential EWMA recurrence is re-expressed as K lag
+    terms over ONE per-key window sort — pure codegen projection, no
+    stateful scan — with truncation error ≤ 0.6^8 ≈ 1.7 %. Weights
+    are shared Python-float literals and both engines sum the terms
+    left-to-right, so the doubles match bit-for-bit before the
+    hash-stability floor."""
+    from lakehouse_tools_spark.streaming.windows import ewma, gap_fill
+
+    ev = load_table(_spark(spark), sf_dir, "events")
+    dense = gap_fill(ev, "1 hour")
+    sm = ewma(
+        dense, "window_start", "key", "n_events", alpha=0.4, window=8
+    )
+    return sm.select(
+        "key",
+        "window_start",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.expr("floor((ewma + 1e-9) * 1000000) / 1000000").alias("ewma_n"),
+    )
+
+
+def _events_ewma_oracle() -> str:
+    from lakehouse_tools_spark.streaming.windows import ewma_oracle_terms
+
+    num, den = ewma_oracle_terms("n_events", "b", "key", 0.4, 8)
+    return f"""
+WITH c AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT key, min(b) AS lo, max(b) AS hi FROM c GROUP BY key),
+spine AS (SELECT key, unnest(generate_series(lo, hi)) AS b FROM spans),
+g AS (
+  SELECT s.key, s.b, coalesce(c.n, 0) AS n_events
+  FROM spine s LEFT JOIN c ON c.key = s.key AND c.b = s.b
+)
+SELECT key,
+       strftime(to_timestamp(b * 3600), '{TS_FMT_SQL}') AS window_start,
+       n_events,
+       floor((({num}) / ({den}) + 1e-9) * 1000000) / 1000000 AS ewma_n
+FROM g
+"""
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(_spark(spark), sf_dir, "events")
     return X_win.tumbling_counts(ev, "5 minutes")
@@ -6754,7 +6804,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Next-round (r05) priority: the four never-verified deferred here
         # (profile_clip, events_gap_fill, events_forward_fill,
         # events_rolling — each one's code path is exercised by an
-        # in-window sibling this round) plus text_language (r01-only).
+        # in-window sibling this round) plus text_language (r01-only),
+        # plus the late-r04 additions that queue behind them (ewma,
+        # transitions, triangles, covariance, integrity — all verified
+        # locally via tools/check_oracles.py at sf0.01 pending a window
+        # slot).
+        "events_ewma": q_events_ewma,
         "profile_clip": q_profile_clip,
         "events_gap_fill": q_events_gap_fill,
         "events_forward_fill": q_events_forward_fill,
@@ -6974,6 +7029,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_cross_contamination": _SIM_CROSS_ORACLE,
         "dedup_winnow_pairs": _WINNOW_PAIRS_ORACLE,
         "events_interpolate": _EVENTS_INTERP_ORACLE,
+        "events_ewma": _events_ewma_oracle(),
         "fuzzy_join": _FUZZY_ORACLE,
         "cdc_apply": _CDC_APPLY_ORACLE,
         "cdc_merge_into": _CDC_APPLY_ORACLE,

@@ -181,6 +181,20 @@ BENCH_QUERIES = [
     "sim_cross_contamination",
     "dedup_winnow_pairs",
     "events_interpolate",
+    "events_dense_impute",
+    "profile_heavy_hitters",
+    "events_stream_upsert",
+    "bloom_join_prune",
+    "text_repetition",
+    "corpus_split",
+    "cdc_roundtrip",
+    "rollup_maintenance",
+    "golden_records",
+    "profile_histogram_eqdepth",
+    "compaction_report",
+    "sim_hard_negatives",
+    "sim_quantize_report",
+    "events_ewma",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with
@@ -201,6 +215,7 @@ NOISY = {
     "events_stream_dedup",
     "events_stream_profile",
     "events_stream_enrich",
+    "events_stream_upsert",
 }
 
 

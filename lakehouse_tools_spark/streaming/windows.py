@@ -226,6 +226,92 @@ def interpolate_linear(
     )
 
 
+def ewma(
+    df: DataFrame,
+    order_col: str,
+    key_col: str,
+    value_col: str,
+    alpha: float = 0.4,
+    window: int = 8,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per key, truncated to the
+    trailing ``window`` rows — the smoothing step after resampling
+    (``gap_fill``) that rolling means can't give: recent observations
+    dominate, old ones decay geometrically.
+
+    The textbook EWMA is a sequential recurrence
+    ``y_t = α·x_t + (1−α)·y_{t−1}`` — inherently order-dependent and
+    inexpressible as a parallel aggregate without a full prefix scan.
+    This operator computes the TRUNCATED equivalent instead:
+
+        y_t = Σ_{j<K} (1−α)^j · x_{t−j}  /  Σ_{j<K} (1−α)^j
+
+    (sums over the lags that exist), which differs from the infinite
+    recurrence by at most ``(1−α)^K`` of the signal range — for the
+    defaults, 0.6^8 ≈ 1.7 %. In exchange the whole computation is K
+    ``lag`` expressions over ONE window sort per key: a single key
+    exchange, pure whole-stage-codegen projection, no sequential
+    state, no applyInPandas. At 100 TB this is the same shuffle as any
+    per-key window function; K only widens the projected expression.
+
+    Determinism: the weights are Python-float literals and the
+    numerator/denominator are built as an explicit left-to-right
+    chained sum, so any engine evaluating the same expression order
+    (see the paired DuckDB oracle) produces bit-identical doubles.
+
+    Nulls in ``value_col`` and missing leading lags contribute nothing
+    to either sum; a row whose trailing window is entirely null gets a
+    null EWMA.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+    v = F.col(value_col).cast("double")
+    num = None
+    den = None
+    for j in range(window):
+        weight = (1.0 - alpha) ** j
+        lagged = F.lag(v, j).over(w) if j else v
+        term = F.when(lagged.isNotNull(), lagged * F.lit(weight)).otherwise(
+            F.lit(0.0)
+        )
+        dterm = F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return df.withColumn(
+        out_col, F.when(den > 0.0, num / den).otherwise(F.lit(None))
+    )
+
+
+def ewma_oracle_terms(
+    value_sql: str, order_sql: str, key_sql: str, alpha: float, window: int
+) -> tuple[str, str]:
+    """(numerator, denominator) SQL fragments matching :func:`ewma`'s
+    exact evaluation order, for building a DuckDB oracle: chained
+    left-to-right sums over the same lag terms with the same Python
+    ``repr`` float-literal weights."""
+    over = f"OVER (PARTITION BY {key_sql} ORDER BY {order_sql})"
+    nums, dens = [], []
+    for j in range(window):
+        weight = repr((1.0 - alpha) ** j)
+        lagged = (
+            f"CAST({value_sql} AS DOUBLE)"
+            if j == 0
+            else f"lag(CAST({value_sql} AS DOUBLE), {j}) {over}"
+        )
+        nums.append(
+            f"(CASE WHEN {lagged} IS NOT NULL THEN {lagged} * {weight} "
+            f"ELSE 0.0 END)"
+        )
+        dens.append(
+            f"(CASE WHEN {lagged} IS NOT NULL THEN {weight} ELSE 0.0 END)"
+        )
+    return " + ".join(nums), " + ".join(dens)
+
+
 def backward_fill(
     df: DataFrame,
     order_col: str,

@@ -205,3 +205,74 @@ def test_backward_fill_and_composition(spark):
     vals = {r.i: r.v for r in dense.collect()}
     assert None not in vals.values()
     assert vals[0] == 10.0 and vals[2] == 10.0 and vals[4] == 30.0
+
+
+def test_ewma_truncated_formula(spark):
+    from lakehouse_tools_spark.streaming.windows import ewma
+
+    xs = [4.0, 0.0, 8.0, 2.0, 6.0]
+    rows = [Row(k="a", i=i, v=v) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    got = {
+        r.i: r.ewma
+        for r in ewma(df, "i", "k", "v", alpha=0.5, window=3).collect()
+    }
+    # replay the truncated formula: weights (1-a)^j over trailing 3 rows
+    for t in range(len(xs)):
+        lags = [xs[t - j] for j in range(3) if t - j >= 0]
+        num = sum(x * 0.5**j for j, x in enumerate(lags))
+        den = sum(0.5**j for j in range(len(lags)))
+        assert abs(got[t] - num / den) < 1e-12, t
+
+
+def test_ewma_null_handling_and_validation(spark):
+    import pytest as _pytest
+
+    from lakehouse_tools_spark.streaming.windows import ewma
+
+    rows = [
+        Row(k="a", i=0, v=None),
+        Row(k="a", i=1, v=None),
+        Row(k="a", i=2, v=12.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    got = {r.i: r.ewma for r in ewma(df, "i", "k", "v", window=2).collect()}
+    # all-null trailing window -> null; null lags drop from both sums
+    assert got[0] is None and got[1] is None and got[2] == 12.0
+    with _pytest.raises(ValueError):
+        ewma(df, "i", "k", "v", alpha=1.0)
+    with _pytest.raises(ValueError):
+        ewma(df, "i", "k", "v", window=0)
+
+
+def test_ewma_oracle_terms_match_duckdb(spark):
+    import duckdb
+
+    from lakehouse_tools_spark.streaming.windows import (
+        ewma,
+        ewma_oracle_terms,
+    )
+
+    rows = [Row(k="a", i=i, v=float((i * 7) % 5)) for i in range(20)] + [
+        Row(k="b", i=i, v=float(i)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    sdf = (
+        ewma(df, "i", "k", "v", alpha=0.4, window=8)
+        .select("k", "i", "ewma")
+        .toPandas()
+        .sort_values(["k", "i"])
+        .reset_index(drop=True)
+    )
+    num, den = ewma_oracle_terms("v", "i", "k", 0.4, 8)
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    odf = (
+        con.sql(
+            f"SELECT k, i, ({num}) / ({den}) AS ewma FROM t ORDER BY k, i"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    # bit-identical: same literals, same left-to-right evaluation order
+    assert list(sdf["ewma"]) == list(odf["ewma"])
