@@ -6315,6 +6315,202 @@ FROM g
 """
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences
+    (operators/sequences.transition_matrix): how often does state t
+    lead to state t+1, and with what row-conditional probability —
+    the session-flow / next-event-baseline statistic. ONE window sort
+    per user forms the (state, next) pairs; the aggregate and the
+    probability window both run on the alphabet²-sized counts
+    relation, never the raw events. (ts, event_id) is a unique total
+    order, so lead() is deterministic."""
+    from lakehouse_tools_spark.operators.sequences import transition_matrix
+
+    ev = load_table(_spark(spark), sf_dir, "events")
+    tm = transition_matrix(ev, "user_id", "event_type", ["ts", "event_id"])
+    return tm.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.expr("floor((p + 1e-9) * 1000000) / 1000000").alias("p"),
+    )
+
+
+_EVENTS_TRANSITIONS_ORACLE = """
+WITH s AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_state
+  FROM events
+),
+c AS (
+  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE to_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_state, to_state, n,
+       floor((CAST(n AS DOUBLE)
+              / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE)
+              + 1e-9) * 1000000) / 1000000 AS p
+FROM c
+"""
+
+
+def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts of the near-dup graph
+    (ext/graph.triangle_counts) on the oracle-computable vec_id<300
+    window: triangles separate dense template clusters (collapse
+    safely) from triangle-free hubs that stitch unrelated documents
+    (the dangerous transitive-closure case). Canonical u<v edges
+    generate each triangle once at its middle vertex via three
+    equi-joins — no cartesian, wedge volume capped by the canonical
+    orientation."""
+    from lakehouse_tools_spark.ext.graph import triangle_counts
+
+    emb = load_table(_spark(spark), sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    pairs = X_sim.neardup_pairs(emb, threshold=0.2).select(
+        "vec_id", "vec_id2"
+    )
+    return triangle_counts(pairs, "vec_id", "vec_id2")
+
+
+_DEDUP_TRIANGLES_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 300),
+pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS w
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.2
+),
+wedges AS (
+  SELECT e1.u AS a, e1.w AS b, e2.w AS c
+  FROM pairs e1 JOIN pairs e2 ON e1.w = e2.u
+),
+tri AS (
+  SELECT a, b, c FROM wedges
+  JOIN pairs e3 ON e3.u = wedges.a AND e3.w = wedges.c
+),
+corners AS (
+  SELECT unnest([a, b, c]) AS node FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
+"""
+
+
+def q_sim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance of the first 16 embedding components
+    (ext/similarity.quantized_covariance) — the PCA/whitening/drift
+    input statistic. Inputs are floor-quantized to 2^-20 so every
+    aggregate addend is an exact integer: 64-bit sums are associative
+    and therefore bit-deterministic under ANY partitioning, and the
+    closing float expression is fixed-order — the distributed result
+    hash-matches a sequential engine exactly. ONE scan, ZERO
+    shuffles; wider vectors cover block-wise with the same plan."""
+    from lakehouse_tools_spark.ext.similarity import quantized_covariance
+
+    emb = load_table(_spark(spark), sf_dir, "embeddings")
+    return quantized_covariance(emb, "embedding", dims=tuple(range(16)))
+
+
+def _sim_covariance_oracle() -> str:
+    from lakehouse_tools_spark.ext.similarity import (
+        quantized_covariance_oracle,
+    )
+
+    return quantized_covariance_oracle(
+        "embeddings", "CAST(embedding AS DOUBLE[])", tuple(range(16))
+    )
+
+
+#: FK edges and primary keys of the TPC-H-ish fixture schema — shared
+#: by the Spark integrity query and its generated oracle so the two
+#: can never drift.
+_INTEGRITY_FKS: list[tuple[str, str, str, str]] = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_INTEGRITY_PKS: list[tuple[str, list[str]]] = [
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("orders", ["o_orderkey"]),
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]),
+    ("nation", ["n_nationkey"]),
+    ("region", ["r_regionkey"]),
+]
+
+
+def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide referential-integrity audit
+    (operators/quality.check over the whole FK graph): orphan counts
+    for every foreign-key edge, duplicate counts for every primary
+    key, null counts for every FK column — the pre-publish contract a
+    lakehouse enforces where Delta would use CHECK/constraint
+    metadata. Per table: all not_null rules share ONE aggregate scan,
+    each PK is one groupBy, each FK edge one anti-join whose parent
+    side is keys-only (broadcastable for dims, AQE-planned for
+    fact-fact). Output is rules-sized."""
+    from lakehouse_tools_spark.operators.quality import check
+
+    s = _spark(spark)
+    dfs = {
+        t: load_table(s, sf_dir, t)
+        for t in {
+            *[f[0] for f in _INTEGRITY_FKS],
+            *[f[2] for f in _INTEGRITY_FKS],
+            *[p[0] for p in _INTEGRITY_PKS],
+        }
+    }
+    rules: dict[str, list[tuple]] = {t: [] for t in dfs}
+    for child, ckey, parent, pkey in _INTEGRITY_FKS:
+        rules[child].append(("not_null", ckey))
+        rules[child].append(("references", ckey, dfs[parent], pkey))
+    for table, pk in _INTEGRITY_PKS:
+        rules[table].append(("unique", pk))
+    out = None
+    for table in sorted(rules):
+        part = check(dfs[table], table, rules[table])
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _integrity_oracle() -> str:
+    parts: list[str] = []
+    for child, ckey, parent, pkey in _INTEGRITY_FKS:
+        parts.append(
+            f"SELECT '{child}' AS tableName, 'not_null' AS rule, "
+            f"'{ckey}' AS \"column\", "
+            f"CAST(sum(CASE WHEN {ckey} IS NULL THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS n_violations FROM {child}"
+        )
+        parts.append(
+            f"SELECT '{child}', 'references', '{ckey}', "
+            f"CAST((SELECT count(*) FROM {child} "
+            f"WHERE {ckey} IS NOT NULL AND {ckey} NOT IN "
+            f"(SELECT {pkey} FROM {parent})) AS BIGINT)"
+        )
+    for table, pk in _INTEGRITY_PKS:
+        cols = ", ".join(pk)
+        parts.append(
+            f"SELECT '{table}', 'unique', '{','.join(pk)}', "
+            f"CAST(coalesce((SELECT sum(n) FROM ("
+            f"SELECT count(*) AS n FROM {table} GROUP BY {cols} "
+            f"HAVING count(*) > 1)), 0) AS BIGINT)"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(_spark(spark), sf_dir, "events")
     return X_win.tumbling_counts(ev, "5 minutes")
@@ -6810,6 +7006,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally via tools/check_oracles.py at sf0.01 pending a window
         # slot).
         "events_ewma": q_events_ewma,
+        "events_transitions": q_events_transitions,
+        "dedup_graph_triangles": q_dedup_graph_triangles,
+        "sim_covariance": q_sim_covariance,
+        "integrity_report": q_integrity_report,
         "profile_clip": q_profile_clip,
         "events_gap_fill": q_events_gap_fill,
         "events_forward_fill": q_events_forward_fill,
@@ -7030,6 +7230,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnow_pairs": _WINNOW_PAIRS_ORACLE,
         "events_interpolate": _EVENTS_INTERP_ORACLE,
         "events_ewma": _events_ewma_oracle(),
+        "events_transitions": _EVENTS_TRANSITIONS_ORACLE,
+        "dedup_graph_triangles": _DEDUP_TRIANGLES_ORACLE,
+        "sim_covariance": _sim_covariance_oracle(),
+        "integrity_report": _integrity_oracle(),
         "fuzzy_join": _FUZZY_ORACLE,
         "cdc_apply": _CDC_APPLY_ORACLE,
         "cdc_merge_into": _CDC_APPLY_ORACLE,

@@ -195,6 +195,10 @@ BENCH_QUERIES = [
     "sim_hard_negatives",
     "sim_quantize_report",
     "events_ewma",
+    "events_transitions",
+    "dedup_graph_triangles",
+    "sim_covariance",
+    "integrity_report",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

@@ -770,3 +770,123 @@ def hard_negatives(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def quantized_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] | None = None,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Sample covariance of embedding components over QUANTIZED
+    inputs, as (i, j, cov) rows for i ≤ j — the statistic PCA /
+    whitening / drift monitors start from.
+
+    Why quantize: a distributed float sum is order-dependent, so two
+    engines (or two runs with different partitioning) disagree in the
+    last bits — unacceptable for a hash-verified contract. Flooring
+    each component to ``1/scale`` units makes every addend an exact
+    integer; 64-bit integer sums are associative, so the aggregate is
+    BIT-DETERMINISTIC regardless of partitioning, and the closing
+    float arithmetic is a fixed-order scalar expression both engines
+    replay identically. Quantization bias is ≤ 1/scale (~1e-6 at the
+    default) per component — far below estimation noise for any real
+    corpus. Overflow headroom: |s| ≤ scale, so Σ s_i·s_j needs
+    n·scale² < 2^63 — n up to ~8e6 at scale=2^20; lower ``scale`` for
+    bigger corpora (the contract, not the math, is what scale buys).
+
+    Plan: ONE full scan, ZERO shuffles — every (i,j) pair is a
+    ``sum`` branch in a single map-side-combined aggregate; the d(d+1)/2
+    width is the codegen budget, so callers cover a wide vector
+    block-wise (``dims`` selects the block; each block reuses the same
+    single-scan plan, and blocks of 16 keep generated methods inside
+    JIT limits).
+    """
+    d = len(dims) if dims is not None else None
+    if d is None:
+        probe = df.select(F.size(vec_col).alias("n")).first()
+        dims = tuple(range(int(probe["n"])))
+        d = len(dims)
+    dims = tuple(int(i) for i in dims)
+    q = df.select(
+        *[
+            F.floor(
+                F.element_at(F.col(vec_col), i + 1).cast("double")
+                * F.lit(float(scale))
+            )
+            .cast("long")
+            .alias(f"_s{k}")
+            for k, i in enumerate(dims)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    aggs += [F.sum(f"_s{k}").alias(f"_t{k}") for k in range(d)]
+    for a in range(d):
+        for b in range(a, d):
+            aggs.append(
+                F.sum(F.col(f"_s{a}") * F.col(f"_s{b}")).alias(f"_p{a}_{b}")
+            )
+    one = q.agg(*aggs)
+    sc = float(scale)
+    stack_args = []
+    for a in range(d):
+        for b in range(a, d):
+            n = F.col("_n").cast("double")
+            sij = F.col(f"_p{a}_{b}").cast("double") / F.lit(sc * sc)
+            si = F.col(f"_t{a}").cast("double") / F.lit(sc)
+            sj = F.col(f"_t{b}").cast("double") / F.lit(sc)
+            cov = (sij - si * sj / n) / (n - F.lit(1.0))
+            stack_args.extend(
+                [
+                    F.lit(dims[a]).cast("int"),
+                    F.lit(dims[b]).cast("int"),
+                    F.floor((cov + F.lit(1e-12)) * F.lit(1e9)) / F.lit(1e9),
+                ]
+            )
+    n_pairs = d * (d + 1) // 2
+    return one.select(
+        F.stack(F.lit(n_pairs), *stack_args).alias("dim_i", "dim_j", "cov")
+    )
+
+
+def quantized_covariance_oracle(
+    table_sql: str,
+    vec_sql: str = "embedding",
+    dims: tuple[int, ...] = tuple(range(16)),
+    scale: int = 1 << 20,
+) -> str:
+    """DuckDB SQL replaying :func:`quantized_covariance` bit-for-bit:
+    same floor-quantized integer sums (exact, order-free), same
+    fixed-order closing float expression, same 1e-9 floor."""
+    d = len(dims)
+    cols = [
+        f"CAST(floor(CAST({vec_sql}[{i + 1}] AS DOUBLE) * {float(scale)!r}) "
+        f"AS BIGINT) AS s{k}"
+        for k, i in enumerate(dims)
+    ]
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    aggs += [f"sum(s{k}) AS t{k}" for k in range(d)]
+    for a in range(d):
+        for b in range(a, d):
+            aggs.append(f"sum(s{a} * s{b}) AS p{a}_{b}")
+    sc2 = repr(float(scale) * float(scale))
+    sc1 = repr(float(scale))
+    selects = []
+    for a in range(d):
+        for b in range(a, d):
+            cov = (
+                f"(CAST(p{a}_{b} AS DOUBLE) / {sc2} - "
+                f"(CAST(t{a} AS DOUBLE) / {sc1}) * "
+                f"(CAST(t{b} AS DOUBLE) / {sc1}) / CAST(n AS DOUBLE)) "
+                f"/ (CAST(n AS DOUBLE) - 1.0)"
+            )
+            selects.append(
+                f"SELECT CAST({dims[a]} AS INT) AS dim_i, "
+                f"CAST({dims[b]} AS INT) AS dim_j, "
+                f"floor(({cov} + 1e-12) * 1e9) / 1e9 AS cov FROM agg"
+            )
+    return (
+        f"WITH q AS (SELECT {', '.join(cols)} FROM {table_sql}),\n"
+        f"agg AS (SELECT {', '.join(aggs)} FROM q)\n"
+        + "\nUNION ALL\n".join(selects)
+    )

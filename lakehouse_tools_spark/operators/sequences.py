@@ -1,0 +1,62 @@
+"""Event-sequence analytics: Markov transition matrices.
+
+The reference's notebook surface has no sequence operators; this is
+part of the event-analytics extension (SURVEY §2.11) alongside
+funnels and retention: given per-entity ordered event streams, how
+does state t condition state t+1? The transition matrix is the
+input to session-flow dashboards, next-event prediction baselines,
+and anomaly detection on behavioral drift.
+
+Execution shape: ONE window sort per entity key (the same exchange
+every per-key sequence operator pays), a ``lead`` projection to form
+(state, next_state) pairs, then a states×states-sized aggregate.
+Row probabilities come from a window sum over ``from_state`` — the
+state alphabet is small, so that second exchange moves only the
+counts relation, never the events. Nothing collects; output is
+alphabet², independent of input volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """(from_state, to_state, n, p) for consecutive state pairs within
+    each ``key_col`` sequence ordered by ``order_cols``.
+
+    ``order_cols`` must be a deterministic total order within a key
+    (include a unique tiebreaker column — ties would make ``lead``
+    nondeterministic). A key's last event has no successor and
+    contributes no pair. ``p`` is the row-conditional probability
+    ``n / Σ n over from_state`` as an exact-integer-derived double.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    nxt = F.lead(F.col(state_col)).over(w)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"), nxt.alias("to_state")
+        )
+        .filter(F.col("to_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wrow = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wrow).cast("double")
+        ).alias("p"),
+    )

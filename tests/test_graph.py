@@ -179,3 +179,23 @@ def test_pagerank_uniform_on_cycle(spark):
     # uniform start, every iteration preserves it exactly
     assert len(set(out.values())) == 1
     assert abs(out[0] - 0.25) < 1e-5
+
+
+def test_triangle_counts_counts_each_triangle_once(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.ext.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, every vertex in 3) plus a
+    # triangle-free path 5-6-7; edges given in mixed orientation with
+    # a duplicate to exercise canonicalization
+    edges = [
+        (1, 2), (1, 3), (1, 4), (3, 2), (2, 4), (4, 3),
+        (2, 1),  # duplicate, reversed
+        (5, 6), (7, 6),
+    ]
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in edges], "src long, dst long"
+    )
+    out = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}

@@ -259,3 +259,42 @@ def test_hard_negatives_match_topk_when_labels_differ(spark, tables):
         ).collect()
     }
     assert hn == tk
+
+
+def test_quantized_covariance_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.ext.similarity import quantized_covariance
+
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-0.4, 0.4, size=(50, 4)).astype(np.float32)
+    df = spark.createDataFrame(
+        [Row(embedding=[float(x) for x in v]) for v in vecs],
+        "embedding array<float>",
+    )
+    out = {
+        (r.dim_i, r.dim_j): r.cov
+        for r in quantized_covariance(df, "embedding").collect()
+    }
+    # quantization bias <= 2^-20 per component; covariance of the
+    # quantized values matches numpy on the same quantized inputs
+    q = np.floor(vecs.astype(np.float64) * (1 << 20)) / (1 << 20)
+    expected = np.cov(q, rowvar=False, ddof=1)
+    assert len(out) == 10
+    for (i, j), cov in out.items():
+        assert i <= j
+        assert abs(cov - expected[i, j]) < 1e-9
+
+
+def test_quantized_covariance_dims_subset_infers_and_selects(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.ext.similarity import quantized_covariance
+
+    df = spark.createDataFrame(
+        [Row(embedding=[0.1, 0.2, 0.3]), Row(embedding=[0.2, 0.1, 0.0])],
+        "embedding array<float>",
+    )
+    sub = quantized_covariance(df, "embedding", dims=(0, 2)).collect()
+    assert {(r.dim_i, r.dim_j) for r in sub} == {(0, 0), (0, 2), (2, 2)}
