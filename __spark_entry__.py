@@ -5680,6 +5680,82 @@ JOIN (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view') v
 """
 
 
+def q_events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: purchases with their
+    preceding 30-minute view if any, null-padded otherwise — the
+    attribution shape where absence of a match is itself the signal.
+    Outer null rows only emit when the watermark provably closes a
+    left row's match window, and Spark's eviction margin is awkward
+    to encode; instead each input carries a far-future flush sentinel
+    (streaming/joins.flush_sentinel_union) that drives the final
+    watermark past every real row's closing point, so the drained run
+    equals the plain batch LEFT JOIN exactly — which is the oracle.
+    Sentinels use impossible keys and are filtered from the output."""
+    import datetime
+    import tempfile
+
+    from lakehouse_tools_spark.sources.tables import load_stream
+    from lakehouse_tools_spark.streaming.joins import (
+        flush_sentinel_union,
+        stream_interval_join,
+    )
+    from lakehouse_tools_spark.streaming.sink import run_to_memory
+
+    s = _spark(spark)
+    prev_parts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    flush_ts = datetime.datetime(2030, 1, 1)
+
+    def _side(etype: str, sid: int) -> DataFrame:
+        base = (
+            load_stream(s, sf_dir, "events")
+            .filter(F.col("event_type") == etype)
+            .select("event_id", "ts", "user_id")
+        )
+        d = tempfile.mkdtemp(prefix=f"lts_flush_{etype}_")
+        withsent = flush_sentinel_union(
+            base, {"event_id": sid, "ts": flush_ts, "user_id": sid}, d
+        )
+        return X_win.with_watermark(withsent, "ts", "1 hour")
+
+    joined = stream_interval_join(
+        _side("purchase", -1),
+        _side("view", -2),
+        "user_id",
+        "ts",
+        "ts",
+        -1800,
+        0,
+        prefixes=("p_", "v_"),
+        how="left_outer",
+    )
+    try:
+        out = run_to_memory(
+            joined, "events_stream_outer_join", output_mode="append"
+        )
+    finally:
+        s.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        "p_event_id",
+        "v_event_id",
+        F.date_format("p_ts", TS_FMT_SPARK).alias("p_ts_s"),
+        F.date_format("v_ts", TS_FMT_SPARK).alias("v_ts_s"),
+    )
+
+
+_EVENTS_STREAM_OUTER_ORACLE = f"""
+SELECT p.user_id, p.event_id AS p_event_id, v.event_id AS v_event_id,
+       strftime(p.ts, '{TS_FMT_SQL}') AS p_ts_s,
+       strftime(v.ts, '{TS_FMT_SQL}') AS v_ts_s
+FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE
+ AND v.ts <= p.ts
+"""
+
+
 def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: the stream unioned with itself (every
     event delivered twice — the at-least-once ingestion scenario) is
@@ -7010,6 +7086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_graph_triangles": q_dedup_graph_triangles,
         "sim_covariance": q_sim_covariance,
         "integrity_report": q_integrity_report,
+        "events_stream_outer_join": q_events_stream_outer_join,
         "profile_clip": q_profile_clip,
         "events_gap_fill": q_events_gap_fill,
         "events_forward_fill": q_events_forward_fill,
@@ -7234,6 +7311,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_graph_triangles": _DEDUP_TRIANGLES_ORACLE,
         "sim_covariance": _sim_covariance_oracle(),
         "integrity_report": _integrity_oracle(),
+        "events_stream_outer_join": _EVENTS_STREAM_OUTER_ORACLE,
         "fuzzy_join": _FUZZY_ORACLE,
         "cdc_apply": _CDC_APPLY_ORACLE,
         "cdc_merge_into": _CDC_APPLY_ORACLE,

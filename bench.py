@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "dedup_graph_triangles",
     "sim_covariance",
     "integrity_report",
+    "events_stream_outer_join",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with
@@ -220,6 +221,7 @@ NOISY = {
     "events_stream_profile",
     "events_stream_enrich",
     "events_stream_upsert",
+    "events_stream_outer_join",
 }
 
 

@@ -33,8 +33,9 @@ def stream_interval_join(
     lower_seconds: int,
     upper_seconds: int,
     prefixes: tuple[str, str] = ("l_", "r_"),
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner interval join of two (streaming or static) relations.
+    """Interval join of two (streaming or static) relations.
 
     Matches rows with equal ``key`` where ``right_ts`` lies in
     ``[left_ts + lower, left_ts + upper]`` (closed bounds, seconds).
@@ -42,6 +43,14 @@ def stream_interval_join(
     two event relations can share a schema. Streaming callers must
     put a watermark on BOTH inputs (``windows.with_watermark``) —
     Spark needs it to bound each side's join state.
+
+    ``how='left_outer'`` adds the unmatched-left rows with nulls on
+    the right — streaming semantics differ from the batch left join:
+    a null-padded row is emitted only once the LEFT row's state is
+    provably closed (the watermark has passed the latest right
+    event-time that could still match it, ``left_ts + upper``);
+    left rows younger than that stay buffered and produce nothing in
+    a drained run. The batch oracle must encode that cut.
     """
     lp, rp = prefixes
     l = left.select(
@@ -63,4 +72,41 @@ def stream_interval_join(
             <= F.col(f"{lp}{left_ts}") + F.expr(f"INTERVAL {upper_seconds} SECOND")
         )
     )
-    return l.join(r, cond, "inner").drop(f"_rk_{key}")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"how must be 'inner' or 'left_outer', got {how!r}"
+        )
+    return l.join(r, cond, how).drop(f"_rk_{key}")
+
+
+def flush_sentinel_union(stream_df: DataFrame, values: dict, path: str) -> DataFrame:
+    """Union a one-row far-future "flush" sentinel onto a streaming
+    relation, so a drained (``availableNow``) run provably evicts all
+    real state.
+
+    Stateful streaming results that depend on eviction — outer-join
+    null rows, final session windows — are emitted only once the
+    watermark passes each row's closing point, and the margin Spark
+    derives from the join condition makes the exact cut awkward to
+    encode in an oracle. A sentinel event dated far beyond every real
+    event (years, versus margins of hours) drives the final watermark
+    past EVERY real row's closing point, so the drained streaming
+    result equals the plain batch semantics exactly — that's the
+    contract this helper buys. Add one to EVERY watermarked input
+    (the global watermark is the min across them); give sentinels
+    impossible join keys and filter them from the output. The
+    sentinel itself stays in state forever by construction.
+
+    ``values`` must cover every column of ``stream_df``; the row is
+    written as a one-file parquet directory at ``path`` (caller-owned
+    temp dir) and unioned as a second file-stream source.
+    """
+    spark = stream_df.sparkSession
+    schema = stream_df.schema
+    missing = [f.name for f in schema.fields if f.name not in values]
+    if missing:
+        raise ValueError(f"sentinel values missing columns: {missing}")
+    row = tuple(values[f.name] for f in schema.fields)
+    spark.createDataFrame([row], schema).write.mode("overwrite").parquet(path)
+    sent = spark.readStream.schema(schema).parquet(path)
+    return stream_df.unionByName(sent)

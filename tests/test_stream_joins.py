@@ -54,3 +54,83 @@ def test_streaming_matches_batch_in_single_drain(spark, tmp_path):
     res = run_to_memory(out, "t_ssjoin", output_mode="append")
     got = {(r.p_event_id, r.v_event_id) for r in res.collect()}
     assert got == EXPECTED_WITH_BOUNDARY
+
+
+def test_left_outer_sentinel_flush_matches_batch_left_join(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lakehouse_tools_spark.streaming.joins import flush_sentinel_union
+
+    views, purchases = _rows()
+    vdir, pdir = str(tmp_path / "v"), str(tmp_path / "p")
+    spark.createDataFrame(views, DDL).coalesce(1).write.parquet(vdir)
+    spark.createDataFrame(purchases, DDL).coalesce(1).write.parquet(pdir)
+    flush = dt.datetime(2030, 1, 1)
+
+    def side(path, sid, sdir):
+        base = spark.readStream.schema(DDL).parquet(path)
+        withsent = flush_sentinel_union(
+            base, {"event_id": sid, "ts": flush, "user_id": sid}, sdir
+        )
+        return with_watermark(withsent, "ts", "1 hour")
+
+    ps = side(pdir, -1, str(tmp_path / "sp"))
+    vs = side(vdir, -2, str(tmp_path / "sv"))
+    out = stream_interval_join(
+        ps, vs, "user_id", "ts", "ts", -1800, 0,
+        prefixes=("p_", "v_"), how="left_outer",
+    )
+    res = run_to_memory(out, "t_ssjoin_outer", output_mode="append").filter(
+        F.col("user_id") >= 0
+    )
+    got = {(r.p_event_id, r.v_event_id) for r in res.collect()}
+    # every unmatched purchase emits a null row — exact batch LEFT JOIN
+    assert got == EXPECTED_WITH_BOUNDARY | {(12, None)}
+
+
+def test_left_outer_without_sentinel_holds_back_young_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    views, purchases = _rows()
+    vdir, pdir = str(tmp_path / "v2"), str(tmp_path / "p2")
+    spark.createDataFrame(views, DDL).coalesce(1).write.parquet(vdir)
+    spark.createDataFrame(purchases, DDL).coalesce(1).write.parquet(pdir)
+    vs = with_watermark(
+        spark.readStream.schema(DDL).parquet(vdir), "ts", "1 hour"
+    )
+    ps = with_watermark(
+        spark.readStream.schema(DDL).parquet(pdir), "ts", "1 hour"
+    )
+    out = stream_interval_join(
+        ps, vs, "user_id", "ts", "ts", -1800, 0,
+        prefixes=("p_", "v_"), how="left_outer",
+    )
+    res = run_to_memory(out, "t_ssjoin_outer_nosent", output_mode="append")
+    nulls = {
+        r.p_event_id for r in res.filter(F.col("v_event_id").isNull()).collect()
+    }
+    # all rows are within the watermark horizon of max(ts): nothing
+    # is provably closed, so no null row may be emitted
+    assert nulls == set()
+
+
+def test_flush_sentinel_union_validates_columns(spark, tmp_path):
+    import pytest
+
+    from lakehouse_tools_spark.streaming.joins import flush_sentinel_union
+
+    base = spark.readStream.schema(DDL).parquet(str(tmp_path))
+    with pytest.raises(ValueError):
+        flush_sentinel_union(base, {"event_id": 1}, str(tmp_path / "s"))
+
+
+def test_interval_join_rejects_unknown_how(spark):
+    import pytest
+
+    views, purchases = _rows()
+    v = spark.createDataFrame(views, DDL)
+    p = spark.createDataFrame(purchases, DDL)
+    with pytest.raises(ValueError):
+        stream_interval_join(
+            p, v, "user_id", "ts", "ts", -1800, 0, how="right_outer"
+        )
