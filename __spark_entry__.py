@@ -6503,6 +6503,40 @@ def _sim_covariance_oracle() -> str:
     )
 
 
+def q_sim_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embedding corpus (ext/similarity.pca_fit): top-8
+    principal components with eigenvalues and explained-variance
+    ratios — the whitening/dim-reduction step before ANN indexing.
+    The Gram matrix accumulates per-partition as exact int64 blocks
+    (ONE scan, driver traffic = partitions × d² longs), so the
+    eigendecomposition input — and hence this output — is
+    bit-deterministic under any partitioning. Rows-only by design:
+    eigendecomposition is genuinely non-SQL-expressible; the
+    numerical contract (matches numpy on quantized inputs,
+    orthonormality, Σλ = trace, partitioning-invariance) is pinned in
+    tests/test_similarity.py."""
+    from lakehouse_tools_spark.ext.similarity import pca_fit
+
+    s = _spark(spark)
+    emb = load_table(s, sf_dir, "embeddings")
+    comps, vals, ratios, n = pca_fit(emb, "embedding", k=8)
+    rows = [
+        (
+            i,
+            float(vals[i]),
+            float(ratios[i]),
+            int(max(range(len(comps[i])), key=lambda j: abs(comps[i][j]))),
+            int(n),
+        )
+        for i in range(len(vals))
+    ]
+    return s.createDataFrame(
+        rows,
+        "component int, eigenvalue double, explained_ratio double, "
+        "top_dim int, n_rows int",
+    )
+
+
 #: FK edges and primary keys of the TPC-H-ish fixture schema — shared
 #: by the Spark integrity query and its generated oracle so the two
 #: can never drift.
@@ -7087,6 +7121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_covariance": q_sim_covariance,
         "integrity_report": q_integrity_report,
         "events_stream_outer_join": q_events_stream_outer_join,
+        "sim_pca": q_sim_pca,
         "profile_clip": q_profile_clip,
         "events_gap_fill": q_events_gap_fill,
         "events_forward_fill": q_events_forward_fill,

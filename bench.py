@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "sim_covariance",
     "integrity_report",
     "events_stream_outer_join",
+    "sim_pca",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

@@ -890,3 +890,124 @@ def quantized_covariance_oracle(
         f"agg AS (SELECT {', '.join(aggs)} FROM q)\n"
         + "\nUNION ALL\n".join(selects)
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    scale: int = 1 << 20,
+) -> tuple[list[list[float]], list[float], list[float], int]:
+    """Fit PCA over an embedding column → (components, eigenvalues,
+    explained-variance ratios, n). The dimensionality-reduction /
+    whitening step before ANN indexing or drift monitoring.
+
+    Distributed part: ONE scan computing the exact Gram matrix of
+    floor-quantized (1/``scale`` units) vectors — each partition
+    accumulates an int64 ``XᵀX`` / column-sum block in Arrow batches
+    (``mapInPandas``), and the per-partition blocks (d² ints each,
+    partition-count rows total) reduce to the driver. Integer sums
+    are associative, so the covariance is BIT-DETERMINISTIC under any
+    partitioning — which makes the eigendecomposition (LAPACK on a
+    d×d matrix, microseconds) reproducible too. Nothing vector-sized
+    ever collects; driver traffic is partitions × d² longs.
+
+    Overflow contract (same as :func:`quantized_covariance`):
+    n·(max|x|·scale)² must stay < 2⁶³ — at the default scale and
+    unit-range embeddings that is tens of millions of rows; lower
+    ``scale`` for bigger corpora.
+
+    Sign convention: each component is flipped so its
+    largest-magnitude coordinate is positive (eigenvectors are
+    sign-ambiguous; pinning it makes results comparable across runs).
+    Components are returned most-variant first.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = int(df.select(F.size(vec_col).alias("n")).first()["n"])
+    sc = float(scale)
+
+    def _part(batches):
+        G = np.zeros((d, d), dtype=np.int64)
+        t = np.zeros(d, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            X = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * sc
+            ).astype(np.int64)
+            G += X.T @ X
+            t += X.sum(axis=0)
+            n += X.shape[0]
+        yield pd.DataFrame(
+            {"g": [G.ravel().tolist()], "t": [t.tolist()], "n": [n]}
+        )
+
+    parts = (
+        df.select(vec_col)
+        .mapInPandas(_part, schema="g array<long>, t array<long>, n long")
+        .collect()
+    )
+    # cross-partition reduce in unbounded Python ints (exact)
+    Gt = [[0] * d for _ in range(d)]
+    tt = [0] * d
+    n = 0
+    for row in parts:
+        flat = row["g"]
+        for i in range(d):
+            base = i * d
+            gi = Gt[i]
+            for j in range(d):
+                gi[j] += flat[base + j]
+        for i in range(d):
+            tt[i] += row["t"][i]
+        n += row["n"]
+    if n < 2:
+        raise ValueError(f"pca_fit needs >= 2 rows, got {n}")
+    G = np.array(Gt, dtype=np.float64) / (sc * sc)
+    t = np.array(tt, dtype=np.float64) / sc
+    cov = (G - np.outer(t, t) / n) / (n - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    comps = []
+    vals = []
+    for idx in order:
+        v = eigvecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        vals.append(float(eigvals[idx]))
+    trace = float(np.trace(cov))
+    ratios = [v / trace for v in vals]
+    return comps, vals, ratios, n
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    components: list[list[float]],
+    out_col: str = "proj",
+) -> DataFrame:
+    """Project vectors onto fitted components — zero shuffles: the
+    component matrix is ONE constant-folded plan literal (same
+    CAST-repr trick as :func:`with_ivf_cell`, one ``F.expr`` so the
+    driver pays one py4j round trip, and the ``transform`` lambda
+    keeps generated code O(1) in k); each row computes k codegen dot
+    products in place. Scores round to 1e-6 for cross-run hash
+    stability."""
+
+    def _d(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    cmat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_d(x) for x in cv) + ")" for cv in components
+        )
+        + ")"
+    )
+    vec = F.col(vec_col)
+    return df.withColumn(
+        out_col,
+        F.transform(cmat, lambda c: F.round(dot_product(vec, c), 6)),
+    )

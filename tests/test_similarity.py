@@ -298,3 +298,54 @@ def test_quantized_covariance_dims_subset_infers_and_selects(spark):
     )
     sub = quantized_covariance(df, "embedding", dims=(0, 2)).collect()
     assert {(r.dim_i, r.dim_j) for r in sub} == {(0, 0), (0, 2), (2, 2)}
+
+
+def test_pca_fit_matches_numpy_and_is_partitioning_invariant(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.ext.similarity import pca_fit
+
+    rng = np.random.RandomState(11)
+    # anisotropic cloud: variance concentrated along a known axis
+    base = rng.normal(0, 1, size=(200, 6))
+    base[:, 0] *= 4.0
+    base[:, 1] *= 2.0
+    vecs = (base / 10.0).astype(np.float32)
+    rows = [Row(embedding=[float(x) for x in v]) for v in vecs]
+    df = spark.createDataFrame(rows, "embedding array<float>")
+
+    comps, vals, ratios, n = pca_fit(df.repartition(7), "embedding", k=3)
+    comps2, vals2, _, _ = pca_fit(df.repartition(3), "embedding", k=3)
+    # bit-identical across partitionings: integer Gram sums are
+    # associative, so LAPACK sees the same matrix
+    assert vals == vals2 and comps == comps2
+    assert n == 200
+
+    q = np.floor(vecs.astype(np.float64) * (1 << 20)) / (1 << 20)
+    cov = np.cov(q, rowvar=False, ddof=1)
+    ev, _ = np.linalg.eigh(cov)
+    expected = sorted(ev, reverse=True)[:3]
+    for got, exp in zip(vals, expected):
+        assert abs(got - exp) < 1e-9
+    # ratios are eigenvalue shares of total variance
+    assert abs(sum(ratios) - sum(expected) / np.trace(cov)) < 1e-9
+    # orthonormal components, sign pinned to positive peak coordinate
+    C = np.array(comps)
+    assert np.allclose(C @ C.T, np.eye(3), atol=1e-9)
+    for c in C:
+        assert c[int(np.argmax(np.abs(c)))] > 0
+
+
+def test_pca_project_literal_matrix(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.ext.similarity import pca_project
+
+    df = spark.createDataFrame(
+        [Row(embedding=[1.0, 0.0, 2.0]), Row(embedding=[0.0, 3.0, 1.0])],
+        "embedding array<float>",
+    )
+    comps = [[1.0, 0.0, 0.0], [0.0, 0.5, 0.5]]
+    out = {tuple(r.proj) for r in pca_project(df, "embedding", comps).collect()}
+    assert out == {(1.0, 1.0), (0.0, 2.0)}
