@@ -149,3 +149,86 @@ def histogram_drift(
         F.col("tc").cast("long").alias("n_curr"),
         "psi",
     )
+
+
+def ks_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per column:
+    ``D = max_v |F_base(v) − F_curr(v)|`` over the union of observed
+    values — the nonparametric companion to PSI (:func:`
+    histogram_drift`): binless, so it catches shifts PSI's fixed
+    edges can smear, and its null distribution has standard critical
+    values.
+
+    Scale shape: ONE melt + groupBy(column, value, side) count per
+    side — the shuffle carries each column's DISTINCT values, not the
+    rows. The CDFs are cumulative window sums over that distinct-
+    values relation, and D is one aggregate over it. For genuinely
+    continuous columns at extreme scale the distinct relation IS the
+    data; quantize first (round/floor the melt expression) or use the
+    binned PSI — exact KS is the audit-grade form.
+
+    Determinism: counts are exact integers; each |F1−F2| term is a
+    fixed-order expression over integer-derived doubles, so any
+    engine computes identical doubles and the max is exact. Output:
+    ``(columnName, n_base, n_curr, ks)``, KS floored to 1e-6 with the
+    house 1e-9 boundary nudge.
+    """
+    def melt(df: DataFrame, side: str) -> DataFrame:
+        branches = []
+        for c in columns:
+            branches.extend(
+                [F.lit(c), F.col(f"`{c}`").cast("double")]
+            )
+        return (
+            df.select(
+                F.stack(
+                    F.lit(len(columns)), *branches
+                ).alias("columnName", "value")
+            )
+            .filter(F.col("value").isNotNull())
+            .groupBy("columnName", "value")
+            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
+        )
+
+    b = melt(baseline, "b")
+    c = melt(current, "c")
+    merged = b.join(c, ["columnName", "value"], "full_outer").select(
+        "columnName",
+        "value",
+        F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        F.coalesce("c_c", F.lit(0)).alias("c_c"),
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("columnName")
+        .orderBy(F.col("value").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("columnName")
+    cdf = merged.select(
+        "columnName",
+        F.sum("c_b").over(wcum).alias("cum_b"),
+        F.sum("c_c").over(wcum).alias("cum_c"),
+        F.sum("c_b").over(wtot).alias("n_b"),
+        F.sum("c_c").over(wtot).alias("n_c"),
+    )
+    term = F.abs(
+        F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+        - F.col("cum_c").cast("double") / F.col("n_c").cast("double")
+    )
+    return (
+        cdf.select("columnName", F.col("n_b"), F.col("n_c"), term.alias("_t"))
+        .groupBy("columnName")
+        .agg(
+            F.max("n_b").alias("n_base"),
+            F.max("n_c").alias("n_curr"),
+            (
+                F.floor((F.max("_t") + F.lit(1e-9)) * F.lit(1e6)) / F.lit(1e6)
+            ).alias("ks"),
+        )
+    )
