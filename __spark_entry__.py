@@ -5692,6 +5692,7 @@ def q_events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the plain batch LEFT JOIN exactly — which is the oracle.
     Sentinels use impossible keys and are filtered from the output."""
     import datetime
+    import shutil
     import tempfile
 
     from lakehouse_tools_spark.sources.tables import load_stream
@@ -5702,9 +5703,8 @@ def q_events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_tools_spark.streaming.sink import run_to_memory
 
     s = _spark(spark)
-    prev_parts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
     flush_ts = datetime.datetime(2030, 1, 1)
+    sentinel_dirs: list[str] = []
 
     def _side(etype: str, sid: int) -> DataFrame:
         base = (
@@ -5713,28 +5713,39 @@ def q_events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "ts", "user_id")
         )
         d = tempfile.mkdtemp(prefix=f"lts_flush_{etype}_")
+        sentinel_dirs.append(d)
         withsent = flush_sentinel_union(
             base, {"event_id": sid, "ts": flush_ts, "user_id": sid}, d
         )
         return X_win.with_watermark(withsent, "ts", "1 hour")
 
-    joined = stream_interval_join(
-        _side("purchase", -1),
-        _side("view", -2),
-        "user_id",
-        "ts",
-        "ts",
-        -1800,
-        0,
-        prefixes=("p_", "v_"),
-        how="left_outer",
-    )
+    prev_parts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    # the override and the sentinel dirs must not outlive this query:
+    # everything from here on (building the sides included — side
+    # construction runs a sentinel-parquet write) is inside the
+    # try/finally so a mid-build exception can't leak either
     try:
+        joined = stream_interval_join(
+            _side("purchase", -1),
+            _side("view", -2),
+            "user_id",
+            "ts",
+            "ts",
+            -1800,
+            0,
+            prefixes=("p_", "v_"),
+            how="left_outer",
+        )
         out = run_to_memory(
             joined, "events_stream_outer_join", output_mode="append"
         )
     finally:
         s.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # run_to_memory drained the stream (availableNow) into the
+        # memory sink, so the file-source sentinel dirs are dead
+        for d in sentinel_dirs:
+            shutil.rmtree(d, ignore_errors=True)
     return out.filter(F.col("user_id") >= 0).select(
         "user_id",
         "p_event_id",
@@ -5824,8 +5835,11 @@ def q_events_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = load_stream(s, sf_dir, "events").select(*cols)
     ckpt = tempfile.mkdtemp(prefix="lts_stream_upsert_ckpt_")
-    q = upsert_stream(stream, tbl, ["user_id"], ckpt, order_by=["ts"])
-    q.awaitTermination()
+    try:
+        q = upsert_stream(stream, tbl, ["user_id"], ckpt, order_by=["ts"])
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return s.table(tbl).select(
         "user_id",
         "event_id",
@@ -5920,17 +5934,19 @@ def q_events_stream_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc.append((r["columnName"], bytes(r["sketch"]), int(bid)))
 
     ckpt = tempfile.mkdtemp(prefix="lts_stream_profile_ckpt_")
-    q = (
-        s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        q = (
+            s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     n_batches = len({b for _, _, b in acc})
     parts = s.createDataFrame(
         [(c, sk) for c, sk, _ in acc], "columnName string, sketch binary"
@@ -6440,7 +6456,9 @@ def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the dangerous transitive-closure case). Canonical u<v edges
     generate each triangle once at its middle vertex via three
     equi-joins — no cartesian, wedge volume capped by the canonical
-    orientation."""
+    orientation. Every vertex in the pair graph appears in the
+    output; triangle-free ones carry n_triangles = 0 (they ARE the
+    hubs the operator exists to flag)."""
     from lakehouse_tools_spark.ext.graph import triangle_counts
 
     emb = load_table(_spark(spark), sf_dir, "embeddings").filter(
@@ -6472,9 +6490,17 @@ tri AS (
 ),
 corners AS (
   SELECT unnest([a, b, c]) AS node FROM tri
+),
+counts AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM corners GROUP BY node
+),
+vertices AS (
+  SELECT DISTINCT u AS node FROM pairs
+  UNION SELECT DISTINCT w AS node FROM pairs
 )
-SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
-FROM corners GROUP BY node
+SELECT v.node, COALESCE(c.n_triangles, CAST(0 AS BIGINT)) AS n_triangles
+FROM vertices v LEFT JOIN counts c ON v.node = c.node
 """
 
 

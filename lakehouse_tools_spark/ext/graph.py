@@ -410,6 +410,12 @@ def triangle_counts(
     as a pre-join relabel without changing this plan. Triangles then
     explode to their three corners and aggregate: output is
     vertex-sized.
+
+    Output covers EVERY vertex appearing in ``edges`` — triangle-free
+    vertices emit ``n_triangles = 0`` rather than being absent, since
+    the flagging use case above is precisely about zero-count
+    high-degree hubs (a left-join + coalesce over the vertex set; one
+    extra vertex-sized shuffle, nothing edge- or wedge-sized).
     """
     e = (
         edges.select(
@@ -432,8 +438,19 @@ def triangle_counts(
         e.alias("e3"),
         (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
     ).select("a", "b", "c")
-    return (
+    counts = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    vertices = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    return vertices.join(counts, "node", "left").select(
+        "node",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
     )

@@ -805,9 +805,22 @@ def quantized_covariance(
     d = len(dims) if dims is not None else None
     if d is None:
         probe = df.select(F.size(vec_col).alias("n")).first()
+        if probe is None or probe["n"] is None:
+            raise ValueError(
+                "quantized_covariance: input has no rows (or a null "
+                f"{vec_col!r} in the first row); pass dims= explicitly "
+                "or supply a non-empty DataFrame"
+            )
         dims = tuple(range(int(probe["n"])))
         d = len(dims)
     dims = tuple(int(i) for i in dims)
+    # sample covariance divides by (n-1): mirror pca_fit's n>=2 guard
+    # instead of silently emitting null covariances at n<=1
+    n_rows = df.limit(2).count()
+    if n_rows < 2:
+        raise ValueError(
+            f"quantized_covariance needs >= 2 rows, got {n_rows}"
+        )
     q = df.select(
         *[
             F.floor(

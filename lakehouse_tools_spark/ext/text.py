@@ -433,6 +433,8 @@ def learn_bpe_merges(
     df: DataFrame,
     text_col: str,
     num_merges: int = 10,
+    min_freq: int = 1,
+    max_vocab: int | None = None,
 ) -> list[tuple[str, str]]:
     """Byte-pair-encoding merge-rule learning — tokenizer training's
     core step: repeatedly merge the most frequent adjacent symbol
@@ -453,8 +455,24 @@ def learn_bpe_merges(
     Deterministic: ties in pair frequency break on lexicographically
     smallest (left, right), so the merge table is identical across
     runs, partitionings, and engines.
+
+    Driver-memory bound: the collected frequency table is capped by
+    ``min_freq`` (drop words seen fewer times — at web scale the
+    hapax tail IS most of the distinct-word count) and ``max_vocab``
+    (keep only the top-N words by (freq desc, word asc) — a
+    deterministic total order, so the cap itself is reproducible).
+    Driver memory is then O(min(distinct_words, max_vocab)) instead
+    of O(distinct_words); the defaults (1, None) preserve the exact
+    uncapped behavior. Capping only removes low-frequency tail words
+    from the table, so high-frequency pair counts — the ones that
+    decide early merges — are nearly unchanged: head merges are
+    stable under tail truncation (pinned in tests/test_text.py).
     """
-    vocab = (
+    if min_freq < 1:
+        raise ValueError(f"min_freq must be >= 1, got {min_freq}")
+    if max_vocab is not None and max_vocab < 1:
+        raise ValueError(f"max_vocab must be >= 1, got {max_vocab}")
+    freqs = (
         df.select(
             F.explode(
                 F.split(normalize_text(F.col(text_col)), " ")
@@ -463,8 +481,17 @@ def learn_bpe_merges(
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .collect()
     )
+    if min_freq > 1:
+        freqs = freqs.filter(F.col("freq") >= min_freq)
+    if max_vocab is not None:
+        # total order (freq desc, word asc) makes the cut deterministic;
+        # orderBy+limit is a distributed top-N (per-partition take +
+        # driver merge), never a full sort materialization
+        freqs = freqs.orderBy(
+            F.col("freq").desc(), F.col("w").asc()
+        ).limit(max_vocab)
+    vocab = freqs.collect()
     seqs: dict[tuple[str, ...], int] = {}
     for r in vocab:
         seqs[tuple(r["w"])] = seqs.get(tuple(r["w"]), 0) + int(r["freq"])

@@ -56,3 +56,65 @@ def test_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+# --- ks_drift --------------------------------------------------------
+
+
+def test_ks_identical_snapshots_zero(spark):
+    from lakehouse_tools_spark.operators.drift import ks_drift
+
+    base = _df(spark, range(100))
+    out = {r.columnName: r for r in ks_drift(base, base, ["x", "k"]).collect()}
+    assert set(out) == {"x", "k"}
+    for r in out.values():
+        assert r.n_base == r.n_curr == 100
+        # the 1e-9 nudge floors exact-zero D to 0.0
+        assert r.ks == 0.0
+
+
+def test_ks_disjoint_supports_is_one(spark):
+    from lakehouse_tools_spark.operators.drift import ks_drift
+
+    base = _df(spark, range(50))
+    cur = _df(spark, range(1000, 1050))
+    out = {r.columnName: r.ks for r in ks_drift(base, cur, ["x"]).collect()}
+    assert out["x"] == 1.0
+
+
+def test_ks_matches_scipy_formula_hand_case(spark):
+    from lakehouse_tools_spark.operators.drift import ks_drift
+
+    # base {1,2,3,4}, cur {3,4,5,6}: D is attained at v=2
+    # (F_b=0.5, F_c=0) and at v=4 (F_b=1, F_c=0.5) -> 0.5
+    base = _df(spark, [1, 2, 3, 4])
+    cur = _df(spark, [3, 4, 5, 6])
+    out = {r.columnName: r.ks for r in ks_drift(base, cur, ["x"]).collect()}
+    assert out["x"] == 0.5
+
+
+def test_ks_partitioning_invariant_and_null_safe(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.drift import ks_drift
+
+    base = spark.createDataFrame(
+        [Row(x=float(i) if i % 7 else None, k=i) for i in range(200)],
+        "x double, k long",
+    )
+    cur = base.withColumn("x", F.col("x") * 1.5)
+    a = sorted(map(tuple, ks_drift(base, cur, ["x", "k"]).collect()))
+    b = sorted(
+        map(
+            tuple,
+            ks_drift(
+                base.repartition(7), cur.repartition(3), ["x", "k"]
+            ).collect(),
+        )
+    )
+    assert a == b
+    got = {r[0]: r for r in a}
+    # nulls are excluded from both CDFs, not counted as a value
+    assert got["x"][1] == got["x"][2] == 200 - len(range(0, 200, 7))
+    assert got["x"][3] > 0.0
+    assert got["k"][3] == 0.0

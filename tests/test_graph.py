@@ -198,4 +198,6 @@ def test_triangle_counts_counts_each_triangle_once(spark):
         [Row(src=a, dst=b) for a, b in edges], "src long, dst long"
     )
     out = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
-    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # triangle-free vertices (the path 5-6-7) are present with 0 —
+    # they are exactly the hubs the operator exists to flag
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0}

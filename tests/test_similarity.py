@@ -349,3 +349,18 @@ def test_pca_project_literal_matrix(spark):
     comps = [[1.0, 0.0, 0.0], [0.0, 0.5, 0.5]]
     out = {tuple(r.proj) for r in pca_project(df, "embedding", comps).collect()}
     assert out == {(1.0, 1.0), (0.0, 2.0)}
+
+
+def test_quantized_covariance_guards_empty_and_single_row(spark):
+    import pytest
+
+    from lakehouse_tools_spark.ext.similarity import quantized_covariance
+
+    empty = spark.createDataFrame([], "embedding array<double>")
+    with pytest.raises(ValueError, match="no rows"):
+        quantized_covariance(empty, "embedding")
+    with pytest.raises(ValueError, match=">= 2 rows"):
+        quantized_covariance(empty, "embedding", dims=(0, 1))
+    one = spark.createDataFrame([([1.0, 2.0],)], "embedding array<double>")
+    with pytest.raises(ValueError, match=">= 2 rows"):
+        quantized_covariance(one, "embedding")

@@ -241,3 +241,52 @@ def test_repetition_signals_short_doc_null_grams(spark):
     [r] = repetition_signals(df, "text", "doc_id").collect()
     assert r.n_words == 2 and r.top_bigram_frac == 1.0
     assert r.top_trigram_frac is None
+
+
+def test_learn_bpe_caps_nonbinding_equal_uncapped(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="aaab aaab cd"), Row(doc_id=2, text="aaab ab")]
+    )
+    base = text_mod.learn_bpe_merges(df, "text", num_merges=3)
+    # caps wider than the data change nothing
+    assert base == text_mod.learn_bpe_merges(
+        df, "text", num_merges=3, min_freq=1, max_vocab=1000
+    )
+
+
+def test_learn_bpe_min_freq_drops_only_tail_words(spark):
+    # "zq" is a hapax; the head pair statistics come from "aaab" (x5).
+    # Dropping the tail must keep the head merges identical.
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aaab aaab aaab"),
+            Row(doc_id=2, text="aaab aaab zq"),
+        ]
+    )
+    full = text_mod.learn_bpe_merges(df, "text", num_merges=2)
+    capped = text_mod.learn_bpe_merges(df, "text", num_merges=2, min_freq=2)
+    assert capped == full
+    # and the capped run is exactly the uncapped run on the freq>=2 vocab
+    kept = spark.createDataFrame([Row(doc_id=1, text="aaab " * 5)])
+    assert capped == text_mod.learn_bpe_merges(kept, "text", num_merges=2)
+
+
+def test_learn_bpe_max_vocab_keeps_top_words(spark):
+    # max_vocab=1 keeps only the most frequent word ("aaab", freq 3 >
+    # "cd" freq 2); merges must equal training on that word alone
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="aaab aaab cd"), Row(doc_id=2, text="aaab cd")]
+    )
+    capped = text_mod.learn_bpe_merges(df, "text", num_merges=3, max_vocab=1)
+    solo = spark.createDataFrame([Row(doc_id=1, text="aaab aaab aaab")])
+    assert capped == text_mod.learn_bpe_merges(solo, "text", num_merges=3)
+
+
+def test_learn_bpe_cap_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([Row(doc_id=1, text="ab")])
+    with pytest.raises(ValueError):
+        text_mod.learn_bpe_merges(df, "text", min_freq=0)
+    with pytest.raises(ValueError):
+        text_mod.learn_bpe_merges(df, "text", max_vocab=0)
