@@ -1076,6 +1076,73 @@ def _profile_drift_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift (operators/drift.
+    ks_drift) between the even- and odd-event_id halves of events —
+    the binless companion to PSI (`profile_drift`): D = max |F1−F2|
+    over the union of observed values, so shifts PSI's fixed bin
+    edges smear are still caught. The shuffle carries each column's
+    DISTINCT values, never the rows; counts are exact integers and
+    every |F1−F2| term is a fixed-order double expression, so the
+    oracle recomputes the identical CDFs and D hash-exactly."""
+    from lakehouse_tools_spark.operators.drift import ks_drift
+
+    ev = load_table(_spark(spark), sf_dir, "events")
+    base = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    cur = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    out = ks_drift(base, cur, ["value", "user_id"])
+    return out.select(
+        "columnName",
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_curr").cast("long").alias("n_curr"),
+        "ks",
+    )
+
+
+def _drift_ks_oracle() -> str:
+    melts = []
+    for side, par in (("b", 0), ("c", 1)):
+        melts.append(
+            f"{side} AS ("
+            f"SELECT 'value' AS columnName, CAST(value AS DOUBLE) AS v"
+            f" FROM events WHERE event_id % 2 = {par} AND value IS NOT NULL"
+            f" UNION ALL "
+            f"SELECT 'user_id', CAST(user_id AS DOUBLE)"
+            f" FROM events WHERE event_id % 2 = {par} AND user_id IS NOT NULL)"
+        )
+    return (
+        "WITH "
+        + ", ".join(melts)
+        + """,
+bg AS (SELECT columnName, v, count(*) AS c_b FROM b GROUP BY 1, 2),
+cg AS (SELECT columnName, v, count(*) AS c_c FROM c GROUP BY 1, 2),
+merged AS (
+  SELECT coalesce(bg.columnName, cg.columnName) AS columnName,
+         coalesce(bg.v, cg.v) AS v,
+         coalesce(c_b, 0) AS c_b, coalesce(c_c, 0) AS c_c
+  FROM bg FULL OUTER JOIN cg
+    ON bg.columnName = cg.columnName AND bg.v = cg.v
+),
+cdf AS (
+  SELECT columnName,
+         sum(c_b) OVER (PARTITION BY columnName ORDER BY v ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         sum(c_c) OVER (PARTITION BY columnName ORDER BY v ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+         sum(c_b) OVER (PARTITION BY columnName) AS n_b,
+         sum(c_c) OVER (PARTITION BY columnName) AS n_c
+  FROM merged
+)
+SELECT columnName,
+       CAST(max(n_b) AS BIGINT) AS n_base,
+       CAST(max(n_c) AS BIGINT) AS n_curr,
+       floor((max(abs(CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                      - CAST(cum_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
+              + 1e-9) * 1000000) / 1000000 AS ks
+FROM cdf GROUP BY columnName"""
+    )
+
+
 def q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Summary-stats profiler (rows/nulls/distinct/min/max) on orders
     + lineitem; exact-distinct mode for the oracle, approx mode tested
@@ -6540,7 +6607,9 @@ def q_sim_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigendecomposition is genuinely non-SQL-expressible; the
     numerical contract (matches numpy on quantized inputs,
     orthonormality, Σλ = trace, partitioning-invariance) is pinned in
-    tests/test_similarity.py."""
+    tests/test_similarity.py AND hash-verified by the driver through
+    the `pca_error_report` companion (same pattern as the ANN
+    recall / sketch error contracts)."""
     from lakehouse_tools_spark.ext.similarity import pca_fit
 
     s = _spark(spark)
@@ -6560,6 +6629,127 @@ def q_sim_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "component int, eigenvalue double, explained_ratio double, "
         "top_dim int, n_rows int",
+    )
+
+
+def q_pca_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verified numerical contract for PCA (the companion that
+    upgrades rows-only `sim_pca` to a driver-checked guarantee, the
+    sketch/recall-report pattern): the oracle cannot eigendecompose,
+    but it CAN bit-replay the quantized covariance TRACE
+    (ext/similarity.quantized_trace — integer sums + a fixed-order
+    left-associative variance chain), and every spectral property is
+    reducible to booleans against that anchor:
+
+    - ``trace9``      — hash-compared against the oracle's replay, so
+      a drifting covariance input fails the driver compare outright;
+    - ``orthonormal_ok`` — max |QQᵀ − I| ≤ 1e-9 over the full d-dim
+      eigenbasis;
+    - ``eig_ordered_ok`` / ``ratios_valid_ok`` — λ non-increasing;
+      ratios ∈ [0,1] and (k=d here) Σratios = 1 within 1e-9;
+    - ``eig_sum_ok``  — |Σλ − trace9| ≤ 1e-6·max(trace,1): the
+      eigendecomposition conserves total variance;
+    - ``recon_ok``    — exercises ext/similarity.pca_project: mean
+      residual variance of reconstructing from the top-8 components,
+      (Σ‖xc‖² − Σ‖Qᵀxc‖²)/(n−1), must equal Σ_{i>8} λᵢ within
+      1e-3·max(trace,1) (the Eckart–Young optimum; slack covers the
+      2^-20 quantization bias and pca_project's 1e-6 score rounding).
+
+    A regression in fit, projection, or determinism flips a boolean
+    or shifts trace9 — either fails the driver's hash compare."""
+    import numpy as np
+
+    from lakehouse_tools_spark.ext.similarity import (
+        pca_fit,
+        pca_project,
+        quantized_trace,
+    )
+
+    s = _spark(spark)
+    emb = load_table(s, sf_dir, "embeddings")
+    d = int(emb.select(F.size("embedding").alias("n")).first()["n"])
+    k_top = 8
+    comps, vals, ratios, n = pca_fit(emb, "embedding", k=d)
+    Q = np.array(comps, dtype=np.float64)  # d x d, rows = components
+    orthonormal_ok = bool(
+        np.abs(Q @ Q.T - np.eye(d)).max() <= 1e-9
+    )
+    eig_ordered_ok = all(
+        vals[i] >= vals[i + 1] - 1e-12 for i in range(d - 1)
+    )
+    ratios_valid_ok = (
+        all(-1e-12 <= r <= 1.0 + 1e-12 for r in ratios)
+        and abs(sum(ratios) - 1.0) <= 1e-9
+    )
+    tr_row = quantized_trace(emb, "embedding").first()
+    trace9 = float(tr_row["trace9"])
+    tol = max(abs(trace9), 1.0)
+    eig_sum_ok = abs(sum(vals) - trace9) <= 1e-6 * tol
+
+    mu = emb.agg(
+        *[
+            F.avg(F.element_at("embedding", i + 1).cast("double")).alias(
+                f"_m{i}"
+            )
+            for i in range(d)
+        ]
+    ).first()
+    mu_arr = F.array(*[F.lit(float(mu[f"_m{i}"])) for i in range(d)])
+    centered = emb.select(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            mu_arr,
+            lambda x, m: x - m,
+        ).alias("xc")
+    )
+    ssq = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    res = (
+        pca_project(centered, "xc", comps[:k_top], "p")
+        .agg(
+            F.sum(ssq(F.col("xc"))).alias("_sx"),
+            F.sum(ssq(F.col("p"))).alias("_sp"),
+        )
+        .first()
+    )
+    residual_var = (float(res["_sx"]) - float(res["_sp"])) / (n - 1)
+    expected_resid = sum(vals) - sum(vals[:k_top])
+    recon_ok = abs(residual_var - expected_resid) <= 1e-3 * tol
+
+    return s.createDataFrame(
+        [
+            (
+                int(n),
+                int(d),
+                int(k_top),
+                trace9,
+                orthonormal_ok,
+                eig_ordered_ok,
+                ratios_valid_ok,
+                eig_sum_ok,
+                recon_ok,
+            )
+        ],
+        "n_rows long, dim int, k int, trace9 double, "
+        "orthonormal_ok boolean, eig_ordered_ok boolean, "
+        "ratios_valid_ok boolean, eig_sum_ok boolean, recon_ok boolean",
+    )
+
+
+def _pca_error_oracle() -> str:
+    from lakehouse_tools_spark.ext.similarity import quantized_trace_oracle
+
+    inner = quantized_trace_oracle(
+        "embeddings", "CAST(embedding AS DOUBLE[])", tuple(range(64))
+    )
+    return (
+        f"WITH t AS ({inner})\n"
+        "SELECT CAST(n_rows AS BIGINT) AS n_rows, dim, CAST(8 AS INT) AS k,"
+        " trace9,"
+        " TRUE AS orthonormal_ok, TRUE AS eig_ordered_ok,"
+        " TRUE AS ratios_valid_ok, TRUE AS eig_sum_ok, TRUE AS recon_ok"
+        " FROM t"
     )
 
 
@@ -7076,10 +7266,86 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver correctness snapshot, which records the
-    # FIRST ~50 entries only: queries with no green driver row yet
-    # (never-snapshotted, r01-only, or new this round) come first, then
-    # the flagship, then the already-green remainder.
+    # FIRST ~50 entries only. Round-5 window (per VERDICT r04 items
+    # #2/#3): positions 1-26 are the 24 queries with no driver row
+    # ever (the late-r04 additions) plus the two new-this-round
+    # contracts (pca_error_report — sim_pca's hash-verified
+    # companion — and drift_ks); positions 27-50 are the stalest
+    # green rows (text_language r01, then r02 rows). The remaining
+    # r02-era rows (TPC-H bulk, skew/quality/windows) queue first for
+    # the r06 window. NO new operators outside the window this round.
     return {
+        "sim_pca": q_sim_pca,
+        "pca_error_report": q_pca_error_report,
+        "drift_ks": q_drift_ks,
+        "events_ewma": q_events_ewma,
+        "events_transitions": q_events_transitions,
+        "dedup_graph_triangles": q_dedup_graph_triangles,
+        "sim_covariance": q_sim_covariance,
+        "integrity_report": q_integrity_report,
+        "events_stream_outer_join": q_events_stream_outer_join,
+        "profile_clip": q_profile_clip,
+        "events_gap_fill": q_events_gap_fill,
+        "events_forward_fill": q_events_forward_fill,
+        "events_rolling": q_events_rolling,
+        "events_dense_impute": q_events_dense_impute,
+        "profile_heavy_hitters": q_profile_heavy_hitters,
+        "events_stream_upsert": q_events_stream_upsert,
+        "bloom_join_prune": q_bloom_join_prune,
+        "text_repetition": q_text_repetition,
+        "corpus_split": q_corpus_split,
+        "cdc_roundtrip": q_cdc_roundtrip,
+        "rollup_maintenance": q_rollup_maintenance,
+        "golden_records": q_golden_records,
+        "profile_histogram_eqdepth": q_profile_histogram_eqdepth,
+        "compaction_report": q_compaction_report,
+        "sim_hard_negatives": q_sim_hard_negatives,
+        "sim_quantize_report": q_sim_quantize_report,
+        "text_language": q_text_language,
+        "profile_intended": q_profile_intended,
+        "merge_upsert": q_merge_upsert,
+        "sim_topk": q_sim_topk,
+        "profile_as_written": q_profile_as_written,
+        "schema_information": q_schema_information,
+        "profile_summary": q_profile_summary,
+        "profile_summary_approx": q_profile_summary_approx,
+        "profile_quantiles": q_profile_quantiles,
+        "asof_join": q_asof_join,
+        "zorder_rowset": q_zorder_rowset,
+        "merge_full_sync": q_merge_full_sync,
+        "sim_topk_pandas": q_sim_topk_pandas,
+        "profile_topk": q_profile_topk,
+        "profiler_incremental": q_profiler_incremental,
+        "profile_histogram": q_profile_histogram,
+        "sql_passthrough": q_sql_passthrough,
+        "topk_customers": q_topk_customers,
+        "window_rank": q_window_rank,
+        "setop_nations": q_setop_nations,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_jaccard": q_dedup_jaccard,
+        # --- position 51+: outside the ~50-entry driver snapshot
+        # window. r06 priority (stalest first): the remaining r02-era
+        # rows — dedup_simhash/winnow, sim family, the TPC-H bulk,
+        # skew/quality/window suites — then the r03/r04 greens.
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_winnow": q_dedup_winnow,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "profiler_e2e": q_profiler_e2e,
+        "fuzzy_join": q_fuzzy_join,
+        "table_versions": q_table_versions,
+        "cdc_apply": q_cdc_apply,
+        "cdc_merge_into": q_cdc_merge_into,
+        "dedup_clusters": q_dedup_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "profile_quantiles_exact": q_profile_quantiles_exact,
         "pack_bins": q_pack_bins,
         "profile_distinct_sketch": q_profile_distinct_sketch,
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
@@ -7124,83 +7390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cross_contamination": q_sim_cross_contamination,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "events_interpolate": q_events_interpolate,
-        # rows-only but semantics changed this round (straggler-merge
-        # fix) — keep in the snapshot window so r04 re-records it
         "events_stream_sessionize": q_events_stream_sessionize,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
-        # --- position 51+: outside the ~50-entry driver snapshot window.
-        # Next-round (r05) priority: the four never-verified deferred here
-        # (profile_clip, events_gap_fill, events_forward_fill,
-        # events_rolling — each one's code path is exercised by an
-        # in-window sibling this round) plus text_language (r01-only),
-        # plus the late-r04 additions that queue behind them (ewma,
-        # transitions, triangles, covariance, integrity — all verified
-        # locally via tools/check_oracles.py at sf0.01 pending a window
-        # slot).
-        "events_ewma": q_events_ewma,
-        "events_transitions": q_events_transitions,
-        "dedup_graph_triangles": q_dedup_graph_triangles,
-        "sim_covariance": q_sim_covariance,
-        "integrity_report": q_integrity_report,
-        "events_stream_outer_join": q_events_stream_outer_join,
-        "sim_pca": q_sim_pca,
-        "profile_clip": q_profile_clip,
-        "events_gap_fill": q_events_gap_fill,
-        "events_forward_fill": q_events_forward_fill,
-        "events_rolling": q_events_rolling,
-        "events_dense_impute": q_events_dense_impute,
-        "profile_heavy_hitters": q_profile_heavy_hitters,
-        "events_stream_upsert": q_events_stream_upsert,
-        "bloom_join_prune": q_bloom_join_prune,
-        "text_repetition": q_text_repetition,
-        "corpus_split": q_corpus_split,
-        "cdc_roundtrip": q_cdc_roundtrip,
-        "rollup_maintenance": q_rollup_maintenance,
-        "golden_records": q_golden_records,
-        "profile_histogram_eqdepth": q_profile_histogram_eqdepth,
-        "compaction_report": q_compaction_report,
-        "sim_hard_negatives": q_sim_hard_negatives,
-        "sim_quantize_report": q_sim_quantize_report,
-        "text_language": q_text_language,
-        "profiler_e2e": q_profiler_e2e,
-        "fuzzy_join": q_fuzzy_join,
-        "table_versions": q_table_versions,
-        "cdc_apply": q_cdc_apply,
-        "cdc_merge_into": q_cdc_merge_into,
-        "dedup_clusters": q_dedup_clusters,
-        "semantic_dedup": q_semantic_dedup,
-        "profile_quantiles_exact": q_profile_quantiles_exact,
-        "dedup_jaccard": q_dedup_jaccard,
-        "zorder_rowset": q_zorder_rowset,
-        "merge_upsert": q_merge_upsert,
-        "merge_full_sync": q_merge_full_sync,
-        "asof_join": q_asof_join,
-        "profile_intended": q_profile_intended,
-        "profile_as_written": q_profile_as_written,
-        "profile_topk": q_profile_topk,
-        "profiler_incremental": q_profiler_incremental,
-        "schema_information": q_schema_information,
-        "profile_summary": q_profile_summary,
-        "profile_summary_approx": q_profile_summary_approx,
-        "profile_quantiles": q_profile_quantiles,
-        "profile_histogram": q_profile_histogram,
-        "sql_passthrough": q_sql_passthrough,
-        "topk_customers": q_topk_customers,
-        "window_rank": q_window_rank,
-        "setop_nations": q_setop_nations,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_lsh_pairs": q_dedup_lsh_pairs,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_winnow": q_dedup_winnow,
-        "sim_topk": q_sim_topk,
-        "sim_topk_pandas": q_sim_topk_pandas,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q21": q_tpch_q21,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
         "quality_check": q_quality_check,
@@ -7432,5 +7622,9 @@ def oracle_sql() -> dict[str, str]:
         "events_unpivot": _events_unpivot_oracle(),
         "events_lag_lead": _EVENTS_LAG_LEAD_ORACLE,
         "asof_tolerance": _ASOF_TOLERANCE_ORACLE,
-        # sim_ann_lsh, catalog_show_tables: rows-only by design.
+        "pca_error_report": _pca_error_oracle(),
+        "drift_ks": _drift_ks_oracle(),
+        # sim_ann_lsh, catalog_show_tables, sim_pca: rows-only by
+        # design (sim_pca's numerical contract is hash-verified via
+        # its pca_error_report companion).
     }

@@ -905,6 +905,115 @@ def quantized_covariance_oracle(
     )
 
 
+def quantized_trace(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] | None = None,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Covariance TRACE (total variance) of an embedding column under
+    the same floor-quantization contract as
+    :func:`quantized_covariance` — the scalar anchor that lets a SQL
+    oracle hash-verify an eigendecomposition it cannot perform:
+    Σλ must equal this trace, so a drifting PCA is caught by one
+    bit-deterministic number.
+
+    Same determinism argument: integer sums are associative (exact
+    under any partitioning), and the closing per-dim variance terms
+    are chained LEFT-ASSOCIATIVELY in dim order — a fixed-order
+    double expression any IEEE engine replays bit-for-bit
+    (:func:`quantized_trace_oracle` emits the identical chain). ONE
+    scan, ZERO shuffles, 2d+1 aggregates (diagonal only — d-wide,
+    not d²-wide, so codegen stays cheap where the full covariance
+    block would not). Output: one row ``(n_rows, dim, trace9)`` with
+    trace floored to 1e-9.
+    """
+    if dims is None:
+        probe = df.select(F.size(vec_col).alias("n")).first()
+        if probe is None or probe["n"] is None:
+            raise ValueError(
+                "quantized_trace: input has no rows (or a null "
+                f"{vec_col!r} in the first row); pass dims= explicitly"
+            )
+        dims = tuple(range(int(probe["n"])))
+    dims = tuple(int(i) for i in dims)
+    d = len(dims)
+    n_rows = df.limit(2).count()
+    if n_rows < 2:
+        raise ValueError(f"quantized_trace needs >= 2 rows, got {n_rows}")
+    q = df.select(
+        *[
+            F.floor(
+                F.element_at(F.col(vec_col), i + 1).cast("double")
+                * F.lit(float(scale))
+            )
+            .cast("long")
+            .alias(f"_s{k}")
+            for k, i in enumerate(dims)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    aggs += [F.sum(f"_s{k}").alias(f"_t{k}") for k in range(d)]
+    aggs += [
+        F.sum(F.col(f"_s{k}") * F.col(f"_s{k}")).alias(f"_p{k}")
+        for k in range(d)
+    ]
+    one = q.agg(*aggs)
+    sc = float(scale)
+    n = F.col("_n").cast("double")
+    trace = None
+    for k in range(d):
+        skk = F.col(f"_p{k}").cast("double") / F.lit(sc * sc)
+        sk = F.col(f"_t{k}").cast("double") / F.lit(sc)
+        var_k = (skk - sk * sk / n) / (n - F.lit(1.0))
+        trace = var_k if trace is None else trace + var_k
+    return one.select(
+        F.col("_n").cast("long").alias("n_rows"),
+        F.lit(d).cast("int").alias("dim"),
+        (F.floor((trace + F.lit(1e-12)) * F.lit(1e9)) / F.lit(1e9)).alias(
+            "trace9"
+        ),
+    )
+
+
+def quantized_trace_oracle(
+    table_sql: str,
+    vec_sql: str = "embedding",
+    dims: tuple[int, ...] = tuple(range(64)),
+    scale: int = 1 << 20,
+) -> str:
+    """DuckDB SQL replaying :func:`quantized_trace` bit-for-bit: same
+    floor-quantized integer sums, same left-associative per-dim
+    variance chain, same 1e-9 floor. ``dims`` must be pinned at SQL
+    build time (the oracle is a static string); fixture embeddings
+    are 64-wide at every SF."""
+    d = len(dims)
+    cols = [
+        f"CAST(floor(CAST({vec_sql}[{i + 1}] AS DOUBLE) * {float(scale)!r}) "
+        f"AS BIGINT) AS s{k}"
+        for k, i in enumerate(dims)
+    ]
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    aggs += [f"sum(s{k}) AS t{k}" for k in range(d)]
+    aggs += [f"sum(s{k} * s{k}) AS p{k}" for k in range(d)]
+    sc1 = repr(float(scale))
+    sc2 = repr(float(scale) * float(scale))
+    terms = [
+        f"((CAST(p{k} AS DOUBLE) / {sc2} - "
+        f"(CAST(t{k} AS DOUBLE) / {sc1}) * (CAST(t{k} AS DOUBLE) / {sc1}) "
+        f"/ CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
+        for k in range(d)
+    ]
+    chain = " + ".join(terms)  # SQL + is left-associative, like the plan
+    return (
+        f"WITH q AS (SELECT {', '.join(cols)} FROM {table_sql}),\n"
+        f"agg AS (SELECT {', '.join(aggs)} FROM q)\n"
+        f"SELECT n AS n_rows, CAST({d} AS INT) AS dim,\n"
+        f"       floor(({chain} + 1e-12) * 1e9) / 1e9 AS trace9\n"
+        f"FROM agg"
+    )
+
+
 def pca_fit(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -68,6 +68,9 @@ def test_entry_contract(spark):
         "dedup_clusters_lsh",
         "pack_bins",  # first-fit bin state isn't SQL-expressible
         "profile_distinct_sketch",  # sketch bytes are engine-specific
+        # eigendecomposition is non-SQL-expressible; its numerical
+        # contract is hash-verified via pca_error_report instead
+        "sim_pca",
     }
 
 

@@ -364,3 +364,37 @@ def test_quantized_covariance_guards_empty_and_single_row(spark):
     one = spark.createDataFrame([([1.0, 2.0],)], "embedding array<double>")
     with pytest.raises(ValueError, match=">= 2 rows"):
         quantized_covariance(one, "embedding")
+
+
+def test_quantized_trace_equals_diagonal_sum_and_guards(spark):
+    import numpy as np
+    import pytest
+
+    from lakehouse_tools_spark.ext.similarity import (
+        quantized_covariance,
+        quantized_trace,
+    )
+
+    rng = np.random.RandomState(7)
+    data = [(rng.randn(6).tolist(),) for _ in range(40)]
+    df = spark.createDataFrame(data, "embedding array<double>")
+    row = quantized_trace(df, "embedding").first()
+    assert row["n_rows"] == 40 and row["dim"] == 6
+    diag = sum(
+        r["cov"]
+        for r in quantized_covariance(df, "embedding").collect()
+        if r["dim_i"] == r["dim_j"]
+    )
+    # same quantized statistic; the two closing chains differ only in
+    # float association, so agree to ~1e-9
+    assert abs(row["trace9"] - diag) <= 1e-7
+    # partitioning invariance is BIT-exact (integer sums)
+    assert (
+        quantized_trace(df.repartition(9), "embedding").first()["trace9"]
+        == row["trace9"]
+    )
+    empty = spark.createDataFrame([], "embedding array<double>")
+    with pytest.raises(ValueError, match="no rows"):
+        quantized_trace(empty, "embedding")
+    with pytest.raises(ValueError, match=">= 2 rows"):
+        quantized_trace(empty, "embedding", dims=(0,))
