@@ -6579,7 +6579,14 @@ def q_sim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     and therefore bit-deterministic under ANY partitioning, and the
     closing float expression is fixed-order — the distributed result
     hash-matches a sequential engine exactly. ONE scan, ZERO
-    shuffles; wider vectors cover block-wise with the same plan."""
+    shuffles. At d=16 the auto strategy picks the int64-Gram physical
+    path (mapInPandas + numpy, the pca_fit shape) over the 153-wide
+    Catalyst aggregate: the latter's plan-compile cost is ~6 s FIXED
+    regardless of data volume (measured flat sf0.001→sf0.1, r04
+    attribution), the Gram plan compiles in ms — and the two close
+    with the same fixed-order arithmetic, so they are bit-identical
+    (pinned in tests/test_similarity.py) and this oracle checks
+    either."""
     from lakehouse_tools_spark.ext.similarity import quantized_covariance
 
     emb = load_table(_spark(spark), sf_dir, "embeddings")
@@ -6659,17 +6666,20 @@ def q_pca_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     or shifts trace9 — either fails the driver's hash compare."""
     import numpy as np
 
-    from lakehouse_tools_spark.ext.similarity import (
-        pca_fit,
-        pca_project,
-        quantized_trace,
-    )
+    from lakehouse_tools_spark.ext.similarity import pca_fit, pca_project
 
     s = _spark(spark)
     emb = load_table(s, sf_dir, "embeddings")
     d = int(emb.select(F.size("embedding").alias("n")).first()["n"])
     k_top = 8
-    comps, vals, ratios, n = pca_fit(emb, "embedding", k=d)
+    # full_stats derives mean and the bit-deterministic trace anchor
+    # from the fit's own exact integer sums — ONE corpus scan covers
+    # fit + trace + mean (no 64-avg / d-wide-trace Catalyst aggregates
+    # whose plan-compile cost would dominate; the r04 sim_covariance
+    # attribution lesson)
+    comps, vals, ratios, n, stats = pca_fit(
+        emb, "embedding", k=d, full_stats=True
+    )
     Q = np.array(comps, dtype=np.float64)  # d x d, rows = components
     orthonormal_ok = bool(
         np.abs(Q @ Q.T - np.eye(d)).max() <= 1e-9
@@ -6681,20 +6691,11 @@ def q_pca_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         all(-1e-12 <= r <= 1.0 + 1e-12 for r in ratios)
         and abs(sum(ratios) - 1.0) <= 1e-9
     )
-    tr_row = quantized_trace(emb, "embedding").first()
-    trace9 = float(tr_row["trace9"])
+    trace9 = float(stats["trace9"])
     tol = max(abs(trace9), 1.0)
     eig_sum_ok = abs(sum(vals) - trace9) <= 1e-6 * tol
 
-    mu = emb.agg(
-        *[
-            F.avg(F.element_at("embedding", i + 1).cast("double")).alias(
-                f"_m{i}"
-            )
-            for i in range(d)
-        ]
-    ).first()
-    mu_arr = F.array(*[F.lit(float(mu[f"_m{i}"])) for i in range(d)])
+    mu_arr = F.array(*[F.lit(float(m)) for m in stats["mean"]])
     centered = emb.select(
         F.zip_with(
             F.col("embedding").cast("array<double>"),

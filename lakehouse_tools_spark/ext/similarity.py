@@ -772,11 +772,85 @@ def hard_negatives(
     )
 
 
+def _covariance_gram(
+    df: DataFrame,
+    vec_col: str,
+    dims: tuple[int, ...],
+    scale: int,
+) -> DataFrame:
+    """Gram-path physical strategy for :func:`quantized_covariance`
+    (see its docstring): exact int64 per-partition Gram blocks via
+    Arrow batches, driver reduce in unbounded Python ints, and a
+    closing Python-float replay of the SAME fixed-order IEEE
+    expression the "agg" strategy compiles — Python floats ARE
+    doubles, so the two strategies (and the DuckDB oracle) are
+    bit-identical."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    d = len(dims)
+    sc = float(scale)
+    spark = df.sparkSession
+    idx = list(dims)
+
+    def _part(batches):
+        G = np.zeros((d, d), dtype=np.int64)
+        t = np.zeros(d, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            X = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64)[:, idx]
+                * sc
+            ).astype(np.int64)
+            G += X.T @ X
+            t += X.sum(axis=0)
+            n += X.shape[0]
+        yield pd.DataFrame(
+            {"g": [G.ravel().tolist()], "t": [t.tolist()], "n": [n]}
+        )
+
+    parts = (
+        df.select(vec_col)
+        .mapInPandas(_part, schema="g array<long>, t array<long>, n long")
+        .collect()
+    )
+    Gt = [[0] * d for _ in range(d)]
+    tt = [0] * d
+    n = 0
+    for row in parts:
+        flat = row["g"]
+        for a in range(d):
+            base = a * d
+            ga = Gt[a]
+            for b in range(d):
+                ga[b] += flat[base + b]
+        for a in range(d):
+            tt[a] += row["t"][a]
+        n += row["n"]
+    nd = float(n)
+    rows = []
+    for a in range(d):
+        for b in range(a, d):
+            sij = float(Gt[a][b]) / (sc * sc)
+            si = float(tt[a]) / sc
+            sj = float(tt[b]) / sc
+            cov = (sij - si * sj / nd) / (nd - 1.0)
+            rows.append(
+                (int(dims[a]), int(dims[b]), math.floor((cov + 1e-12) * 1e9) / 1e9)
+            )
+    return spark.createDataFrame(
+        rows, "dim_i int, dim_j int, cov double"
+    )
+
+
 def quantized_covariance(
     df: DataFrame,
     vec_col: str = "embedding",
     dims: tuple[int, ...] | None = None,
     scale: int = 1 << 20,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Sample covariance of embedding components over QUANTIZED
     inputs, as (i, j, cov) rows for i ≤ j — the statistic PCA /
@@ -795,12 +869,29 @@ def quantized_covariance(
     n·scale² < 2^63 — n up to ~8e6 at scale=2^20; lower ``scale`` for
     bigger corpora (the contract, not the math, is what scale buys).
 
-    Plan: ONE full scan, ZERO shuffles — every (i,j) pair is a
-    ``sum`` branch in a single map-side-combined aggregate; the d(d+1)/2
-    width is the codegen budget, so callers cover a wide vector
-    block-wise (``dims`` selects the block; each block reuses the same
-    single-scan plan, and blocks of 16 keep generated methods inside
-    JIT limits).
+    Plan — two bit-identical physical strategies, both ONE full scan,
+    ZERO shuffles, selected by ``strategy``:
+
+    - ``"agg"``: every (i,j) pair is a ``sum`` branch in a single
+      map-side-combined Catalyst aggregate. Pure JVM, but the
+      d(d+1)/2 expression width is a FIXED plan-compile/codegen cost:
+      measured ~6 s at d=16 (153 aggregates) *independent of data
+      volume* (flat from sf0.001 to sf0.1) — fine for narrow blocks,
+      dominant for wide ones.
+    - ``"gram"``: per-partition exact int64 Gram blocks in Arrow
+      batches (``mapInPandas`` + numpy, the :func:`pca_fit` shape),
+      reduced driver-side in unbounded Python ints; the closing float
+      arithmetic replays the SAME fixed-order expression per element,
+      so the output is bit-identical to "agg" (pinned in tests).
+      Trivial plan (compiles in ms), driver traffic partitions × d²
+      longs; per-row cost is one numpy rank-1 update instead of
+      codegen, still far below scan+decode cost.
+
+    ``"auto"`` picks "agg" for d ≤ 8 (36 aggregates compile fast) and
+    "gram" above — wide blocks get the flat-compile path, narrow
+    probes stay pure-JVM. Since both are exact integer sums closed by
+    the same expression, the choice is invisible to the hash-verified
+    contract (same DuckDB oracle checks either).
     """
     d = len(dims) if dims is not None else None
     if d is None:
@@ -821,6 +912,10 @@ def quantized_covariance(
         raise ValueError(
             f"quantized_covariance needs >= 2 rows, got {n_rows}"
         )
+    if strategy not in ("auto", "agg", "gram"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "gram" or (strategy == "auto" and d > 8):
+        return _covariance_gram(df, vec_col, dims, scale)
     q = df.select(
         *[
             F.floor(
@@ -1019,7 +1114,8 @@ def pca_fit(
     vec_col: str = "embedding",
     k: int = 8,
     scale: int = 1 << 20,
-) -> tuple[list[list[float]], list[float], list[float], int]:
+    full_stats: bool = False,
+) -> tuple:
     """Fit PCA over an embedding column → (components, eigenvalues,
     explained-variance ratios, n). The dimensionality-reduction /
     whitening step before ANN indexing or drift monitoring.
@@ -1101,7 +1197,26 @@ def pca_fit(
         vals.append(float(eigvals[idx]))
     trace = float(np.trace(cov))
     ratios = [v / trace for v in vals]
-    return comps, vals, ratios, n
+    if not full_stats:
+        return comps, vals, ratios, n
+    # Derived from the SAME exact integer sums, at zero extra scans:
+    # - mean: quantized column means (bias <= 1/scale, same contract)
+    # - trace9: the bit-deterministic trace anchor, closed with the
+    #   identical left-associative chain :func:`quantized_trace` /
+    #   :func:`quantized_trace_oracle` replay — so a caller holding a
+    #   fitted PCA can hash-verify it without a second corpus pass
+    import math
+
+    mean = [float(tt[i]) / sc / n for i in range(d)]
+    tr = None
+    nd = float(n)
+    for i in range(d):
+        skk = float(Gt[i][i]) / (sc * sc)
+        sk = float(tt[i]) / sc
+        var_i = (skk - sk * sk / nd) / (nd - 1.0)
+        tr = var_i if tr is None else tr + var_i
+    trace9 = math.floor((tr + 1e-12) * 1e9) / 1e9
+    return comps, vals, ratios, n, {"mean": mean, "trace9": trace9}
 
 
 def pca_project(

@@ -398,3 +398,53 @@ def test_quantized_trace_equals_diagonal_sum_and_guards(spark):
         quantized_trace(empty, "embedding")
     with pytest.raises(ValueError, match=">= 2 rows"):
         quantized_trace(empty, "embedding", dims=(0,))
+
+
+def test_quantized_covariance_strategies_bit_identical(spark):
+    import numpy as np
+    import pytest
+
+    from lakehouse_tools_spark.ext.similarity import quantized_covariance
+
+    rng = np.random.RandomState(11)
+    df = spark.createDataFrame(
+        [(rng.randn(12).tolist(),) for _ in range(60)],
+        "embedding array<double>",
+    )
+    dims = tuple(range(12))
+    agg = sorted(
+        map(tuple, quantized_covariance(df, "embedding", dims, strategy="agg").collect())
+    )
+    gram = sorted(
+        map(tuple, quantized_covariance(df, "embedding", dims, strategy="gram").collect())
+    )
+    assert agg == gram  # bit-identical closing arithmetic
+    # auto picks gram above d=8; still identical by construction
+    auto = sorted(
+        map(tuple, quantized_covariance(df, "embedding", dims).collect())
+    )
+    assert auto == agg
+    with pytest.raises(ValueError, match="strategy"):
+        quantized_covariance(df, "embedding", dims, strategy="nope")
+
+
+def test_pca_fit_full_stats_trace_bit_matches_quantized_trace(spark):
+    import numpy as np
+
+    from lakehouse_tools_spark.ext.similarity import pca_fit, quantized_trace
+
+    rng = np.random.RandomState(3)
+    df = spark.createDataFrame(
+        [(rng.randn(10).tolist(),) for _ in range(50)],
+        "embedding array<double>",
+    )
+    comps, vals, ratios, n, stats = pca_fit(
+        df, "embedding", k=10, full_stats=True
+    )
+    row = quantized_trace(df, "embedding").first()
+    # same integer sums, same closing chain -> bit-equal
+    assert stats["trace9"] == row["trace9"]
+    assert abs(sum(vals) - stats["trace9"]) <= 1e-6
+    mu = np.array(stats["mean"])
+    true_mu = np.stack([r["embedding"] for r in df.collect()]).mean(axis=0)
+    assert np.abs(mu - true_mu).max() <= 2.0 / (1 << 20)
