@@ -11,9 +11,9 @@ blue/green swap stands in for Delta's ACID commit).
 Detection is import-based, not install-based: this environment has no
 delta-spark wheel and no PyPI route (``pip download delta-spark`` →
 "No matching distribution found"; DNS-level failure re-confirmed
-2026-08-14, retried each round since 2026-08-13; installing is also
-out-of-bounds for this build), so the Delta branch cannot be
-exercised here. It is wired so that dropping delta-spark into the
+2026-08-14 in round 5 — retried once per round since 2026-08-13;
+installing is also out-of-bounds for this build), so the Delta branch
+cannot be exercised here. It is wired so that dropping delta-spark into the
 environment activates it with no code change:
 
 - :func:`delta_available` — can ``import delta``?
