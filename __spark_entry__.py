@@ -3869,8 +3869,11 @@ SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH bucket probe — the
-    100 TB path. Non-SQL-expressible compactly → rows-only check;
-    recall vs the exact path is asserted in tests/."""
+    100 TB path. Hash-verified since round 5: the md5-derived plane
+    literals and sequential-fold dots replay bit-for-bit in SQL, so
+    the oracle recomputes the exact buckets, candidates, and ranks;
+    recall vs the exact path is additionally asserted in tests/ and
+    floored by sim_recall_report."""
     emb = load_table(_spark(spark), sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = X_sim.ann_topk_lsh(emb, queries, k=10, num_planes=4, dim=64)
@@ -3880,8 +3883,10 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN (query bucket + all Hamming-distance-1
     buckets) — higher recall than sim_ann_lsh at the same corpus
-    layout. Approximate → rows-only check; recall dominance over the
-    single-probe path is asserted in tests/test_similarity.py."""
+    layout. Hash-verified: the oracle replays the bucket bits and
+    probes via xor(bucket, qbucket) ∈ {0} ∪ {2^p}; recall dominance
+    over the single-probe path is asserted in
+    tests/test_similarity.py."""
     emb = load_table(_spark(spark), sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = X_sim.ann_topk_lsh_multiprobe(emb, queries, k=10, num_planes=4, dim=64)
@@ -3994,9 +3999,11 @@ def q_sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH near-dup pairs: right side also probes the
     Hamming-1 bucket flips, recovering pairs split by a single
-    hyperplane — candidates ×(planes+1), recall → 1. Rows-only by
-    design (bucketing is engine-specific); superset-of-single-probe
-    and subset-of-exact are pinned in tests/test_similarity.py."""
+    hyperplane — candidates ×(planes+1), recall → 1. Hash-verified
+    since round 5 (multi-probe pairing ⇔ Hamming(bucket_a, bucket_b)
+    ≤ 1, which the oracle replays bit-for-bit);
+    superset-of-single-probe and subset-of-exact are pinned in
+    tests/test_similarity.py."""
     emb = load_table(_spark(spark), sf_dir, "embeddings")
     return X_sim.neardup_pairs_lsh(
         emb, threshold=0.3, num_planes=8, multi_probe=True
@@ -4005,9 +4012,12 @@ def q_sim_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs through the LSH-bucketed self-join — the scale
-    path (candidates ∝ n²/2^planes, not n²). Recall < 1 by design →
-    rows-only check here; subset-of-exact and recall are asserted in
-    tests/test_similarity.py."""
+    path (candidates ∝ n²/2^planes, not n²). Recall < 1 vs the exact
+    all-pairs baseline by design, but the LSH computation ITSELF is
+    deterministic and hash-verified: the oracle replays buckets and
+    the same-bucket candidate join exactly. Subset-of-exact and
+    recall floors are additionally asserted in
+    tests/test_similarity.py and neardup_recall_report."""
     emb = load_table(_spark(spark), sf_dir, "embeddings")
     return X_sim.neardup_pairs_lsh(emb, threshold=0.2, num_planes=4)
 
@@ -4022,6 +4032,156 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.2
 """
+
+
+# --- LSH bucket replay (round 5): the hyperplanes are md5-derived
+# DOUBLE literals (ext/similarity._hyperplane_value) and the Spark
+# bucket is sign(dot(v, plane)) packed into an int, where the dot is a
+# sequential left fold — the same order DuckDB's list_dot_product
+# evaluates. So the bucketing is NOT engine-specific after all: the
+# oracle can replay every bucket bit-for-bit (verified 500/500 at
+# planes=4 and 8 on the sf0.01 fixture), which upgrades the whole LSH
+# family from rows-only to hash-verified.
+
+
+def _lsh_pm_sql(planes: int, dim: int = 64) -> str:
+    """The plane matrix as a DuckDB array literal — same repr-round-
+    trip doubles the Spark plan constant-folds."""
+    from lakehouse_tools_spark.ext.similarity import _hyperplane_value
+
+    return (
+        "["
+        + ",".join(
+            "["
+            + ",".join(
+                f"CAST('{_hyperplane_value(p, d)!r}' AS DOUBLE)"
+                for d in range(dim)
+            )
+            + "]"
+            for p in range(planes)
+        )
+        + "]"
+    )
+
+
+def _lsh_bucket_case_sql(planes: int, vec: str = "v") -> str:
+    """sign-bit pack: Σ_p [dot(v, m[p]) >= 0]·2^p, replaying
+    ext/similarity.lsh_bucket_column exactly."""
+    return " + ".join(
+        f"CASE WHEN list_dot_product({vec}, m[{p + 1}]) >= 0"
+        f" THEN {1 << p} ELSE 0 END"
+        for p in range(planes)
+    )
+
+
+def _lsh_cb_cte(planes: int) -> str:
+    """Shared CTE prefix: plane matrix + per-vector norm and bucket."""
+    return (
+        f"WITH pm AS (SELECT {_lsh_pm_sql(planes)} AS m),\n"
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),\n"
+        "cb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,"
+        f" CAST({_lsh_bucket_case_sql(planes)} AS BIGINT) AS bucket"
+        " FROM c, pm)"
+    )
+
+
+def _sim_ann_lsh_oracle() -> str:
+    return (
+        _lsh_cb_cte(4)
+        + """,
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket
+      FROM cb WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, cb.vec_id,
+         round(list_dot_product(q.qv, cb.v) / (q.qn * cb.nrm), 6) AS cos
+  FROM cb JOIN q ON cb.bucket = q.qbucket AND cb.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored)
+SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM r
+WHERE rank <= 10"""
+    )
+
+
+def _sim_ann_multiprobe_oracle() -> str:
+    # probe set = own bucket + all Hamming-1 flips, i.e. join on
+    # xor(bucket, qbucket) IN {0, 1, 2, ..., 2^(planes-1)}
+    flips = ", ".join(str(1 << p) for p in range(4))
+    return (
+        _lsh_cb_cte(4)
+        + f""",
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket
+      FROM cb WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, cb.vec_id,
+         round(list_dot_product(q.qv, cb.v) / (q.qn * cb.nrm), 6) AS cos
+  FROM cb JOIN q
+    ON (cb.bucket = q.qbucket OR xor(cb.bucket, q.qbucket) IN ({flips}))
+   AND cb.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored)
+SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM r
+WHERE rank <= 10"""
+    )
+
+
+def _sim_neardup_lsh_oracle() -> str:
+    return (
+        _lsh_cb_cte(4)
+        + """
+SELECT a.vec_id AS vec_id, b.vec_id AS vec_id2,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.2"""
+    )
+
+
+def _sim_neardup_multiprobe_sql(planes: int = 8, threshold: float = 0.3) -> str:
+    # multi-probe pairing = Hamming distance <= 1 between buckets
+    flips = ", ".join(str(1 << p) for p in range(planes))
+    return (
+        _lsh_cb_cte(planes)
+        + f"""
+SELECT a.vec_id AS vec_id, b.vec_id AS vec_id2,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+FROM cb a JOIN cb b
+  ON (a.bucket = b.bucket OR xor(a.bucket, b.bucket) IN ({flips}))
+ AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {threshold}"""
+    )
+
+
+def _dedup_clusters_lsh_oracle() -> str:
+    # connected components over the multi-probe LSH pair graph: the
+    # same recursive-CTE closure as _DEDUP_CLUSTERS_ORACLE, but the
+    # edge set is the (bit-replayed) LSH candidate pairs and vertices
+    # are the FULL corpus
+    flips = ", ".join(str(1 << p) for p in range(8))
+    return (
+        "WITH RECURSIVE "
+        + _lsh_cb_cte(8)[5:]  # strip the leading "WITH "
+        + f""",
+pairs AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb
+  FROM cb a JOIN cb b
+    ON (a.bucket = b.bucket OR xor(a.bucket, b.bucket) IN ({flips}))
+   AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
+),
+sym AS (
+  SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs
+),
+reach AS (
+  SELECT vec_id AS v, vec_id AS u FROM c
+  UNION
+  SELECT r.v, s.b AS u FROM reach r JOIN sym s ON s.a = r.u
+)
+SELECT v AS vec_id, min(u) AS cluster_id FROM reach GROUP BY v"""
+    )
 
 
 #: Pair-recall floors for the LSH near-dup paths on the embeddings
@@ -4176,10 +4336,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus dup clustering — the composed scale path: candidate
     pairs from the multi-probe LSH self-join (never all-pairs), then
-    connected components over them. Rows-only by design (LSH buckets
-    are engine-specific); the oracle-checked exact variant is
-    `dedup_clusters`, and every vertex appearing here is pinned to a
-    valid cluster id by the operator's own invariants (tests)."""
+    connected components over them. Hash-verified end to end since
+    round 5: the oracle replays the LSH pair graph bit-for-bit and
+    closes it with the same recursive-CTE transitive closure as the
+    exact `dedup_clusters` variant — so the composed tree-contraction
+    union-find over LSH candidates is driver-checked, not just
+    invariant-tested."""
     from lakehouse_tools_spark.ext.graph import connected_components_contract
 
     emb = load_table(_spark(spark), sf_dir, "embeddings")
@@ -7321,15 +7483,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_passthrough": q_sql_passthrough,
         "topk_customers": q_topk_customers,
         "window_rank": q_window_rank,
+        # round-5 upgrades: the LSH family's oracles are new (bucket
+        # bit-replay), so these five take the final window slots to
+        # convert their r04 rows-only records into hash-verified rows
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_multiprobe": q_sim_ann_multiprobe,
+        "sim_neardup_lsh": q_sim_neardup_lsh,
+        "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
+        "dedup_clusters_lsh": q_dedup_clusters_lsh,
+        # --- position 51+: outside the ~50-entry driver snapshot
+        # window. r06 priority (stalest first): the remaining r02-era
+        # rows — setop/dedup row displaced from this window, then
+        # dedup_simhash/winnow, sim family, the TPC-H bulk,
+        # skew/quality/window suites — then the r03/r04 greens.
         "setop_nations": q_setop_nations,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
-        # --- position 51+: outside the ~50-entry driver snapshot
-        # window. r06 priority (stalest first): the remaining r02-era
-        # rows — dedup_simhash/winnow, sim family, the TPC-H bulk,
-        # skew/quality/window suites — then the r03/r04 greens.
         "dedup_simhash": q_dedup_simhash,
         "dedup_winnow": q_dedup_winnow,
         "tpch_q1": q_tpch_q1,
@@ -7349,10 +7520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_quantiles_exact": q_profile_quantiles_exact,
         "pack_bins": q_pack_bins,
         "profile_distinct_sketch": q_profile_distinct_sketch,
-        "dedup_clusters_lsh": q_dedup_clusters_lsh,
-        "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
         "catalog_show_tables": q_catalog_show_tables,
-        "sim_ann_multiprobe": q_sim_ann_multiprobe,
         "profile_nested": q_profile_nested,
         "sim_recall_report": q_sim_recall_report,
         "sketch_error_report": q_sketch_error_report,
@@ -7445,11 +7613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_json_roundtrip": q_source_json_roundtrip,
         "source_orc_roundtrip": q_source_orc_roundtrip,
         "sim_ivf": q_sim_ivf,
-        "sim_ann_lsh": q_sim_ann_lsh,
         "profile_drift": q_profile_drift,
         "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "sim_neardup": q_sim_neardup,
-        "sim_neardup_lsh": q_sim_neardup_lsh,
         "corpus_prepare": q_corpus_prepare,
         "text_quality": q_text_quality,
         "cube_pricing": q_cube_pricing,
@@ -7625,7 +7791,15 @@ def oracle_sql() -> dict[str, str]:
         "asof_tolerance": _ASOF_TOLERANCE_ORACLE,
         "pca_error_report": _pca_error_oracle(),
         "drift_ks": _drift_ks_oracle(),
-        # sim_ann_lsh, catalog_show_tables, sim_pca: rows-only by
-        # design (sim_pca's numerical contract is hash-verified via
-        # its pca_error_report companion).
+        # round 5: the LSH family is hash-verified after all — the
+        # md5-derived plane literals + sequential-fold dots replay
+        # bit-for-bit in DuckDB (see the _lsh_* helpers)
+        "sim_ann_lsh": _sim_ann_lsh_oracle(),
+        "sim_ann_multiprobe": _sim_ann_multiprobe_oracle(),
+        "sim_neardup_lsh": _sim_neardup_lsh_oracle(),
+        "sim_neardup_multiprobe": _sim_neardup_multiprobe_sql(),
+        "dedup_clusters_lsh": _dedup_clusters_lsh_oracle(),
+        # Remaining oracle-less entries are rows-only by design; each
+        # carries a hash-verified companion (see test_entry_contract's
+        # annotated set).
     }

@@ -57,15 +57,10 @@ def test_entry_contract(spark):
     assert set(oracles) <= set(qs)
     # every oracle-less query is an intentional rows-only check
     assert set(qs) - set(oracles) == {
-        "profile_summary_approx",
-        "profile_quantiles",
-        "events_stream_sessionize",
-        "sim_ann_lsh",
-        "sim_ann_multiprobe",
-        "sim_ivf_kmeans",
-        "sim_neardup_lsh",
-        "sim_neardup_multiprobe",
-        "dedup_clusters_lsh",
+        "profile_summary_approx",  # HLL estimate; summary_error_report
+        "profile_quantiles",  # GK sketch; quantile_error_report
+        "events_stream_sessionize",  # explicit-state streaming
+        "sim_ivf_kmeans",  # float k-means means are order-sensitive
         "pack_bins",  # first-fit bin state isn't SQL-expressible
         "profile_distinct_sketch",  # sketch bytes are engine-specific
         # eigendecomposition is non-SQL-expressible; its numerical
