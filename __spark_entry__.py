@@ -6262,19 +6262,51 @@ def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     flushes sessions the watermark sealed). Semantics are exactly
     session_window + append — the unsealed-interval SET lives in
     state, so sub-watermark stragglers merge with each other like the
-    batch operator (round-3 divergence closed). Genuinely non-SQL-
-    expressible → rows-only here; batch agreement (incl. the
-    straggler case) is pinned in tests/test_stateful.py."""
+    batch operator (round-3 divergence closed). Hash-verified since
+    round 5 via the flush-sentinel contract (the outer-join pattern):
+    a far-future sentinel row drives the final watermark past every
+    real session's sealing point, so the drained availableNow run
+    emits EVERY session and equals the batch islands computation
+    exactly — which is the oracle. The sentinel's own session uses an
+    impossible user and is filtered. Batch agreement incl. the
+    straggler case stays pinned in tests/test_stateful.py."""
+    import datetime
+    import shutil
+    import tempfile
+
     from lakehouse_tools_spark.sources.tables import load_stream
+    from lakehouse_tools_spark.streaming.joins import flush_sentinel_union
     from lakehouse_tools_spark.streaming.sink import run_to_memory
     from lakehouse_tools_spark.streaming.stateful import stateful_sessionize
 
     s = _spark(spark)
-    stream = load_stream(s, sf_dir, "events")
-    sessions = stateful_sessionize(
-        X_win.with_watermark(stream, "ts", "10 minutes"), gap_minutes=5
+    stream = load_stream(s, sf_dir, "events").select(
+        "user_id", "ts", "value"
     )
-    return run_to_memory(sessions, "events_stream_sessions")
+    d = tempfile.mkdtemp(prefix="lts_flush_sessionize_")
+    try:
+        withsent = flush_sentinel_union(
+            stream,
+            {
+                "user_id": -1,
+                "ts": datetime.datetime(2030, 1, 1),
+                "value": 0.0,
+            },
+            d,
+        )
+        sessions = stateful_sessionize(
+            X_win.with_watermark(withsent, "ts", "10 minutes"),
+            gap_minutes=5,
+        )
+        out = run_to_memory(sessions, "events_stream_sessions")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        "session_start",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("sum_value"), 6).alias("sum_value"),
+    )
 
 
 def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7482,10 +7514,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_histogram": q_profile_histogram,
         "sql_passthrough": q_sql_passthrough,
         "topk_customers": q_topk_customers,
-        "window_rank": q_window_rank,
-        # round-5 upgrades: the LSH family's oracles are new (bucket
-        # bit-replay), so these five take the final window slots to
-        # convert their r04 rows-only records into hash-verified rows
+        # round-5 upgrades: new oracles (LSH bucket bit-replay; the
+        # flush-sentinel sessionize drain), so these six take the
+        # final window slots to convert their r04 rows-only records
+        # into hash-verified rows
+        "events_stream_sessionize": q_events_stream_sessionize,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_multiprobe": q_sim_ann_multiprobe,
         "sim_neardup_lsh": q_sim_neardup_lsh,
@@ -7496,6 +7529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows — setop/dedup row displaced from this window, then
         # dedup_simhash/winnow, sim family, the TPC-H bulk,
         # skew/quality/window suites — then the r03/r04 greens.
+        "window_rank": q_window_rank,
         "setop_nations": q_setop_nations,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -7559,7 +7593,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cross_contamination": q_sim_cross_contamination,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "events_interpolate": q_events_interpolate,
-        "events_stream_sessionize": q_events_stream_sessionize,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
         "quality_check": q_quality_check,
@@ -7799,6 +7832,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_neardup_lsh": _sim_neardup_lsh_oracle(),
         "sim_neardup_multiprobe": _sim_neardup_multiprobe_sql(),
         "dedup_clusters_lsh": _dedup_clusters_lsh_oracle(),
+        # round 5: flush-sentinel drain makes the stateful streaming
+        # sessionizer equal the batch islands computation exactly
+        "events_stream_sessionize": _EVENTS_SESSION_ORACLE,
         # Remaining oracle-less entries are rows-only by design; each
         # carries a hash-verified companion (see test_entry_contract's
         # annotated set).
