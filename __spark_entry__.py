@@ -3898,8 +3898,15 @@ def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with spherical-k-means-refined centroids and nprobe=2 —
     the production ANN layout (train centroids once, probe several
-    cells). Approximate → rows-only; centroid determinism and the
-    nprobe recall monotonicity are pinned in tests/test_similarity.py."""
+    cells). Hash-verified since round 5: the whole pipeline is
+    bit-replayable — deterministic lowest-id seeds, assignment by
+    1e-6-rounded cosines with lowest-cell tiebreak, and mean updates
+    via floor-quantized int64 sums closed by a fixed-order expression
+    (kmeans_refine_centroids, the quantized_covariance contract) —
+    so the oracle recomputes BOTH Lloyd iterations, the final cell
+    layout, the nprobe=2 probe set, and the exact re-scoring as
+    chained CTEs. nprobe recall monotonicity stays pinned in
+    tests/test_similarity.py."""
     emb = load_table(_spark(spark), sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     cents = X_sim.kmeans_refine_centroids(
@@ -3908,6 +3915,98 @@ def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = X_sim.ivf_topk(emb, queries, k=10, centroids=cents, nprobe=2)
     return out.select(
         "query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _sim_ivf_kmeans_oracle(
+    n_cent: int = 8, iters: int = 2, nprobe: int = 2, k: int = 10
+) -> str:
+    """Replays q_sim_ivf_kmeans end to end: Lloyd iterations as
+    chained CTEs. Bit-parity argument per stage: assignment cosines
+    are round(dot/(|v||c|), 6) with sequential-fold dots (DuckDB's
+    list_dot_product order), argmax = row_number(cos DESC, cid ASC);
+    means close as (CAST(Σq AS DOUBLE)/2^20)/n — the exact expression
+    the driver computes; empty cells coalesce to the previous
+    centroid. The 1-based `pos` here vs Spark's 0-based posexplode is
+    internal only."""
+    sc = repr(float(1 << 20))
+    # one assignment + one mean CTE pair per iteration
+    stages = [
+        f"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM c),
+cent0 AS (SELECT vec_id AS cid, v AS carr,
+                 sqrt(list_dot_product(v, v)) AS cnrm
+          FROM c WHERE vec_id < {n_cent})"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"cent{it - 1}"
+        stages.append(
+            f"""a{it} AS (
+  SELECT vec_id, cid, v FROM (
+    SELECT n0.vec_id, {prev}.cid, n0.v,
+           row_number() OVER (
+             PARTITION BY n0.vec_id
+             ORDER BY round(list_dot_product(n0.v, {prev}.carr)
+                            / (n0.nrm * {prev}.cnrm), 6) DESC,
+                      {prev}.cid ASC) AS rn
+    FROM n0 CROSS JOIN {prev}) WHERE rn = 1
+),
+m{it} AS (
+  SELECT cid, pos,
+         (CAST(sum(q) AS DOUBLE) / {sc}) / CAST(count(*) AS DOUBLE) AS m
+  FROM (SELECT cid, g.i AS pos,
+               CAST(floor(v[g.i] * {sc}) AS BIGINT) AS q
+        FROM a{it}, (SELECT unnest(generate_series(1, 64)) AS i) g)
+  GROUP BY cid, pos
+),
+cent{it} AS (
+  SELECT s.cid, COALESCE(mm.carr, s.carr) AS carr,
+         sqrt(list_dot_product(COALESCE(mm.carr, s.carr),
+                               COALESCE(mm.carr, s.carr))) AS cnrm
+  FROM {prev} s LEFT JOIN
+       (SELECT cid, list(m ORDER BY pos) AS carr FROM m{it}
+        GROUP BY cid) mm USING (cid)
+)"""
+        )
+    final = f"cent{iters}"
+    stages.append(
+        f"""cb AS (
+  SELECT vec_id, v, nrm, cid AS cell FROM (
+    SELECT n0.vec_id, n0.v, n0.nrm, {final}.cid,
+           row_number() OVER (
+             PARTITION BY n0.vec_id
+             ORDER BY round(list_dot_product(n0.v, {final}.carr)
+                            / (n0.nrm * {final}.cnrm), 6) DESC,
+                      {final}.cid ASC) AS rn
+    FROM n0 CROSS JOIN {final}) WHERE rn = 1
+),
+qp AS (
+  SELECT query_id, qv, qn, cid AS qcell FROM (
+    SELECT n0.vec_id AS query_id, n0.v AS qv, n0.nrm AS qn, {final}.cid,
+           row_number() OVER (
+             PARTITION BY n0.vec_id
+             ORDER BY round(list_dot_product(n0.v, {final}.carr)
+                            / (n0.nrm * {final}.cnrm), 6) DESC,
+                      {final}.cid ASC) AS rn
+    FROM n0 CROSS JOIN {final}
+    WHERE n0.vec_id < 5) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT qp.query_id, cb.vec_id,
+         round(list_dot_product(qp.qv, cb.v) / (qp.qn * cb.nrm), 6) AS cos
+  FROM cb JOIN qp ON cb.cell = qp.qcell AND cb.vec_id <> qp.query_id
+),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"""
+SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM r
+WHERE rank <= {k}"""
     )
 
 
@@ -7513,11 +7612,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profiler_incremental": q_profiler_incremental,
         "profile_histogram": q_profile_histogram,
         "sql_passthrough": q_sql_passthrough,
-        "topk_customers": q_topk_customers,
         # round-5 upgrades: new oracles (LSH bucket bit-replay; the
-        # flush-sentinel sessionize drain), so these six take the
-        # final window slots to convert their r04 rows-only records
-        # into hash-verified rows
+        # flush-sentinel sessionize drain; quantized-mean k-means
+        # replay), so these seven take the final window slots to
+        # convert their r04 rows-only records into hash-verified rows
+        "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "events_stream_sessionize": q_events_stream_sessionize,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_multiprobe": q_sim_ann_multiprobe,
@@ -7529,6 +7628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows — setop/dedup row displaced from this window, then
         # dedup_simhash/winnow, sim family, the TPC-H bulk,
         # skew/quality/window suites — then the r03/r04 greens.
+        "topk_customers": q_topk_customers,
         "window_rank": q_window_rank,
         "setop_nations": q_setop_nations,
         "dedup_exact": q_dedup_exact,
@@ -7647,7 +7747,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_orc_roundtrip": q_source_orc_roundtrip,
         "sim_ivf": q_sim_ivf,
         "profile_drift": q_profile_drift,
-        "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "sim_neardup": q_sim_neardup,
         "corpus_prepare": q_corpus_prepare,
         "text_quality": q_text_quality,
@@ -7835,6 +7934,9 @@ def oracle_sql() -> dict[str, str]:
         # round 5: flush-sentinel drain makes the stateful streaming
         # sessionizer equal the batch islands computation exactly
         "events_stream_sessionize": _EVENTS_SESSION_ORACLE,
+        # round 5: quantized-int mean updates make both Lloyd
+        # iterations bit-replayable as chained CTEs
+        "sim_ivf_kmeans": _sim_ivf_kmeans_oracle(),
         # Remaining oracle-less entries are rows-only by design; each
         # carries a hash-verified companion (see test_entry_contract's
         # annotated set).

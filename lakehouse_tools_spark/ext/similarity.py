@@ -404,23 +404,31 @@ def kmeans_refine_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scale: int = 1 << 20,
 ) -> list[list[float]]:
     """Spherical-k-means refinement (Lloyd's iterations) of an IVF
     centroid set.
 
     Each iteration: assign every vector to its max-cosine centroid
-    (inline, no shuffle — see :func:`with_ivf_cell`), then recompute
-    each cell's mean vector via posexplode + (cell, dim) aggregate —
-    one shuffle of (cell, dim, partial-sum) triples, never the
-    vectors themselves. The k×dim result collects to the driver
-    (tiny) and rides into the next iteration's plan as literals, so
-    at 100 TB each iteration is one scan + one narrow aggregate.
-    Empty cells keep their previous centroid. Deterministic: seed is
-    deterministic, assignment ties break by lowest cell id, and means
-    are per-(cell,dim) aggregates of the same value multiset
-    regardless of row order at f64 — refined centroids only feed
-    *approximate* probing, so last-bit drift cannot flip any
-    oracle-checked output anyway.
+    (inline, no shuffle — see :func:`with_ivf_cell`; the per-centroid
+    cosines are rounded to 1e-6 before the argmax, ties break lowest
+    cell id), then recompute each cell's mean via posexplode +
+    (cell, dim) aggregate — one shuffle of (cell, dim, partial-sum)
+    triples, never the vectors themselves. The k×dim result collects
+    to the driver (tiny) and rides into the next iteration's plan as
+    literals, so at 100 TB each iteration is one scan + one narrow
+    aggregate. Empty cells keep their previous centroid.
+
+    BIT-deterministic (round 5): the mean aggregate sums
+    floor-quantized int64 components (the :func:`quantized_covariance`
+    contract — associative integer sums, so partition order cannot
+    move a bit) and the driver closes each mean with the fixed-order
+    expression ``(float(Σq)/scale)/n``. With the rounded-cosine
+    argmax this makes every iteration — and hence the final centroid
+    set and anything probed through it — exactly replayable by a SQL
+    engine, which is what upgrades `sim_ivf_kmeans` to a
+    hash-verified oracle. Quantization bias ≤ 1/scale per component
+    (~1e-6): noise for clustering, the whole point for the contract.
     """
     from pyspark import StorageLevel
 
@@ -434,20 +442,28 @@ def kmeans_refine_centroids(
     base = corpus.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    sc = float(scale)
     try:
         for _ in range(iters):
             assigned = with_ivf_cell(base, "_v", cents, "_cell")
-            means = (
+            sums = (
                 assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
                 .groupBy("_cell", "_pos")
-                .agg(F.avg("_x").alias("_m"))
+                .agg(
+                    F.sum(
+                        F.floor(F.col("_x").cast("double") * F.lit(sc)).cast(
+                            "long"
+                        )
+                    ).alias("_sq"),
+                    F.count(F.lit(1)).alias("_n"),
+                )
                 .collect()
             )
             by_cell: dict[int, list[float]] = {}
-            for r in means:
+            for r in sums:
                 by_cell.setdefault(int(r["_cell"]), [0.0] * dim)[int(r["_pos"])] = (
-                    float(r["_m"])
-                )
+                    float(r["_sq"]) / sc
+                ) / float(r["_n"])
             cents = [by_cell.get(i, cents[i]) for i in range(len(cents))]
     finally:
         base.unpersist()
