@@ -241,3 +241,36 @@ def test_tfidf_consumers_read_the_cached_tf(spark):
     # string reprints the cache's child scan per InMemoryRelation.)
     plan = plan_of(E.queries()["text_keywords"](spark, SF))
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_drift_ks_prunes_to_melted_columns(spark):
+    # the KS melt reads only event_id (the split key) + the two
+    # profiled columns — not ts/event_type/props
+    p = plan_of(E.q_drift_ks(spark, SF))
+    rs = re.search(r"ReadSchema: (struct<[^\n]*)", p).group(1)
+    for unused in ("ts", "event_type", "props"):
+        assert unused not in rs
+    for used in ("event_id", "user_id", "value"):
+        assert used in rs
+
+
+def test_covariance_gram_plan_is_trivial(spark):
+    # the auto strategy at d=16 must take the Gram path: a single
+    # Arrow-eval stage over a one-column scan — no wide aggregate
+    # (the 'agg' strategy's 153 sum branches), no exchange
+    from pyspark.sql import functions as F
+
+    from lakehouse_tools_spark.ext.similarity import quantized_covariance
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = quantized_covariance(emb, "embedding", dims=tuple(range(16)))
+    # result is a driver-built literal relation: scan-free plan
+    p = plan_of(df)
+    assert "FileScan" not in p and "Exchange" not in p
+
+
+def test_pca_error_report_single_pass_shape(spark):
+    # one corpus scan for fit(+stats) and one for the projection
+    # residual: the report itself is a literal one-row relation
+    p = plan_of(E.q_pca_error_report(spark, SF))
+    assert "FileScan" not in p  # all heavy lifting happened upstream
