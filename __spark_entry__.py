@@ -3583,6 +3583,87 @@ SELECT doc_id, doc_id2, c_1in2, c_2in1, containment FROM (
 )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental new-batch dedup screening (ext/dedup.
+    incremental_screen): the even-doc_id half of documents plays the
+    EXISTING corpus — represented only by its persisted banded-MinHash
+    index (build_dedup_index) — and the odd half arrives as the new
+    batch. Candidates come from the batch-bands × index equi-join
+    (never batch × corpus), and exact Jaccard verification
+    re-shingles only documents in some candidate pair. The md5 hash
+    family and band buckets are engine-portable, so the oracle
+    replays the entire screen: both band relations, the candidate
+    join, and the exact set arithmetic."""
+    from lakehouse_tools_spark.ext.dedup import (
+        build_dedup_index,
+        incremental_screen,
+    )
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    index = build_dedup_index(corpus, "text", "doc_id")
+    return incremental_screen(
+        new, corpus, index, "text", "doc_id", threshold=0.1
+    )
+
+
+def _dedup_incremental_oracle() -> str:
+    # replay both sides' band relations (the shared _MINHASH_CTE
+    # machinery parameterized by the parity split), the candidate
+    # equi-join, and the exact Jaccard over candidate docs only
+    def side(par: int, tag: str) -> str:
+        return f"""d{tag} AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(c="text")}, ' ') AS toks
+  FROM documents WHERE doc_id % 2 = {par}
+),
+sh{tag} AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(toks) >= 3 THEN array_to_string(toks[u.i + 1 : u.i + 3], ' ')
+              ELSE array_to_string(toks, ' ') END AS shingle
+  FROM d{tag}, UNNEST(CASE WHEN len(toks) >= 3 THEN generate_series(0, len(toks) - 3)
+                      ELSE [0] END) AS u(i)
+),
+m{tag} AS (
+  SELECT doc_id, h.hash_id AS hash_id,
+         min(md5(concat(h.hash_id, '|', shingle))) AS minhash
+  FROM sh{tag}, UNNEST(generate_series(0, 7)) AS h(hash_id)
+  GROUP BY doc_id, h.hash_id
+),
+b{tag} AS (
+  SELECT doc_id, CAST(hash_id // 2 AS INT) AS band,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS bucket
+  FROM m{tag} GROUP BY doc_id, CAST(hash_id // 2 AS INT)
+)"""
+
+    return (
+        "WITH "
+        + side(1, "n")
+        + ",\n"
+        + side(0, "c")
+        + """,
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS doc_id2
+  FROM bn n JOIN bc c ON n.band = c.band AND n.bucket = c.bucket
+),
+sizes_n AS (SELECT doc_id, count(*) AS sz FROM shn GROUP BY doc_id),
+sizes_c AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT cd.doc_id AS doc_id, cd.doc_id2 AS doc_id2, count(*) AS n_inter
+  FROM cand cd
+  JOIN shn s1 ON s1.doc_id = cd.doc_id
+  JOIN shc s2 ON s2.doc_id = cd.doc_id2 AND s2.shingle = s1.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_id, i.doc_id2,
+       floor(i.n_inter / (a.sz + b.sz - i.n_inter) * 1000000) / 1000000 AS jaccard
+FROM inter i
+JOIN sizes_n a ON i.doc_id = a.doc_id
+JOIN sizes_c b ON i.doc_id2 = b.doc_id
+WHERE floor(i.n_inter / (a.sz + b.sz - i.n_inter) * 1000000) / 1000000 >= 0.1"""
+    )
+
+
 _DEDUP_JACCARD_ORACLE = (
     "WITH "
     + _MINHASH_CTE
@@ -7596,6 +7677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_hard_negatives": q_sim_hard_negatives,
         "sim_quantize_report": q_sim_quantize_report,
         "text_language": q_text_language,
+        # new this round (freeze rule: added INSIDE the window,
+        # displacing an r02-green refresh)
+        "dedup_incremental": q_dedup_incremental,
         "profile_intended": q_profile_intended,
         "merge_upsert": q_merge_upsert,
         "sim_topk": q_sim_topk,
@@ -7611,7 +7695,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_topk": q_profile_topk,
         "profiler_incremental": q_profiler_incremental,
         "profile_histogram": q_profile_histogram,
-        "sql_passthrough": q_sql_passthrough,
         # round-5 upgrades: new oracles (LSH bucket bit-replay; the
         # flush-sentinel sessionize drain; quantized-mean k-means
         # replay), so these seven take the final window slots to
@@ -7628,6 +7711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows — setop/dedup row displaced from this window, then
         # dedup_simhash/winnow, sim family, the TPC-H bulk,
         # skew/quality/window suites — then the r03/r04 greens.
+        "sql_passthrough": q_sql_passthrough,
         "topk_customers": q_topk_customers,
         "window_rank": q_window_rank,
         "setop_nations": q_setop_nations,
@@ -7937,6 +8021,7 @@ def oracle_sql() -> dict[str, str]:
         # round 5: quantized-int mean updates make both Lloyd
         # iterations bit-replayable as chained CTEs
         "sim_ivf_kmeans": _sim_ivf_kmeans_oracle(),
+        "dedup_incremental": _dedup_incremental_oracle(),
         # Remaining oracle-less entries are rows-only by design; each
         # carries a hash-verified companion (see test_entry_contract's
         # annotated set).

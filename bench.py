@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "sim_pca",
     "pca_error_report",
     "drift_ks",
+    "dedup_incremental",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

@@ -566,3 +566,82 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def build_dedup_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """The persistable corpus dedup INDEX: banded MinHash buckets
+    ``(doc_id, band, bucket)`` — what an incremental pipeline stores
+    so the corpus is shingled ONCE, ever. ~`bands` rows × 40 B per
+    document regardless of document size; append-only (new batches
+    union their own bands in after screening — the same no-rescan
+    growth pattern as the mergeable profile sketches in
+    operators/sketches.py)."""
+    return lsh_bands_from_wide(
+        minhash_wide(df, text_col, id_col, num_hashes, k),
+        bands,
+        rows_per_band,
+    )
+
+
+def incremental_screen(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Screen an arriving batch against an EXISTING corpus dedup index
+    — the production incremental-dedup shape. A growing corpus is
+    never re-deduped wholesale: the stored index
+    (:func:`build_dedup_index`) is joined by each new batch, and only
+    candidate corpus documents are ever re-read.
+
+    Plan: (1) the new batch computes its own banded buckets (one
+    shingle aggregate over the BATCH, corpus untouched); (2) the
+    (band, bucket) equi-join against the index yields new×corpus
+    candidate pairs — never new×corpus cross products, and the
+    corpus-side relation is the compact index, not documents; (3)
+    exact shingle-Jaccard verification re-shingles ONLY documents
+    appearing in some candidate pair (the semi-join prune inside
+    :func:`jaccard_pairs` — at real scale this reads back a vanishing
+    fraction of the corpus). Output: ``(doc_id, doc_id2, jaccard)``
+    with doc_id = new batch id, doc_id2 = matched corpus id, floored
+    to 1e-6.
+
+    Every stage is deterministic (md5 hash family, md5 band buckets,
+    exact integer set arithmetic), so the whole screen is
+    hash-verifiable against a SQL replay.
+    """
+    new_bands = build_dedup_index(
+        new_docs, text_col, id_col, num_hashes, k, bands, rows_per_band
+    )
+    cand = (
+        new_bands.alias("a")
+        .join(
+            corpus_index.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("doc_id2"),
+        )
+        .distinct()
+    )
+    sh = word_shingles(new_docs, text_col, id_col, k).unionByName(
+        word_shingles(corpus_docs, text_col, id_col, k)
+    )
+    return jaccard_pairs(sh, candidates=cand, threshold=threshold)

@@ -221,3 +221,59 @@ def test_containment_threshold_and_candidates(spark):
     assert len(pruned) == 1 and pruned[0].containment == full[(1, 2)]
     # threshold filters on the max direction
     assert containment_pairs(sh, threshold=1.01).count() == 0
+
+
+def test_incremental_screen_matches_batch_jaccard_on_cross_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_tools_spark.ext import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = D.build_dedup_index(corpus, "text", "doc_id")
+    got = {
+        (r.doc_id, r.doc_id2): r.jaccard
+        for r in D.incremental_screen(
+            new, corpus, idx, "text", "doc_id", threshold=0.1
+        ).collect()
+    }
+    # reference: the whole-corpus LSH+verify pipeline restricted to
+    # new x corpus pairs must agree pair-for-pair (band buckets are a
+    # pure per-document function, so splitting the relation cannot
+    # change any pair's bucket agreement)
+    sh = D.word_shingles(docs, "text", "doc_id", k=3)
+    wide = D.minhash_wide_from_shingles(sh, num_hashes=8)
+    cand = D.lsh_candidate_pairs_wide(wide, bands=4, rows_per_band=2)
+    full = D.jaccard_pairs(sh, candidates=cand, threshold=0.1)
+    want = {}
+    for r in full.collect():
+        a, b = r.doc_id, r.doc_id2
+        if a % 2 != b % 2:  # one new, one corpus
+            n, c = (a, b) if a % 2 == 1 else (b, a)
+            want[(n, c)] = r.jaccard
+    assert got == want
+
+
+def test_incremental_screen_empty_batch_and_index_append(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_tools_spark.ext import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    empty = docs.filter(F.lit(False))
+    idx = D.build_dedup_index(corpus, "text", "doc_id")
+    assert (
+        D.incremental_screen(
+            empty, corpus, idx, "text", "doc_id"
+        ).count()
+        == 0
+    )
+    # append-only growth: the batch's own bands union into the index
+    # and equal rebuilding from scratch
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    grown = idx.unionByName(D.build_dedup_index(new, "text", "doc_id"))
+    rebuilt = D.build_dedup_index(docs, "text", "doc_id")
+    assert grown.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(grown).count() == 0
