@@ -3583,6 +3583,52 @@ SELECT doc_id, doc_id2, c_1in2, c_2in1, containment FROM (
 )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix (ext/corpus.source_overlap):
+    distinct-shingle Jaccard + both containments per source pair —
+    the mixture-design diagnostic that catches two feeds carrying the
+    same content before their weights double-count it. The corpus
+    collapses to a distinct (source, shingle) relation first, so the
+    pair join is bounded by sources² per shingle, never corpus-sized.
+    Exact integer set arithmetic + 1e-6 floors → fully
+    hash-verified."""
+    from lakehouse_tools_spark.ext.corpus import source_overlap
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return source_overlap(docs, "text", "source")
+
+
+_SOURCE_OVERLAP_ORACLE = f"""
+WITH d AS (
+  SELECT source, string_split({_NORM_SQL.format(c="text")}, ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source,
+         CASE WHEN len(toks) >= 3 THEN array_to_string(toks[u.i + 1 : u.i + 3], ' ')
+              ELSE array_to_string(toks, ' ') END AS shingle
+  FROM d, UNNEST(CASE WHEN len(toks) >= 3 THEN generate_series(0, len(toks) - 3)
+                      ELSE [0] END) AS u(i)
+),
+sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b,
+       CAST(a.sz AS BIGINT) AS n_shingles_a,
+       CAST(b.sz AS BIGINT) AS n_shingles_b,
+       CAST(i.n_shared AS BIGINT) AS n_shared,
+       floor(i.n_shared / (a.sz + b.sz - i.n_shared) * 1000000) / 1000000 AS jaccard,
+       floor(i.n_shared / a.sz * 1000000) / 1000000 AS c_a_in_b,
+       floor(i.n_shared / b.sz * 1000000) / 1000000 AS c_b_in_a
+FROM inter i
+JOIN sizes a ON i.source_a = a.source
+JOIN sizes b ON i.source_b = b.source
+"""
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental new-batch dedup screening (ext/dedup.
     incremental_screen): the even-doc_id half of documents plays the
@@ -7680,6 +7726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round (freeze rule: added INSIDE the window,
         # displacing an r02-green refresh)
         "dedup_incremental": q_dedup_incremental,
+        "source_overlap": q_source_overlap,
         "profile_intended": q_profile_intended,
         "merge_upsert": q_merge_upsert,
         "sim_topk": q_sim_topk,
@@ -7694,7 +7741,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_pandas": q_sim_topk_pandas,
         "profile_topk": q_profile_topk,
         "profiler_incremental": q_profiler_incremental,
-        "profile_histogram": q_profile_histogram,
         # round-5 upgrades: new oracles (LSH bucket bit-replay; the
         # flush-sentinel sessionize drain; quantized-mean k-means
         # replay), so these seven take the final window slots to
@@ -7711,6 +7757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows — setop/dedup row displaced from this window, then
         # dedup_simhash/winnow, sim family, the TPC-H bulk,
         # skew/quality/window suites — then the r03/r04 greens.
+        "profile_histogram": q_profile_histogram,
         "sql_passthrough": q_sql_passthrough,
         "topk_customers": q_topk_customers,
         "window_rank": q_window_rank,
@@ -8022,6 +8069,7 @@ def oracle_sql() -> dict[str, str]:
         # iterations bit-replayable as chained CTEs
         "sim_ivf_kmeans": _sim_ivf_kmeans_oracle(),
         "dedup_incremental": _dedup_incremental_oracle(),
+        "source_overlap": _SOURCE_OVERLAP_ORACLE,
         # Remaining oracle-less entries are rows-only by design; each
         # carries a hash-verified companion (see test_entry_contract's
         # annotated set).

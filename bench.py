@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "pca_error_report",
     "drift_ks",
     "dedup_incremental",
+    "source_overlap",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

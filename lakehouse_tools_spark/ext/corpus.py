@@ -140,3 +140,82 @@ def budget_select(
         .filter(F.col("_cum") <= budget)
         .drop("_pid", "_cum_in", "_cum")
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 3,
+) -> DataFrame:
+    """Pairwise content-overlap matrix between corpus sources — the
+    mixture-design diagnostic: two crawls/feeds with high shingle
+    overlap double-weight the same content, so their mixture weights
+    should be set jointly (or one source deduped against the other
+    with :func:`ext.dedup.incremental_screen`).
+
+    Per unordered source pair (a < b): distinct-shingle Jaccard and
+    both asymmetric containments (C(a in b) flags a source that is a
+    subset of another — the "mirror site" case Jaccard understates
+    when sizes differ).
+
+    Scale shape: the corpus collapses to a DISTINCT (source, shingle)
+    relation FIRST (one map-side-combined aggregate — the shuffle
+    carries each source's distinct shingles, not documents), and the
+    pair join runs on that relation keyed by shingle: a shingle
+    shared by m sources emits m(m-1)/2 pair rows, bounded by
+    sources², independent of corpus row count. Output is
+    source-pair-sized. All integer set arithmetic + 1e-6 floors —
+    exactly SQL-replayable.
+    """
+    from lakehouse_tools_spark.ext.dedup import word_shingles
+    from lakehouse_tools_spark.functions.portable import floor6
+
+    sh = (
+        word_shingles(
+            docs.select(
+                F.col(source_col).alias("doc_id"), F.col(text_col)
+            ),
+            text_col,
+            "doc_id",
+            k,
+        )
+        .withColumnRenamed("doc_id", "source")
+        .distinct()
+    )
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "source_a")
+        .join(zb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("sz_a").cast("long").alias("n_shingles_a"),
+            F.col("sz_b").cast("long").alias("n_shingles_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            floor6(
+                F.col("n_shared")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+            floor6(F.col("n_shared") / F.col("sz_a")).alias("c_a_in_b"),
+            floor6(F.col("n_shared") / F.col("sz_b")).alias("c_b_in_a"),
+        )
+    )

@@ -277,3 +277,29 @@ def test_incremental_screen_empty_batch_and_index_append(spark):
     rebuilt = D.build_dedup_index(docs, "text", "doc_id")
     assert grown.exceptAll(rebuilt).count() == 0
     assert rebuilt.exceptAll(grown).count() == 0
+
+
+def test_source_overlap_bounds_and_identity(spark):
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.ext.corpus import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta", source="s1"),
+            Row(doc_id=2, text="alpha beta gamma delta", source="s2"),
+            Row(doc_id=3, text="alpha beta gamma epsilon", source="s3"),
+            Row(doc_id=4, text="zeta eta theta iota", source="s4"),
+        ]
+    )
+    out = {
+        (r.source_a, r.source_b): r for r in source_overlap(docs).collect()
+    }
+    # identical sources -> jaccard 1 and both containments 1
+    r12 = out[("s1", "s2")]
+    assert r12.jaccard == 1.0 and r12.c_a_in_b == 1.0 and r12.c_b_in_a == 1.0
+    # partial overlap: s1 has shingles {abg, bgd}, s3 {abg, bge}
+    r13 = out[("s1", "s3")]
+    assert 0 < r13.jaccard < 1 and r13.n_shared == 1
+    # disjoint source never appears in a pair row
+    assert not any("s4" in k for k in out)
