@@ -274,3 +274,21 @@ def test_pca_error_report_single_pass_shape(spark):
     # residual: the report itself is a literal one-row relation
     p = plan_of(E.q_pca_error_report(spark, SF))
     assert "FileScan" not in p  # all heavy lifting happened upstream
+
+
+def test_incremental_screen_no_cartesian_all_broadcast(spark):
+    # candidates come from the (band, bucket) equi-join and the
+    # verify stage is candidate-pruned broadcast joins — a cartesian
+    # or sort-merge join here would mean the prune was lost
+    p = plan_of(E.q_dedup_incremental(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_source_overlap_prunes_to_text_and_source(spark):
+    # the corpus collapses to distinct (source, shingle) before any
+    # join; the scan must read only text + source
+    p = plan_of(E.q_source_overlap(spark, SF))
+    assert "CartesianProduct" not in p
+    rs = set(re.findall(r"ReadSchema: (struct<[^\n]*)", p))
+    assert rs == {"struct<text:string,source:string>"}
