@@ -3583,6 +3583,91 @@ SELECT doc_id, doc_id2, c_1in2, c_2in1, containment FROM (
 )
 
 
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-as-estimator accuracy, measured not assumed: for every
+    LSH candidate pair, the signature-agreement estimate
+    est = |{i : h_i(A) = h_i(B)}| / num_hashes sits next to the exact
+    shingle Jaccard it estimates, plus the absolute error — the
+    per-pair ground truth behind the banded-LSH recall story (E[est]
+    = J, so systematic error here means a broken hash family or
+    shingler). Everything is md5/integer-set arithmetic: the oracle
+    replays signatures, candidates, both scores, and the error
+    hash-exactly. Scale shape: signatures and shingles are computed
+    once each; both scoring joins are candidate-pruned."""
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    sh = X_dedup.word_shingles(docs, "text", "doc_id", k=3)
+    wide = X_dedup.minhash_wide_from_shingles(sh, num_hashes=8)
+    cand = X_dedup.lsh_candidate_pairs_wide(wide, bands=4, rows_per_band=2)
+    exact = X_dedup.jaccard_pairs(sh, candidates=cand)
+    agree = sum(
+        (F.col(f"a._h{i}") == F.col(f"b._h{i}")).cast("int") for i in range(8)
+    )
+    est = (
+        cand.join(wide.alias("a"), cand["doc_id"] == F.col("a.doc_id"))
+        .join(wide.alias("b"), cand["doc_id2"] == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("doc_id2"),
+            (agree.cast("double") / F.lit(8.0)).alias("_est"),
+        )
+    )
+    from lakehouse_tools_spark.functions.portable import floor6
+
+    return est.join(exact, ["doc_id", "doc_id2"]).select(
+        "doc_id",
+        "doc_id2",
+        floor6(F.col("_est")).alias("est_jaccard"),
+        "jaccard",
+        floor6(F.abs(F.col("_est") - F.col("jaccard"))).alias("abs_err"),
+    )
+
+
+_DEDUP_MINHASH_EST_ORACLE = (
+    "WITH "
+    + _MINHASH_CTE
+    + """,
+bnd AS (
+  SELECT doc_id, CAST(hash_id // 2 AS INT) AS band,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS bucket
+  FROM m GROUP BY doc_id, CAST(hash_id // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b2.doc_id AS doc_id2
+  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                        AND a.doc_id < b2.doc_id
+),
+est AS (
+  SELECT c.doc_id, c.doc_id2,
+         sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / 8.0 AS e
+  FROM cand c
+  JOIN m ma ON ma.doc_id = c.doc_id
+  JOIN m mb ON mb.doc_id = c.doc_id2 AND mb.hash_id = ma.hash_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id AS doc_id, c.doc_id2 AS doc_id2, count(*) AS n_inter
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_id
+  JOIN sh s2 ON s2.doc_id = c.doc_id2 AND s2.shingle = s1.shingle
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT i.doc_id, i.doc_id2,
+         floor(i.n_inter / (a.sz + b.sz - i.n_inter) * 1000000) / 1000000 AS jaccard
+  FROM inter i
+  JOIN sizes a ON i.doc_id = a.doc_id
+  JOIN sizes b ON i.doc_id2 = b.doc_id
+)
+SELECT e.doc_id, e.doc_id2,
+       floor(e.e * 1000000) / 1000000 AS est_jaccard,
+       ex.jaccard,
+       floor(abs(e.e - ex.jaccard) * 1000000) / 1000000 AS abs_err
+FROM est e JOIN ex ON e.doc_id = ex.doc_id AND e.doc_id2 = ex.doc_id2
+"""
+)
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-overlap matrix (ext/corpus.source_overlap):
     distinct-shingle Jaccard + both containments per source pair —
@@ -7727,6 +7812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displacing an r02-green refresh)
         "dedup_incremental": q_dedup_incremental,
         "source_overlap": q_source_overlap,
+        "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "profile_intended": q_profile_intended,
         "merge_upsert": q_merge_upsert,
         "sim_topk": q_sim_topk,
@@ -7740,7 +7826,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_full_sync": q_merge_full_sync,
         "sim_topk_pandas": q_sim_topk_pandas,
         "profile_topk": q_profile_topk,
-        "profiler_incremental": q_profiler_incremental,
         # round-5 upgrades: new oracles (LSH bucket bit-replay; the
         # flush-sentinel sessionize drain; quantized-mean k-means
         # replay), so these seven take the final window slots to
@@ -7757,6 +7842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows — setop/dedup row displaced from this window, then
         # dedup_simhash/winnow, sim family, the TPC-H bulk,
         # skew/quality/window suites — then the r03/r04 greens.
+        "profiler_incremental": q_profiler_incremental,
         "profile_histogram": q_profile_histogram,
         "sql_passthrough": q_sql_passthrough,
         "topk_customers": q_topk_customers,
@@ -8070,6 +8156,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_kmeans": _sim_ivf_kmeans_oracle(),
         "dedup_incremental": _dedup_incremental_oracle(),
         "source_overlap": _SOURCE_OVERLAP_ORACLE,
+        "dedup_minhash_estimate": _DEDUP_MINHASH_EST_ORACLE,
         # Remaining oracle-less entries are rows-only by design; each
         # carries a hash-verified companion (see test_entry_contract's
         # annotated set).

@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "drift_ks",
     "dedup_incremental",
     "source_overlap",
+    "dedup_minhash_estimate",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with
