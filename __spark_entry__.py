@@ -4748,6 +4748,92 @@ WHERE a.vec_id = a.cluster_id
 """
 
 
+def q_dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT near-dup dedup, end to end — the canonical LLM-corpus
+    collapse, composed entirely from the hash-verified scale paths:
+    banded-MinHash LSH candidates (never all-pairs) → exact shingle
+    Jaccard ≥ 0.3 verification (candidate-pruned) → connected
+    components (tree-contraction union-find) → keep the min-id
+    representative per cluster with its absorbed-member count. The
+    embedding-side sibling is `semantic_dedup`; this one's pair graph
+    is the md5-replayable LSH+Jaccard screen, so the oracle rebuilds
+    the ENTIRE flow — signatures, candidates, verification, and the
+    recursive-CTE closure — hash-exactly. Survivor count == corpus
+    minus absorbed duplicates by construction."""
+    from lakehouse_tools_spark.ext.graph import (
+        cluster_representatives,
+        connected_components_contract,
+    )
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    sh = X_dedup.word_shingles(docs, "text", "doc_id", k=3)
+    wide = X_dedup.minhash_wide_from_shingles(sh, num_hashes=8)
+    cand = X_dedup.lsh_candidate_pairs_wide(wide, bands=4, rows_per_band=2)
+    pairs = X_dedup.jaccard_pairs(sh, candidates=cand, threshold=0.3).select(
+        "doc_id", "doc_id2"
+    )
+    assign = connected_components_contract(
+        pairs, docs, src_col="doc_id", dst_col="doc_id2", id_col="doc_id"
+    )
+    sizes = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        cluster_representatives(assign, "doc_id")
+        .join(sizes, "cluster_id")
+        .select("doc_id", "n_members")
+    )
+
+
+_DEDUP_COLLAPSE_ORACLE = (
+    "WITH RECURSIVE "
+    + _MINHASH_CTE.lstrip()
+    + """,
+bnd AS (
+  SELECT doc_id, CAST(hash_id // 2 AS INT) AS band,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS bucket
+  FROM m GROUP BY doc_id, CAST(hash_id // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b2.doc_id AS doc_id2
+  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                        AND a.doc_id < b2.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id AS doc_id, c.doc_id2 AS doc_id2, count(*) AS n_inter
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_id
+  JOIN sh s2 ON s2.doc_id = c.doc_id2 AND s2.shingle = s1.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_id AS pa, i.doc_id2 AS pb
+  FROM inter i
+  JOIN sizes a ON i.doc_id = a.doc_id
+  JOIN sizes b ON i.doc_id2 = b.doc_id
+  WHERE floor(i.n_inter / (a.sz + b.sz - i.n_inter) * 1000000) / 1000000 >= 0.3
+),
+sym AS (
+  SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs
+),
+reach AS (
+  SELECT doc_id AS v, doc_id AS u FROM documents
+  UNION
+  SELECT r.v, s.b AS u FROM reach r JOIN sym s ON s.a = r.u
+),
+assign AS (
+  SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v
+)
+SELECT a.doc_id AS doc_id, CAST(n.n AS BIGINT) AS n_members
+FROM assign a
+JOIN (SELECT cluster_id, count(*) AS n FROM assign GROUP BY cluster_id) n
+  ON a.cluster_id = n.cluster_id
+WHERE a.doc_id = a.cluster_id
+"""
+)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode via mapInPandas (stub codec, real Arrow
     plumbing). The fake decoder is md5-derived, so DuckDB can verify
@@ -7813,6 +7899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "source_overlap": q_source_overlap,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
+        "dedup_collapse": q_dedup_collapse,
         "profile_intended": q_profile_intended,
         "merge_upsert": q_merge_upsert,
         "sim_topk": q_sim_topk,
@@ -7825,7 +7912,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_rowset": q_zorder_rowset,
         "merge_full_sync": q_merge_full_sync,
         "sim_topk_pandas": q_sim_topk_pandas,
-        "profile_topk": q_profile_topk,
         # round-5 upgrades: new oracles (LSH bucket bit-replay; the
         # flush-sentinel sessionize drain; quantized-mean k-means
         # replay), so these seven take the final window slots to
@@ -7842,6 +7928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows — setop/dedup row displaced from this window, then
         # dedup_simhash/winnow, sim family, the TPC-H bulk,
         # skew/quality/window suites — then the r03/r04 greens.
+        "profile_topk": q_profile_topk,
         "profiler_incremental": q_profiler_incremental,
         "profile_histogram": q_profile_histogram,
         "sql_passthrough": q_sql_passthrough,
@@ -8157,6 +8244,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _dedup_incremental_oracle(),
         "source_overlap": _SOURCE_OVERLAP_ORACLE,
         "dedup_minhash_estimate": _DEDUP_MINHASH_EST_ORACLE,
+        "dedup_collapse": _DEDUP_COLLAPSE_ORACLE,
         # Remaining oracle-less entries are rows-only by design; each
         # carries a hash-verified companion (see test_entry_contract's
         # annotated set).

@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "source_overlap",
     "dedup_minhash_estimate",
+    "dedup_collapse",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with
