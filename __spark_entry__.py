@@ -5344,14 +5344,51 @@ FROM e
 def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document first-fit-decreasing packing: documents never
     split; per-bucket sequential fitting runs as applyInPandas (the
-    honest escape hatch — first-fit is inherently stateful). Rows-only
-    by design (first-fit isn't SQL-expressible); capacity, coverage,
-    determinism, and oversize-isolation are pinned in
-    tests/test_packing.py."""
+    honest escape hatch — first-fit is inherently stateful PER ROW,
+    so no relational pass expresses it). Hash-verified since round 5
+    regardless: sequential state is still a linear RECURSION, and the
+    oracle simulates the exact first-fit loop as a recursive CTE —
+    one step per item per bucket, carrying the open-bin fill levels
+    as a list column and picking the first fitting bin with the same
+    (len desc, id asc) order. Capacity, coverage, determinism, and
+    oversize-isolation stay pinned in tests/test_packing.py."""
     from lakehouse_tools_spark.ext.packing import pack_bins
 
     docs = load_table(_spark(spark), sf_dir, "documents")
     return pack_bins(docs, "doc_id", "n_chars", budget=1024, num_buckets=8)
+
+
+_PACK_BINS_ORACLE = """
+WITH RECURSIVE seq AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket,
+         row_number() OVER (
+           PARTITION BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+           ORDER BY CAST(n_chars AS BIGINT) DESC, doc_id ASC) AS rn
+  FROM documents
+),
+rec AS (
+  -- anchor: each bucket's largest item opens bin 0
+  SELECT bucket, rn, doc_id, len, CAST(0 AS BIGINT) AS bin_id, [len] AS fills
+  FROM seq WHERE rn = 1
+  UNION ALL
+  -- step: first open bin the item fits (list_position = 0 means
+  -- none -> open a new bin), then update that bin's fill level
+  SELECT s.bucket, s.rn, s.doc_id, s.len,
+         CAST(CASE WHEN list_position(list_transform(r.fills, f -> f + s.len <= 1024), true) = 0
+                   THEN len(r.fills)
+                   ELSE list_position(list_transform(r.fills, f -> f + s.len <= 1024), true) - 1
+              END AS BIGINT) AS bin_id,
+         CASE WHEN list_position(list_transform(r.fills, f -> f + s.len <= 1024), true) = 0
+              THEN list_append(r.fills, s.len)
+              ELSE list_transform(generate_series(1, len(r.fills)),
+                     j -> CASE WHEN j = list_position(list_transform(r.fills, f -> f + s.len <= 1024), true)
+                               THEN r.fills[j] + s.len ELSE r.fills[j] END)
+         END AS fills
+  FROM rec r JOIN seq s ON s.bucket = r.bucket AND s.rn = r.rn + 1
+)
+SELECT bucket, bin_id, doc_id, len AS n_chars FROM rec
+"""
 
 
 _PACK_BUDGET = 1024
@@ -7900,6 +7937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "dedup_collapse": q_dedup_collapse,
+        "pack_bins": q_pack_bins,
         "profile_intended": q_profile_intended,
         "merge_upsert": q_merge_upsert,
         "sim_topk": q_sim_topk,
@@ -7911,7 +7949,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "zorder_rowset": q_zorder_rowset,
         "merge_full_sync": q_merge_full_sync,
-        "sim_topk_pandas": q_sim_topk_pandas,
         # round-5 upgrades: new oracles (LSH bucket bit-replay; the
         # flush-sentinel sessionize drain; quantized-mean k-means
         # replay), so these seven take the final window slots to
@@ -7928,6 +7965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows — setop/dedup row displaced from this window, then
         # dedup_simhash/winnow, sim family, the TPC-H bulk,
         # skew/quality/window suites — then the r03/r04 greens.
+        "sim_topk_pandas": q_sim_topk_pandas,
         "profile_topk": q_profile_topk,
         "profiler_incremental": q_profiler_incremental,
         "profile_histogram": q_profile_histogram,
@@ -7956,7 +7994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "semantic_dedup": q_semantic_dedup,
         "profile_quantiles_exact": q_profile_quantiles_exact,
-        "pack_bins": q_pack_bins,
         "profile_distinct_sketch": q_profile_distinct_sketch,
         "catalog_show_tables": q_catalog_show_tables,
         "profile_nested": q_profile_nested,
@@ -8245,6 +8282,10 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": _SOURCE_OVERLAP_ORACLE,
         "dedup_minhash_estimate": _DEDUP_MINHASH_EST_ORACLE,
         "dedup_collapse": _DEDUP_COLLAPSE_ORACLE,
+        # round 5: first-fit is sequential state but still a LINEAR
+        # recursion -- the oracle simulates the exact loop as a
+        # recursive CTE carrying open-bin fills as a list column
+        "pack_bins": _PACK_BINS_ORACLE,
         # Remaining oracle-less entries are rows-only by design; each
         # carries a hash-verified companion (see test_entry_contract's
         # annotated set).

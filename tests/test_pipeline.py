@@ -59,7 +59,6 @@ def test_entry_contract(spark):
     assert set(qs) - set(oracles) == {
         "profile_summary_approx",  # HLL estimate; summary_error_report
         "profile_quantiles",  # GK sketch; quantile_error_report
-        "pack_bins",  # first-fit bin state isn't SQL-expressible
         "profile_distinct_sketch",  # sketch bytes are engine-specific
         # eigendecomposition is non-SQL-expressible; its numerical
         # contract is hash-verified via pca_error_report instead
