@@ -4785,10 +4785,10 @@ def q_dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEDUP_COLLAPSE_ORACLE = (
-    "WITH RECURSIVE "
-    + _MINHASH_CTE.lstrip()
-    + """,
+#: The LSH → Jaccard-verify → transitive-closure CTE chain shared by
+#: the collapse oracle and the corpus_dedup_e2e composition: ends at
+#: ``assign`` (doc_id → min-id cluster label for every document).
+_COLLAPSE_GRAPH_CTES = """,
 bnd AS (
   SELECT doc_id, CAST(hash_id // 2 AS INT) AS band,
          md5(array_to_string(list_sort(list(minhash)), '|')) AS bucket
@@ -4825,6 +4825,13 @@ reach AS (
 assign AS (
   SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v
 )
+"""
+
+_DEDUP_COLLAPSE_ORACLE = (
+    "WITH RECURSIVE "
+    + _MINHASH_CTE.lstrip()
+    + _COLLAPSE_GRAPH_CTES
+    + """
 SELECT a.doc_id AS doc_id, CAST(n.n AS BIGINT) AS n_members
 FROM assign a
 JOIN (SELECT cluster_id, count(*) AS n FROM assign GROUP BY cluster_id) n
@@ -4907,7 +4914,12 @@ def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepare_corpus(docs, min_quality=0.725, langs=("en",))
 
 
-def _corpus_oracle(min_quality: float = 0.725, lang: str = "en") -> str:
+def _corpus_oracle(
+    min_quality: float = 0.725, lang: str = "en", src: str = "documents"
+) -> str:
+    """``src`` is the relation prepared: the plain table for
+    corpus_prepare, a survivor subquery for the corpus_dedup_e2e
+    composition (must expose doc_id + text)."""
     norm = _NORM_SQL.format(c="text")
     stop = ", ".join(f"'{w}'" for w in _STOPWORDS)
     langs = sorted(X_text.LANG_MARKERS)
@@ -4922,7 +4934,7 @@ def _corpus_oracle(min_quality: float = 0.725, lang: str = "en") -> str:
     return f"""
 WITH base AS (
   SELECT doc_id, text, string_split({norm}, ' ') AS words, md5({norm}) AS fingerprint
-  FROM documents
+  FROM {src}
 ),
 feat AS (
   SELECT doc_id, fingerprint,
@@ -5052,6 +5064,76 @@ SELECT bucket, seq_id,
        least(en, (seq_id + 1) * 256) - greatest(st, seq_id * 256) AS frag_len
 FROM e
 """
+
+
+def q_corpus_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end an LLM-data user actually runs, composed from
+    THREE already-oracled families and hash-verified as one flow:
+    (1) near-dup collapse — banded-MinHash LSH candidates → exact
+    shingle-Jaccard ≥ 0.3 verify (candidate-pruned) → connected
+    components → min-id survivors (the `dedup_collapse` stages);
+    (2) corpus preparation over the survivors — one-pass quality →
+    language → exact-dedup keep-first (`corpus_prepare`); (3)
+    deterministic 80/10/10 train/val/test assignment of the prepared
+    set (`corpus_split`'s md5-interval deal — append-stable, engine
+    portable). Output: one row per training-ready document with its
+    provenance stats and split.
+
+    Scale: stage boundaries are key-only semi-joins (survivor ids),
+    every stage keeps its own bucketed/one-scan shape, and the only
+    new cost over the parts is the doc_id semi-join gluing them — so
+    the composition inherits each family's 100 TB argument intact.
+    The oracle chains the collapse CTEs, the prepare SQL over the
+    survivor subquery, and the split intervals into ONE recursive-CTE
+    query — the driver hash covers the entire pipeline."""
+    from lakehouse_tools_spark.ext.corpus import prepare_corpus
+    from lakehouse_tools_spark.ext.graph import (
+        cluster_representatives,
+        connected_components_contract,
+    )
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    sh = X_dedup.word_shingles(docs, "text", "doc_id", k=3)
+    wide = X_dedup.minhash_wide_from_shingles(sh, num_hashes=8)
+    cand = X_dedup.lsh_candidate_pairs_wide(wide, bands=4, rows_per_band=2)
+    pairs = X_dedup.jaccard_pairs(sh, candidates=cand, threshold=0.3).select(
+        "doc_id", "doc_id2"
+    )
+    assign = connected_components_contract(
+        pairs, docs, src_col="doc_id", dst_col="doc_id2", id_col="doc_id"
+    )
+    reps = cluster_representatives(assign, "doc_id").select("doc_id")
+    surv = docs.join(reps, "doc_id", "left_semi")
+    prepared = prepare_corpus(surv, min_quality=0.725, langs=("en",))
+    return X_sample.split_corpus(
+        prepared, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id"
+    ).select(
+        "doc_id", "lang_pred", "quality_score", "n_tokens", "n_dups", "split"
+    )
+
+
+def _corpus_dedup_e2e_oracle() -> str:
+    h = _HASH_U32_SQL.format(key="doc_id", salt="")
+    prep = _corpus_oracle(
+        src="(SELECT d.doc_id, d.text FROM documents d "
+        "WHERE d.doc_id IN (SELECT doc_id FROM reps))"
+    )
+    # sorted split names: test (0.1), train (0.9), val (1.0) — same
+    # cumulative intervals as split_corpus's sorted-weights deal
+    return (
+        "WITH RECURSIVE "
+        + _MINHASH_CTE.lstrip()
+        + _COLLAPSE_GRAPH_CTES
+        + f""",
+reps AS (SELECT doc_id FROM assign WHERE doc_id = cluster_id),
+prep AS (SELECT * FROM ({prep}))
+SELECT doc_id, lang_pred, quality_score, n_tokens, n_dups,
+       CASE WHEN {h} / 4294967296.0 < 0.1 THEN 'test'
+            WHEN {h} / 4294967296.0 < 0.9 THEN 'train'
+            ELSE 'val' END AS split
+FROM prep
+"""
+    )
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6286,9 +6368,12 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (streaming/joins.py): purchases ⋈
     views of the same user with the view in the 30 minutes before the
     purchase — both sides true readStream relations with watermarks,
-    drained availableNow into a memory sink. The fixture is one file
-    ⇒ one micro-batch ⇒ no state eviction has fired when the join
-    evaluates, so the batch interval join is the exact oracle."""
+    drained availableNow into a memory sink. INNER join semantics
+    need no flush sentinel (unlike the left-outer sibling below):
+    every matched pair emits the moment both rows are present — only
+    outer NULL rows depend on watermark-driven state *eviction*, so
+    the drained inner result equals the batch interval join with no
+    eviction contract required. That batch join is the exact oracle."""
     from lakehouse_tools_spark.sources.tables import load_stream
     from lakehouse_tools_spark.streaming.joins import stream_interval_join
     from lakehouse_tools_spark.streaming.sink import run_to_memory
@@ -6301,24 +6386,28 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deployment sizes it to rate × range up front)
     prev_parts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    p = X_win.with_watermark(
-        load_stream(s, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select("event_id", "ts", "user_id"),
-        "ts",
-        "1 hour",
-    )
-    v = X_win.with_watermark(
-        load_stream(s, sf_dir, "events")
-        .filter(F.col("event_type") == "view")
-        .select("event_id", "ts", "user_id"),
-        "ts",
-        "1 hour",
-    )
-    joined = stream_interval_join(
-        p, v, "user_id", "ts", "ts", -1800, 0, prefixes=("p_", "v_")
-    )
+    # everything fallible (load_stream schema probe, join analysis,
+    # the drain itself) sits inside the try/finally so an exception
+    # can't leak the narrow-partition override into later queries —
+    # same pattern as the outer-join sibling below
     try:
+        p = X_win.with_watermark(
+            load_stream(s, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "ts", "user_id"),
+            "ts",
+            "1 hour",
+        )
+        v = X_win.with_watermark(
+            load_stream(s, sf_dir, "events")
+            .filter(F.col("event_type") == "view")
+            .select("event_id", "ts", "user_id"),
+            "ts",
+            "1 hour",
+        )
+        joined = stream_interval_join(
+            p, v, "user_id", "ts", "ts", -1800, 0, prefixes=("p_", "v_")
+        )
         out = run_to_memory(joined, "events_stream_join", output_mode="append")
     finally:
         s.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -7895,15 +7984,108 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver correctness snapshot, which records the
-    # FIRST ~50 entries only. Round-5 window (per VERDICT r04 items
-    # #2/#3): positions 1-26 are the 24 queries with no driver row
-    # ever (the late-r04 additions) plus the two new-this-round
-    # contracts (pca_error_report — sim_pca's hash-verified
-    # companion — and drift_ks); positions 27-50 are the stalest
-    # green rows (text_language r01, then r02 rows). The remaining
-    # r02-era rows (TPC-H bulk, skew/quality/windows) queue first for
-    # the r06 window. NO new operators outside the window this round.
+    # FIRST ~50 entries only. Round-6 window (VERDICT r05 item #1 +
+    # freeze rule #6): positions 1-38 are the entire r02-stale cohort
+    # (TPC-H bulk, window/setop/skew/quality suites, the classic
+    # dedup shapes — all green since r02 but surrounded by 3 rounds
+    # of churn, e.g. _ps_derived feeds five of the TPC-H queries);
+    # position 39 is the ONE new query this round (corpus_dedup_e2e,
+    # the collapse→prepare→split composition, hash-verified — added
+    # INSIDE the window per the freeze rule); positions 40-50 are the
+    # stalest r03 rows (streaming joins, the profiler flagship, the
+    # sim/dedup r03 stragglers). Done-bar: after this window lands,
+    # no registered query's latest driver row is older than r03.
     return {
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "topk_customers": q_topk_customers,
+        "window_rank": q_window_rank,
+        "window_ranking_suite": q_window_ranking_suite,
+        "setop_nations": q_setop_nations,
+        "sql_passthrough": q_sql_passthrough,
+        "rollup_pricing": q_rollup_pricing,
+        "quality_check": q_quality_check,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_winnow": q_dedup_winnow,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "profile_histogram": q_profile_histogram,
+        "profile_topk": q_profile_topk,
+        "profiler_incremental": q_profiler_incremental,
+        "sim_topk_pandas": q_sim_topk_pandas,
+        # new this round (freeze rule: inside the window)
+        "corpus_dedup_e2e": q_corpus_dedup_e2e,
+        # stalest r03 rows fill the remaining window slots
+        "dedup_clusters": q_dedup_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "sim_ivf": q_sim_ivf,
+        "sim_neardup": q_sim_neardup,
+        "events_stream_join": q_events_stream_join,
+        "events_stream_watermark": q_events_stream_watermark,
+        "events_stream_dedup": q_events_stream_dedup,
+        "profiler_e2e": q_profiler_e2e,
+        "fuzzy_join": q_fuzzy_join,
+        "multimodal_features": q_multimodal_features,
+        "table_versions": q_table_versions,
+        # --- position 51+: outside the ~50-entry driver snapshot
+        # window. r07 priority: the remaining r03 rows below, then
+        # the r04 cohort, then the r05 greens (freshest last).
+        "asof_tolerance": q_asof_tolerance,
+        "catalog_stats": q_catalog_stats,
+        "cdc_apply": q_cdc_apply,
+        "cdc_merge_into": q_cdc_merge_into,
+        "chunk_chars": q_chunk_chars,
+        "chunk_tokens": q_chunk_tokens,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_mixture": q_corpus_mixture,
+        "corpus_prepare": q_corpus_prepare,
+        "cube_pricing": q_cube_pricing,
+        "events_json": q_events_json,
+        "events_lag_lead": q_events_lag_lead,
+        "events_pivot": q_events_pivot,
+        "events_range_join": q_events_range_join,
+        "events_sessionize": q_events_sessionize,
+        "events_sliding": q_events_sliding,
+        "events_tumbling": q_events_tumbling,
+        "events_unpivot": q_events_unpivot,
+        "multimodal_decode": q_multimodal_decode,
+        "pack_chunks": q_pack_chunks,
+        "profile_drift": q_profile_drift,
+        "profile_quantiles_exact": q_profile_quantiles_exact,
+        "sample_balanced": q_sample_balanced,
+        "sample_stratified": q_sample_stratified,
+        "scd2_customers": q_scd2_customers,
+        "snapshot_diff": q_snapshot_diff,
+        "source_binaryfile": q_source_binaryfile,
+        "source_csv_roundtrip": q_source_csv_roundtrip,
+        "source_json_roundtrip": q_source_json_roundtrip,
+        "source_orc_roundtrip": q_source_orc_roundtrip,
+        "text_fingerprints": q_text_fingerprints,
+        "text_quality": q_text_quality,
+        "text_redact": q_text_redact,
+        "text_tokens": q_text_tokens,
+        "text_vocabulary": q_text_vocabulary,
         "sim_pca": q_sim_pca,
         "pca_error_report": q_pca_error_report,
         "drift_ks": q_drift_ks,
@@ -7931,8 +8113,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_hard_negatives": q_sim_hard_negatives,
         "sim_quantize_report": q_sim_quantize_report,
         "text_language": q_text_language,
-        # new this round (freeze rule: added INSIDE the window,
-        # displacing an r02-green refresh)
         "dedup_incremental": q_dedup_incremental,
         "source_overlap": q_source_overlap,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
@@ -7949,10 +8129,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "zorder_rowset": q_zorder_rowset,
         "merge_full_sync": q_merge_full_sync,
-        # round-5 upgrades: new oracles (LSH bucket bit-replay; the
-        # flush-sentinel sessionize drain; quantized-mean k-means
-        # replay), so these seven take the final window slots to
-        # convert their r04 rows-only records into hash-verified rows
         "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "events_stream_sessionize": q_events_stream_sessionize,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -7960,40 +8136,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup_lsh": q_sim_neardup_lsh,
         "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
-        # --- position 51+: outside the ~50-entry driver snapshot
-        # window. r06 priority (stalest first): the remaining r02-era
-        # rows — setop/dedup row displaced from this window, then
-        # dedup_simhash/winnow, sim family, the TPC-H bulk,
-        # skew/quality/window suites — then the r03/r04 greens.
-        "sim_topk_pandas": q_sim_topk_pandas,
-        "profile_topk": q_profile_topk,
-        "profiler_incremental": q_profiler_incremental,
-        "profile_histogram": q_profile_histogram,
-        "sql_passthrough": q_sql_passthrough,
-        "topk_customers": q_topk_customers,
-        "window_rank": q_window_rank,
-        "setop_nations": q_setop_nations,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_lsh_pairs": q_dedup_lsh_pairs,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_winnow": q_dedup_winnow,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q21": q_tpch_q21,
         "tpch_q2": q_tpch_q2,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
-        "profiler_e2e": q_profiler_e2e,
-        "fuzzy_join": q_fuzzy_join,
-        "table_versions": q_table_versions,
-        "cdc_apply": q_cdc_apply,
-        "cdc_merge_into": q_cdc_merge_into,
-        "dedup_clusters": q_dedup_clusters,
-        "semantic_dedup": q_semantic_dedup,
-        "profile_quantiles_exact": q_profile_quantiles_exact,
         "profile_distinct_sketch": q_profile_distinct_sketch,
         "catalog_show_tables": q_catalog_show_tables,
         "profile_nested": q_profile_nested,
@@ -8034,66 +8181,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cross_contamination": q_sim_cross_contamination,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "events_interpolate": q_events_interpolate,
-        "skew_salted_agg": q_skew_salted_agg,
-        "skew_salted_join": q_skew_salted_join,
-        "quality_check": q_quality_check,
-        "window_ranking_suite": q_window_ranking_suite,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "rollup_pricing": q_rollup_pricing,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q15": q_tpch_q15,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_decode": q_multimodal_decode,
-        "corpus_mixture": q_corpus_mixture,
-        "corpus_decontaminate": q_corpus_decontaminate,
-        "text_tokens": q_text_tokens,
-        "text_fingerprints": q_text_fingerprints,
-        "text_redact": q_text_redact,
-        "text_vocabulary": q_text_vocabulary,
-        "catalog_stats": q_catalog_stats,
-        "snapshot_diff": q_snapshot_diff,
-        "scd2_customers": q_scd2_customers,
-        "sample_stratified": q_sample_stratified,
-        "sample_balanced": q_sample_balanced,
-        "chunk_chars": q_chunk_chars,
-        "chunk_tokens": q_chunk_tokens,
-        "events_range_join": q_events_range_join,
-        "events_stream_watermark": q_events_stream_watermark,
-        "events_stream_join": q_events_stream_join,
-        "events_stream_dedup": q_events_stream_dedup,
-        "events_tumbling": q_events_tumbling,
-        "events_sliding": q_events_sliding,
-        "events_sessionize": q_events_sessionize,
-        "events_json": q_events_json,
-        "events_pivot": q_events_pivot,
-        "events_unpivot": q_events_unpivot,
-        "events_lag_lead": q_events_lag_lead,
-        "asof_tolerance": q_asof_tolerance,
-        "source_csv_roundtrip": q_source_csv_roundtrip,
-        "source_json_roundtrip": q_source_json_roundtrip,
-        "source_orc_roundtrip": q_source_orc_roundtrip,
-        "sim_ivf": q_sim_ivf,
-        "profile_drift": q_profile_drift,
-        "sim_neardup": q_sim_neardup,
-        "corpus_prepare": q_corpus_prepare,
-        "text_quality": q_text_quality,
-        "cube_pricing": q_cube_pricing,
-        "pack_chunks": q_pack_chunks,
-        "source_binaryfile": q_source_binaryfile,
     }
 
 
@@ -8282,6 +8369,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": _SOURCE_OVERLAP_ORACLE,
         "dedup_minhash_estimate": _DEDUP_MINHASH_EST_ORACLE,
         "dedup_collapse": _DEDUP_COLLAPSE_ORACLE,
+        "corpus_dedup_e2e": _corpus_dedup_e2e_oracle(),
         # round 5: first-fit is sequential state but still a LINEAR
         # recursion -- the oracle simulates the exact loop as a
         # recursive CTE carrying open-bin fills as a list column

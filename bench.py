@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "source_overlap",
     "dedup_minhash_estimate",
     "dedup_collapse",
+    "corpus_dedup_e2e",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with
@@ -221,6 +222,36 @@ NOISY = {
     "profiler_e2e",
     "source_orc_roundtrip",
     "events_range_join",
+    # the TPC-H family: r05 flagged tpch_q16 (0.93→4.70 s) and
+    # tpch_q11 (1.53→5.01 s) fresh-vs-fresh with unchanged plans;
+    # r06 isolated fresh-session runs measured q11
+    # [6.01, 2.54, 1.85, 1.69, 1.77] min 1.69 s and q16
+    # [1.86, 1.19, 1.16, 1.21, 1.10] min 1.10 s at sf0.1 — the
+    # first-run spike IS the session-position artifact, so the whole
+    # family records a min-of-3 to keep round-over-round comparisons
+    # attributable (see "attribution" below)
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
     "events_stream_watermark",
     "events_stream_sessionize",
     "events_stream_join",
@@ -279,9 +310,13 @@ def main() -> None:
     queries_driver: dict[str, float] = {}
     driver_snapshot = None
     here = os.path.dirname(os.path.abspath(__file__))
+    # sort by round NUMBER, not lexicographically: BENCH_r100.json
+    # must beat BENCH_r99.json (and r05 vs r5 width mixes) — a
+    # lexicographic sorted()[-1] silently picks a stale snapshot
     snaps = sorted(
-        f for f in os.listdir(here)
-        if re.fullmatch(r"BENCH_r\d+\.json", f)
+        (f for f in os.listdir(here)
+         if re.fullmatch(r"BENCH_r\d+\.json", f)),
+        key=lambda f: int(re.search(r"\d+", f).group()),
     )
     if snaps:
         driver_snapshot = snaps[-1]
@@ -330,6 +365,24 @@ def main() -> None:
             ),
         },
         "attribution": {
+            "tpch_q11": (
+                "r06 measurement, fresh session at sf0.1, 5 "
+                "consecutive runs: [6.007, 2.543, 1.846, 1.691, "
+                "1.767] s — min 1.69 s, first-run 6.0 s. The plan is "
+                "unchanged since creation (broadcast dims + broadcast "
+                "scalar-subquery crossJoin over _ps_derived) and the "
+                "spread is pure warm-up/position: the r05 driver row "
+                "(5.01 s, 179-query contended session) is the "
+                "first-run shape. The TPC-H family is min_of_3 from "
+                "r06 so recorded mins are steady-state."
+            ),
+            "tpch_q16": (
+                "r06 measurement, fresh session at sf0.1, 5 "
+                "consecutive runs: [1.856, 1.192, 1.157, 1.211, "
+                "1.103] s — min 1.10 s. Plan unchanged (broadcast "
+                "left-anti + dims over _ps_derived); the r05 driver "
+                "4.70 s row is session position, same as tpch_q11."
+            ),
             "sim_covariance": (
                 "r05 measurement, fresh sessions: the d=16 Catalyst "
                 "aggregate (153 sum branches) ran 7.2/6.0/6.4 s at "

@@ -167,6 +167,13 @@ def source_overlap(
     sources², independent of corpus row count. Output is
     source-pair-sized. All integer set arithmetic + 1e-6 floors —
     exactly SQL-replayable.
+
+    The distinct (source, shingle) relation is persisted for its two
+    consumers (sizes + the pair join) and RELEASED before returning:
+    the result is computed eagerly (it is sources²-bounded — a
+    overlap matrix, never data-sized) and re-wrapped as a local
+    DataFrame, so long-lived sessions don't accumulate one leaked
+    cached relation per call.
     """
     from lakehouse_tools_spark.ext.dedup import word_shingles
     from lakehouse_tools_spark.functions.portable import floor6
@@ -202,7 +209,7 @@ def source_overlap(
     )
     za = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
-    return (
+    out = (
         inter.join(za, "source_a")
         .join(zb, "source_b")
         .select(
@@ -219,3 +226,11 @@ def source_overlap(
             floor6(F.col("n_shared") / F.col("sz_b")).alias("c_b_in_a"),
         )
     )
+    # evaluate while the persist is live, then release it — the
+    # overlap matrix is sources²-bounded, so localizing it costs
+    # nothing and the cached shingle relation can't outlive the call
+    try:
+        rows = out.collect()
+    finally:
+        sh.unpersist()
+    return docs.sparkSession.createDataFrame(rows, out.schema)

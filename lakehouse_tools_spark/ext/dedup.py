@@ -614,12 +614,20 @@ def incremental_screen(
     (band, bucket) equi-join against the index yields new×corpus
     candidate pairs — never new×corpus cross products, and the
     corpus-side relation is the compact index, not documents; (3)
-    exact shingle-Jaccard verification re-shingles ONLY documents
-    appearing in some candidate pair (the semi-join prune inside
-    :func:`jaccard_pairs` — at real scale this reads back a vanishing
-    fraction of the corpus). Output: ``(doc_id, doc_id2, jaccard)``
-    with doc_id = new batch id, doc_id2 = matched corpus id, floored
-    to 1e-6.
+    ``corpus_docs`` is semi-joined down to the candidate corpus ids
+    BEFORE shingling, so only candidate corpus documents are ever
+    re-read or re-shingled (the scan and the shingle CPU are pruned,
+    not just the verify join's shuffle); the exact shingle-Jaccard
+    verify then runs candidate-pruned inside :func:`jaccard_pairs`.
+    Output: ``(doc_id, doc_id2, jaccard)`` with doc_id = new batch
+    id, doc_id2 = matched corpus id, floored to 1e-6.
+
+    REQUIRES: batch and corpus document ids are disjoint (standard
+    for append-only corpora with globally-unique ids). A colliding id
+    would merge the two documents' shingle sets in the unioned
+    relation and corrupt both Jaccard terms — this is an id-hygiene
+    contract, not something the screen can detect without an extra
+    corpus-sized pass.
 
     Every stage is deterministic (md5 hash family, md5 band buckets,
     exact integer set arithmetic), so the whole screen is
@@ -641,7 +649,16 @@ def incremental_screen(
         )
         .distinct()
     )
+    # prune the corpus to candidate docs BEFORE shingling: at steady
+    # state candidates are a vanishing fraction of the corpus, so
+    # this turns a corpus-sized scan+shingle into a candidate-sized
+    # one (AQE broadcasts the small distinct-id side)
+    cand_corpus = corpus_docs.join(
+        cand.select(F.col("doc_id2").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
     sh = word_shingles(new_docs, text_col, id_col, k).unionByName(
-        word_shingles(corpus_docs, text_col, id_col, k)
+        word_shingles(cand_corpus, text_col, id_col, k)
     )
     return jaccard_pairs(sh, candidates=cand, threshold=threshold)

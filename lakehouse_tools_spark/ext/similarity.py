@@ -816,10 +816,26 @@ def _covariance_gram(
         t = np.zeros(d, dtype=np.int64)
         n = 0
         for pdf in batches:
-            X = np.floor(
-                np.stack(pdf[vec_col].to_numpy()).astype(np.float64)[:, idx]
-                * sc
-            ).astype(np.int64)
+            col = pdf[vec_col]
+            if len(col) == 0:
+                continue
+            # fail with a CLEAR contract error instead of an opaque
+            # numpy shape/index error deep in the executor (the driver
+            # pre-validates nulls and the first row's width; ragged
+            # rows can only be caught here)
+            if col.isna().any():
+                raise ValueError(
+                    f"quantized_covariance: null {vec_col!r} vector "
+                    "in input (gram strategy)"
+                )
+            stacked = np.stack(col.to_numpy()).astype(np.float64)
+            if stacked.shape[1] <= max(idx):
+                raise ValueError(
+                    f"quantized_covariance: {vec_col!r} vector of "
+                    f"length {stacked.shape[1]} shorter than "
+                    f"max(dims)={max(idx)} (ragged corpus)"
+                )
+            X = np.floor(stacked[:, idx] * sc).astype(np.int64)
             G += X.T @ X
             t += X.sum(axis=0)
             n += X.shape[0]
@@ -930,6 +946,25 @@ def quantized_covariance(
         )
     if strategy not in ("auto", "agg", "gram"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    # validate ONCE for both strategies so they fail identically on
+    # bad input (pre-fix, "agg" silently emitted null covariances on
+    # null vectors / out-of-range dims while "gram" crashed with an
+    # opaque numpy error). The width check is the same cheap
+    # first-row probe used for dims inference; the null check is a
+    # limit(1) early-exit filter that reads only the validity bitmap
+    # (parquet definition levels), never decoding vectors.
+    first = df.select(F.size(vec_col).alias("n")).first()
+    if first is not None and first["n"] is not None and max(dims) >= int(first["n"]):
+        raise ValueError(
+            f"quantized_covariance: max(dims)={max(dims)} out of range "
+            f"for {vec_col!r} vectors of length {int(first['n'])}"
+        )
+    if df.filter(F.col(vec_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"quantized_covariance: input contains null {vec_col!r} "
+            "vectors; filter them out (the statistic is undefined on "
+            "nulls and the two physical strategies would diverge)"
+        )
     if strategy == "gram" or (strategy == "auto" and d > 8):
         return _covariance_gram(df, vec_col, dims, scale)
     q = df.select(
