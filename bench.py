@@ -364,7 +364,62 @@ def main() -> None:
                 "sketch is the scale path)."
             ),
         },
+        # Measured scale evidence (VERDICT r05 #4): three-point curve
+        # per flagship, fresh warmed session, min-of-3 per point, via
+        # tools/scale_bench.py over the driver fixtures plus a 10x
+        # id-shifted/text-salted up-sample of sf0.1 built by
+        # tools/scale_fixture.py (dup-rate-preserving — see its
+        # docstring). exponent = log10(t_sf1 / t_sf0.1): 1.0 would be
+        # linear-in-data; everything measured is far below, i.e. the
+        # local times are still fixed-overhead-bound and no flagship
+        # has a super-linear term. Measured 2026-08-14 (round 6).
+        "scaling_evidence": {
+            "method": (
+                "tools/scale_bench.py 3; points sf0.01/sf0.1 (driver "
+                "fixtures) and sf1 (10x up-sample, "
+                "tools/scale_fixture.py — keys id-shifted so "
+                "cardinality scales, documents text word-salted per "
+                "copy so the near-dup rate is scale-invariant); one "
+                "fresh warmed session, min of 3 runs per point"
+            ),
+            "sec": {
+                "profiler_e2e": {"sf0.01": 3.799, "sf0.1": 4.434, "sf1": 11.318},
+                "dedup_collapse": {"sf0.01": 3.308, "sf0.1": 4.957, "sf1": 7.204},
+                "sim_covariance": {"sf0.01": 0.710, "sf0.1": 0.778, "sf1": 0.905},
+                "corpus_dedup_e2e": {"sf0.01": 2.379, "sf0.1": 3.036, "sf1": 5.788},
+            },
+            "exponent_sf0.1_to_sf1": {
+                "profiler_e2e": 0.407,
+                "dedup_collapse": 0.162,
+                "sim_covariance": 0.066,
+                "corpus_dedup_e2e": 0.280,
+            },
+        },
         "attribution": {
+            "fresh_vs_fresh_r06": (
+                "distribution check, r06 vs r05 queries_fresh over "
+                "all 179 shared queries: median ratio 0.998 "
+                "(p25 0.86, p75 1.13) — no systematic shift; the 12 "
+                "entries >1.3x are tail noise, cross-checked by "
+                "isolated fresh-session min-of-3 showing first-run "
+                "JIT/GC spikes of 2-3x (dedup_collapse "
+                "[16.68, 7.28, 5.41] s, source_overlap "
+                "[12.53, 2.97, 2.55] s) with no code or plan change "
+                "in any flagged query's path (dedup_collapse's "
+                "stages untouched since r05; same-day "
+                "tools/scale_bench.py measured it 4.96 s min-of-3 "
+                "at sf0.1)."
+            ),
+            "source_overlap": (
+                "r06 0.73 -> 1.59 s: partly code-attributable — the "
+                "r06 leak fix (ext/corpus.py) evaluates the overlap "
+                "matrix eagerly (collect + local relation) so the "
+                "persisted shingle relation is released before "
+                "returning instead of leaking per call. The result "
+                "is sources^2-bounded (190 rows), so the extra cost "
+                "is one driver round-trip + job setup, a fixture-"
+                "scale constant, not a data-volume term."
+            ),
             "tpch_q11": (
                 "r06 measurement, fresh session at sf0.1, 5 "
                 "consecutive runs: [6.007, 2.543, 1.846, 1.691, "
@@ -402,7 +457,20 @@ def main() -> None:
         json.dump(detail, fh, indent=1, sort_keys=True)
     out = dict(detail)
     # the annotations live in BENCH_DETAIL.json; keep the stdout line
-    # lean so more query timings survive the 1900-char trim
+    # lean so more query timings survive the 1900-char trim — but the
+    # measured scale table rides along compactly as
+    # [sec@sf0.1, sec@sf1, top-decade exponent] per flagship so the
+    # round snapshot itself carries the scaling evidence
+    sc_ev = detail["scaling_evidence"]
+    out["scaling"] = {
+        q: [
+            sc_ev["sec"][q]["sf0.1"],
+            sc_ev["sec"][q]["sf1"],
+            sc_ev["exponent_sf0.1_to_sf1"][q],
+        ]
+        for q in sc_ev["sec"]
+    }
+    out.pop("scaling_evidence", None)
     out.pop("min_of_3", None)
     out.pop("noise_note", None)
     out.pop("queries_fresh", None)

@@ -147,6 +147,7 @@ def source_overlap(
     text_col: str = "text",
     source_col: str = "source",
     k: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairwise content-overlap matrix between corpus sources — the
     mixture-design diagnostic: two crawls/feeds with high shingle
@@ -168,12 +169,16 @@ def source_overlap(
     source-pair-sized. All integer set arithmetic + 1e-6 floors —
     exactly SQL-replayable.
 
-    The distinct (source, shingle) relation is persisted for its two
-    consumers (sizes + the pair join) and RELEASED before returning:
-    the result is computed eagerly (it is sources²-bounded — a
-    overlap matrix, never data-sized) and re-wrapped as a local
-    DataFrame, so long-lived sessions don't accumulate one leaked
-    cached relation per call.
+    With ``materialize=True`` (default) the distinct (source,
+    shingle) relation is persisted for its two consumers (sizes + the
+    pair join) and RELEASED before returning: the result is computed
+    eagerly (it is sources²-bounded — an overlap matrix, never
+    data-sized) and re-wrapped as a local DataFrame, so long-lived
+    sessions don't accumulate one leaked cached relation per call.
+    ``materialize=False`` returns the LAZY plan with NO persist (for
+    plan inspection / composition into a larger pipeline); the
+    shingle aggregate then evaluates once per consumer unless the
+    caller persists it themselves.
     """
     from lakehouse_tools_spark.ext.dedup import word_shingles
     from lakehouse_tools_spark.functions.portable import floor6
@@ -190,9 +195,10 @@ def source_overlap(
         .withColumnRenamed("doc_id", "source")
         .distinct()
     )
-    from pyspark import StorageLevel
+    if materialize:
+        from pyspark import StorageLevel
 
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.alias("a")
@@ -226,6 +232,8 @@ def source_overlap(
             floor6(F.col("n_shared") / F.col("sz_b")).alias("c_b_in_a"),
         )
     )
+    if not materialize:
+        return out
     # evaluate while the persist is live, then release it — the
     # overlap matrix is sources²-bounded, so localizing it costs
     # nothing and the cached shingle relation can't outlive the call

@@ -652,9 +652,12 @@ def incremental_screen(
     # prune the corpus to candidate docs BEFORE shingling: at steady
     # state candidates are a vanishing fraction of the corpus, so
     # this turns a corpus-sized scan+shingle into a candidate-sized
-    # one (AQE broadcasts the small distinct-id side)
+    # one. Broadcast the distinct-id side explicitly — candidates are
+    # small by LSH's design (the premise of the whole screen), and
+    # the static planner can't see that through the band join's
+    # unknown stats (it would plan a sort-merge semi otherwise)
     cand_corpus = corpus_docs.join(
-        cand.select(F.col("doc_id2").alias(id_col)).distinct(),
+        F.broadcast(cand.select(F.col("doc_id2").alias(id_col)).distinct()),
         id_col,
         "left_semi",
     )

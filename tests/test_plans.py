@@ -287,8 +287,24 @@ def test_incremental_screen_no_cartesian_all_broadcast(spark):
 
 def test_source_overlap_prunes_to_text_and_source(spark):
     # the corpus collapses to distinct (source, shingle) before any
-    # join; the scan must read only text + source
-    p = plan_of(E.q_source_overlap(spark, SF))
+    # join; the scan must read only text + source. Pin the LAZY form
+    # (materialize=False): the public default computes eagerly and
+    # returns a local relation, so the inner plan is only inspectable
+    # through the lazy escape hatch.
+    from lakehouse_tools_spark.ext.corpus import source_overlap
+    from lakehouse_tools_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(source_overlap(docs, materialize=False))
     assert "CartesianProduct" not in p
     rs = set(re.findall(r"ReadSchema: (struct<[^\n]*)", p))
     assert rs == {"struct<text:string,source:string>"}
+    # and the default form is leak-free: a local relation with no
+    # scan, and no NET growth of the session's cached relations
+    # (compare before/after — the shared session may carry persists
+    # from other tests)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    p2 = plan_of(E.q_source_overlap(spark, SF))
+    assert "FileScan" not in p2
+    assert jsc.getPersistentRDDs().size() <= before

@@ -428,6 +428,38 @@ def test_quantized_covariance_strategies_bit_identical(spark):
         quantized_covariance(df, "embedding", dims, strategy="nope")
 
 
+def test_quantized_covariance_bad_input_fails_identically(spark):
+    """Both physical strategies reject null vectors and out-of-range
+    dims with the SAME clear driver-side ValueError — pre-guard, agg
+    silently emitted null covariances while gram died with an opaque
+    numpy error inside the executor."""
+    import numpy as np
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_tools_spark.ext.similarity import quantized_covariance
+
+    rng = np.random.RandomState(3)
+    df = spark.createDataFrame(
+        [(i, rng.randn(4).tolist()) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    withnull = df.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 7, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    for strat in ("agg", "gram"):
+        with pytest.raises(ValueError, match="null 'embedding'"):
+            quantized_covariance(
+                withnull, "embedding", dims=(0, 1), strategy=strat
+            )
+        with pytest.raises(ValueError, match="out of range"):
+            quantized_covariance(df, "embedding", dims=(0, 17), strategy=strat)
+
+
 def test_pca_fit_full_stats_trace_bit_matches_quantized_trace(spark):
     import numpy as np
 

@@ -1,0 +1,74 @@
+"""Two-decade scaling measurement for the flagship queries.
+
+Runs each flagship at sf0.01 and sf0.1 (driver fixtures) and sf1
+(10x up-sample built by tools/scale_fixture.py), all in ONE fresh
+warmed session, min-of-RUNS per point, and prints a JSON table with
+the per-decade scaling exponent e = log10(t_hi / t_lo): e == 1 is
+linear-in-data, e == 0 is pure fixed overhead, e > 1 is a
+super-linear term that would not survive 100 TB. Local caveat
+(SCALING.md "Known local-vs-cluster deltas"): small-SF points are
+dominated by fixed per-job overhead, so the TOP decade (sf0.1 -> sf1)
+is the informative one — overhead is amortized 10x further there.
+
+Usage::  python tools/scale_bench.py [runs]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+from lakehouse_tools_spark.session import get_session  # noqa: E402
+
+FLAGSHIPS = [
+    "profiler_e2e",
+    "dedup_collapse",
+    "sim_covariance",
+    "corpus_dedup_e2e",
+]
+POINTS = [
+    ("sf0.01", "/root/testdata/sf0.01"),
+    ("sf0.1", "/root/testdata/sf0.1"),
+    ("sf1", ".scale_fixtures/sf1"),
+]
+
+
+def main() -> None:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    spark = get_session(
+        app_name="scale_bench",
+        extra_confs={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs = E.queries()
+    out: dict[str, dict] = {}
+    for name in FLAGSHIPS:
+        times = {}
+        for label, sf_dir in POINTS:
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            times[label] = round(best, 3)
+        exp_low = math.log10(times["sf0.1"] / times["sf0.01"])
+        exp_top = math.log10(times["sf1"] / times["sf0.1"])
+        out[name] = {
+            "sec": times,
+            "exponent_sf0.01_to_sf0.1": round(exp_low, 3),
+            "exponent_sf0.1_to_sf1": round(exp_top, 3),
+        }
+        print(f"# {name}: {times}  e_top={exp_top:.3f}", file=sys.stderr)
+    print(json.dumps({"runs": runs, "scaling": out}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
