@@ -36,6 +36,9 @@ POINTS = [
     ("sf0.01", "/root/testdata/sf0.01"),
     ("sf0.1", "/root/testdata/sf0.1"),
     ("sf1", ".scale_fixtures/sf1"),
+    # optional half-decade extension: present iff
+    # `python tools/scale_fixture.py 50 .scale_fixtures/sf5` was run
+    ("sf5", ".scale_fixtures/sf5"),
 ]
 
 
@@ -47,10 +50,11 @@ def main() -> None:
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     qs = E.queries()
+    points = [(lb, d) for lb, d in POINTS if os.path.isdir(d) or os.path.exists(d)]
     out: dict[str, dict] = {}
     for name in FLAGSHIPS:
         times = {}
-        for label, sf_dir in POINTS:
+        for label, sf_dir in points:
             best = float("inf")
             for _ in range(runs):
                 t0 = time.time()
@@ -59,14 +63,14 @@ def main() -> None:
                 ).save()
                 best = min(best, time.time() - t0)
             times[label] = round(best, 3)
-        exp_low = math.log10(times["sf0.1"] / times["sf0.01"])
-        exp_top = math.log10(times["sf1"] / times["sf0.1"])
-        out[name] = {
-            "sec": times,
-            "exponent_sf0.01_to_sf0.1": round(exp_low, 3),
-            "exponent_sf0.1_to_sf1": round(exp_top, 3),
-        }
-        print(f"# {name}: {times}  e_top={exp_top:.3f}", file=sys.stderr)
+        rec = {"sec": times}
+        labels = [lb for lb, _ in points]
+        decades = {"sf0.01": -2.0, "sf0.1": -1.0, "sf1": 0.0, "sf5": math.log10(5)}
+        for lo, hi in zip(labels, labels[1:]):
+            e = math.log10(times[hi] / times[lo]) / (decades[hi] - decades[lo])
+            rec[f"exponent_{lo}_to_{hi}"] = round(e, 3)
+        out[name] = rec
+        print(f"# {name}: {rec}", file=sys.stderr)
     print(json.dumps({"runs": runs, "scaling": out}, indent=1))
 
 
