@@ -613,7 +613,10 @@ def incremental_screen(
     shingle aggregate over the BATCH, corpus untouched); (2) the
     (band, bucket) equi-join against the index yields new×corpus
     candidate pairs — never new×corpus cross products, and the
-    corpus-side relation is the compact index, not documents; (3)
+    corpus-side relation is the compact index, not documents (the
+    pair subtree feeds two consumers and so evaluates per consumer —
+    measured cheaper than eager localization; see the inline note);
+    (3)
     ``corpus_docs`` is semi-joined down to the candidate corpus ids
     BEFORE shingling, so only candidate corpus documents are ever
     re-read or re-shingled (the scan and the shingle CPU are pruned,
@@ -649,6 +652,19 @@ def incremental_screen(
         )
         .distinct()
     )
+    # cand has TWO consumers (the corpus prune below and the verify
+    # join inside jaccard_pairs), so the band-join subtree appears
+    # twice in the final plan. That is deliberate, not an oversight:
+    # in production the corpus_index side is a STORED compact table
+    # (build_dedup_index's contract — ~bands rows × 40 B/doc), so
+    # each consumer costs one scan of that table joined against the
+    # batch-sized band relation, and the batch side recompute is
+    # batch-minhash — small by the screen's premise. The alternative
+    # (evaluate the pair list eagerly and reuse a local relation) was
+    # measured SLOWER at sf0.1 (3.5 s vs 2.3 s warm): the extra
+    # driver job + re-broadcast costs more than the duplicated
+    # candidate-bounded join, and it would put an unbounded pair
+    # list on the driver for adversarial batches.
     # prune the corpus to candidate docs BEFORE shingling: at steady
     # state candidates are a vanishing fraction of the corpus, so
     # this turns a corpus-sized scan+shingle into a candidate-sized
