@@ -226,6 +226,7 @@ def jaccard_pairs(
     shingles: DataFrame,
     candidates: DataFrame | None = None,
     threshold: float = 0.0,
+    persist: bool = True,
 ) -> DataFrame:
     """n-gram Jaccard similarity for document pairs.
 
@@ -242,8 +243,21 @@ def jaccard_pairs(
     aggregate, the intersection from one equi-join on shingle.
     Output: ``(doc_id, doc_id2, jaccard)`` floor-truncated to 6 for stable
     cross-engine comparison.
+
+    CACHE OWNERSHIP: with ``persist=True`` (default) each call caches
+    the shingle relation and (if given) the candidate pair list
+    (MEMORY_AND_DISK) because both feed multiple consumers of the
+    returned plan; the result is lazy and data-sized, so the cache
+    cannot be released inside this function — it lives until session
+    end or an explicit ``spark.catalog.clearCache()``. One-shot
+    pipeline runs (the normal shape) don't care; a long-lived session
+    calling this in a loop should either clear the cache between
+    calls or pass ``persist=False`` to trade recomputation for zero
+    cache footprint (same contract as
+    :func:`~lakehouse_tools_spark.ext.corpus.source_overlap`'s
+    ``materialize=False``).
     """
-    inter, sizes = _pair_intersections(shingles, candidates)
+    inter, sizes = _pair_intersections(shingles, candidates, persist)
     za = sizes.select(F.col("doc_id"), F.col("sz").alias("sz1"))
     zb = sizes.select(F.col("doc_id").alias("doc_id2"), F.col("sz").alias("sz2"))
     out = (
@@ -267,6 +281,7 @@ def containment_pairs(
     shingles: DataFrame,
     candidates: DataFrame | None = None,
     threshold: float = 0.0,
+    persist: bool = True,
 ) -> DataFrame:
     """Asymmetric n-gram containment for document pairs:
     C(A in B) = |A∩B| / |A|.
@@ -285,8 +300,11 @@ def containment_pairs(
     per unordered pair: both directions plus their max, filtered on
     the max — floor-truncated to 6 for stable cross-engine compare.
     Output: ``(doc_id, doc_id2, c_1in2, c_2in1, containment)``.
+    Cache ownership is the same as :func:`jaccard_pairs`: the default
+    persists the shared relations for the session; ``persist=False``
+    opts out for long-lived callers.
     """
-    inter, sizes = _pair_intersections(shingles, candidates)
+    inter, sizes = _pair_intersections(shingles, candidates, persist)
     za = sizes.select(F.col("doc_id"), F.col("sz").alias("sz1"))
     zb = sizes.select(F.col("doc_id").alias("doc_id2"), F.col("sz").alias("sz2"))
     out = (
@@ -311,7 +329,7 @@ def containment_pairs(
 
 
 def _pair_intersections(
-    shingles: DataFrame, candidates: DataFrame | None
+    shingles: DataFrame, candidates: DataFrame | None, persist: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """Shared core of :func:`jaccard_pairs` / :func:`containment_pairs`:
     per-doc shingle-set sizes and per-pair intersection counts.
@@ -321,10 +339,13 @@ def _pair_intersections(
     # sides); without materialization each branch re-runs the whole
     # normalize→explode→distinct pipeline (and AQE's per-branch
     # replanning defeats exchange reuse). One disk-spillable persist
-    # beats three recomputations at every scale.
+    # beats three recomputations at every scale. The caller owns the
+    # cache (see jaccard_pairs's CACHE OWNERSHIP note) and can opt
+    # out with persist=False.
     from pyspark import StorageLevel
 
-    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist:
+        shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     if candidates is not None:
         # prune BOTH shingle sides (and the size aggregate) to docs
         # that appear in some candidate pair before any shuffle: the
@@ -338,9 +359,9 @@ def _pair_intersections(
         # prune, the pair join); without materialization each one
         # re-runs the entire upstream LSH pipeline. The pair list is
         # tiny by construction — persist it.
-        cand = candidates.select("doc_id", "doc_id2").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        cand = candidates.select("doc_id", "doc_id2")
+        if persist:
+            cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
         left_ids = cand.select("doc_id").distinct()
         right_ids = cand.select("doc_id2").distinct()
         sh1 = shingles.join(F.broadcast(left_ids), "doc_id", "left_semi")

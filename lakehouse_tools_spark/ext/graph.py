@@ -342,6 +342,15 @@ def pagerank(
     the range for a delta test without touching the per-round plan.
     Output: ``(id, pagerank)`` floored at 6 with the exact-rational
     boundary nudge shared by the scoring operators.
+
+    Cache ownership: the per-iteration persists (``iters`` + 1
+    relations, each vertex-sized — compact) live until session end,
+    because the result is lazy and unpersisting earlier would forfeit
+    the double-consumer reuse that motivated them. One-shot pipeline
+    runs don't care; a long-lived session iterating many graphs
+    should ``spark.catalog.clearCache()`` between calls (the
+    eager-materialize-and-release alternative would change float
+    summation order and break the bit-exact oracle contract).
     """
     n = vertices.count()
     v = vertices.select(F.col(id_col).alias("_vid"))

@@ -158,6 +158,7 @@ def tfidf_keywords(
     id_col: str,
     k: int = 3,
     min_word_len: int = 3,
+    persist: bool = True,
 ) -> DataFrame:
     """Top-``k`` TF-IDF keywords per document — the unsupervised
     keyword/topic-tagging step of a curation pipeline (cluster
@@ -178,6 +179,13 @@ def tfidf_keywords(
     that keeps corpus-universal words finite. Deterministic tiebreak
     (score desc, word asc) and floor6 rounding make the output exact
     across engines, so the query is fully oracle-checkable.
+
+    Cache ownership: the default persists the compact TF relation for
+    its two consumers and the cache lives until session end (the
+    result is lazy, so it cannot be released here) — same contract as
+    :func:`~lakehouse_tools_spark.ext.dedup.jaccard_pairs`; pass
+    ``persist=False`` in long-lived sessions to trade recomputation
+    for zero cache footprint.
     """
     from pyspark import StorageLevel
 
@@ -193,7 +201,9 @@ def tfidf_keywords(
     # strictly cheaper than recomputing the exploded tokens.
     tf = words.groupBy("doc_id", "w").agg(
         F.count(F.lit(1)).alias("tf")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persist:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(
         F.countDistinct(F.col(id_col)).alias("_n")
@@ -270,6 +280,7 @@ def unigram_logprob(
     text_col: str,
     id_col: str,
     min_word_len: int = 1,
+    persist: bool = True,
 ) -> DataFrame:
     """Per-document mean negative log-probability under the corpus's
     own Laplace-smoothed unigram language model — the classic
@@ -284,7 +295,10 @@ def unigram_logprob(
     cross-join — not a window over an empty partition, which would
     funnel every row through one task). The per-doc mean is one final
     groupBy on doc_id. floor6 + deterministic smoothing make the
-    score oracle-exact.
+    score oracle-exact. Cache ownership as in
+    :func:`~lakehouse_tools_spark.ext.dedup.jaccard_pairs`:
+    ``persist=False`` opts long-lived callers out of the
+    session-lifetime cache of the token/vocab relations.
     """
     from pyspark import StorageLevel
 
@@ -297,10 +311,11 @@ def unigram_logprob(
     # both so the tokenize→explode pipeline and the vocabulary
     # aggregate each run exactly once (the shingle-relation pattern
     # from ext/dedup.jaccard_pairs).
-    words = words.persist(StorageLevel.MEMORY_AND_DISK)
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("_cnt")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    if persist:
+        words = words.persist(StorageLevel.MEMORY_AND_DISK)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("_cnt"))
+    if persist:
+        vocab = vocab.persist(StorageLevel.MEMORY_AND_DISK)
     totals = vocab.agg(
         F.sum("_cnt").alias("_t"), F.count(F.lit(1)).alias("_v")
     )
@@ -361,6 +376,7 @@ def pmi_bigrams(
     id_col: str,
     min_count: int = 5,
     top: int = 100,
+    persist: bool = True,
 ) -> DataFrame:
     """Top collocations by pointwise mutual information:
     PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over adjacent
@@ -374,7 +390,10 @@ def pmi_bigrams(
     and a broadcast 1-row totals cross-join. ``min_count`` suppresses
     the unstable low-frequency tail (a hapax pair always has extreme
     PMI). floor6 + (pmi desc, bigram asc) tiebreak make the top-N
-    oracle-exact.
+    oracle-exact. Cache ownership as in
+    :func:`~lakehouse_tools_spark.ext.dedup.jaccard_pairs`:
+    ``persist=False`` opts long-lived callers out of the
+    session-lifetime cache of the two aggregated relations.
     """
     from pyspark import StorageLevel
 
@@ -385,15 +404,15 @@ def pmi_bigrams(
     # both aggregated relations feed two consumers each (counts join +
     # totals), so persist the compact post-aggregation forms — the
     # tokenize/pair pipelines then run exactly once apiece
-    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("_cw")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("_cw"))
     pairs_all = (
         _adjacent_pairs(df, text_col, id_col)
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_pair"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if persist:
+        uni = uni.persist(StorageLevel.MEMORY_AND_DISK)
+        pairs_all = pairs_all.persist(StorageLevel.MEMORY_AND_DISK)
     bi = pairs_all.filter(F.col("n_pair") >= min_count)
     totals = uni.agg(F.sum("_cw").alias("_t1"))
     t2 = pairs_all.agg(F.sum("n_pair").alias("_t2"))

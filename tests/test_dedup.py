@@ -303,3 +303,32 @@ def test_source_overlap_bounds_and_identity(spark):
     assert 0 < r13.jaccard < 1 and r13.n_shared == 1
     # disjoint source never appears in a pair row
     assert not any("s4" in k for k in out)
+
+
+def test_persist_false_same_results_zero_cache_growth(spark):
+    # the persist=False escape hatch (cache-ownership contract shared
+    # by jaccard_pairs / containment_pairs / the text scorers) must
+    # change ONLY the caching, never the values — and must leave no
+    # cached relation behind
+    from lakehouse_tools_spark.ext import dedup as D
+    from lakehouse_tools_spark.ext import text as T
+    from lakehouse_tools_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    sh = D.word_shingles(docs, "text", "doc_id", k=3)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    jsc = spark.sparkContext._jsc.sc()
+    cached = rows(D.jaccard_pairs(sh, threshold=0.05))
+    before = jsc.getPersistentRDDs().size()
+    plain = rows(D.jaccard_pairs(sh, threshold=0.05, persist=False))
+    assert plain == cached
+    assert jsc.getPersistentRDDs().size() <= before
+
+    tf_cached = rows(T.tfidf_keywords(docs, "text", "doc_id", k=2))
+    before = jsc.getPersistentRDDs().size()
+    tf_plain = rows(T.tfidf_keywords(docs, "text", "doc_id", k=2, persist=False))
+    assert tf_plain == tf_cached
+    assert jsc.getPersistentRDDs().size() <= before
