@@ -296,6 +296,15 @@ def main() -> None:
             materialize(queries[name](spark, sf_dir))
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # isolate queries from each other: operators whose relations
+        # feed multiple consumers persist them per call (jaccard/
+        # tfidf/pagerank/the TPC-H q15/q21 shapes — see the CACHE
+        # OWNERSHIP notes), and over a 180-query session those caches
+        # accumulate, pinning memory and skewing later queries — the
+        # very "session position" artifact behind the r05 tpch_q16/
+        # q11 outliers. Repeat runs of the SAME query stay warm (the
+        # min is still steady-state); only cross-query state is shed.
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     # Full per-query detail goes to a committed artifact; the stdout
     # line must stay under the driver's 2000-char stdout-tail capture
@@ -416,6 +425,19 @@ def main() -> None:
             ),
         },
         "attribution": {
+            "methodology_r06_cache_isolation": (
+                "as of late r06 bench.py calls "
+                "spark.catalog.clearCache() after each query's timed "
+                "runs: per-call persists (jaccard/tfidf/pagerank/"
+                "tpch_q15/q21 — see CACHE OWNERSHIP notes) no longer "
+                "accumulate across the 180-query session, removing "
+                "the session-position artifact behind the r05 "
+                "tpch_q16/q11 driver outliers. Repeat runs of the "
+                "same query remain warm; only cross-query cache "
+                "state is shed. Round-over-round comparisons that "
+                "straddle this change should expect driver-session "
+                "numbers to move TOWARD queries_fresh."
+            ),
             "fresh_vs_fresh_r06": (
                 "distribution check, r06 vs r05 queries_fresh over "
                 "all 179 shared queries: median ratio 0.998 "

@@ -103,6 +103,15 @@ def budget_select(
     the per-partition totals (one row per partition — metadata) come
     back as a broadcast offset map added to the local sums. Same
     two-phase shape as any scalable global ranking.
+
+    Cache ownership: the range-partitioned cumsum relation is
+    persisted for the session (it feeds the eager totals job AND the
+    returned plan) and — unlike the opt-out persists in the pair/text
+    scorers — this one is a CORRECTNESS requirement, not a speedup:
+    ``spark_partition_id`` is only stable against the materialized
+    partitioning, so a recompute on an unpersisted plan could pair
+    offsets with the wrong partitions. Long-lived callers reclaim it
+    with ``spark.catalog.clearCache()`` after consuming the result.
     """
     from pyspark.sql import Window
 
