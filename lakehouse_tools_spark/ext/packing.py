@@ -107,6 +107,88 @@ def pack_chunks(
     )
 
 
+def _first_fit_scan(lengths, budget: int) -> list:
+    """Reference first-fit: scan open bins left-to-right, place in the
+    first with room, else open a new bin (oversize docs open a bin and
+    land there regardless). O(n × open bins) — kept ONLY as the
+    semantic reference the tree variant is pinned against in tests;
+    the packing operator itself uses :func:`_first_fit_tree`.
+    """
+    fills: list = []  # fill level per open bin
+    assigned = []
+    for ln in lengths:
+        placed = None
+        for i, fill in enumerate(fills):
+            if fill + ln <= budget:
+                placed = i
+                break
+        if placed is None:
+            fills.append(0)
+            placed = len(fills) - 1
+        fills[placed] += ln
+        assigned.append(placed)
+    return assigned
+
+
+def _first_fit_tree(lengths, budget: int) -> list:
+    """Exact first-fit bin assignment in O(n log n).
+
+    Bit-identical to :func:`_first_fit_scan`: a max-segment-tree over
+    per-bin REMAINING capacity answers "leftmost bin with rem >= len"
+    in O(log n). Every potential bin (at most one per document) starts
+    with rem = budget, so the leftmost never-used bin doubles as the
+    scan's "open a new bin" — first-fit finds it only after every
+    opened bin is full, exactly the scan's behaviour. An oversize doc
+    (len > budget) matches no leaf (max rem = budget) and is
+    force-placed in the next never-used bin, as the scan does.
+
+    Per item the loop body is ~2·log2(n) numpy scalar ops — at a
+    million docs per bucket that is ~40 ops/doc where the scan would
+    average thousands of open-bin probes; this is the segment the
+    measured scaling curve flagged (SCALING.md, pack_bins e≈1.5 at
+    the 50× fixture, sub-linear after this change).
+    """
+    import numpy as np
+
+    n = len(lengths)
+    if n == 0:
+        return []
+    size = 1
+    while size < n:
+        size *= 2
+    # max-tree over remaining capacity; leaves live at [size, 2*size).
+    # Leaves beyond n stay -1 so they can never win a descent.
+    tree = np.full(2 * size, -1, dtype=np.int64)
+    tree[size : size + n] = budget
+    lvl = size
+    while lvl > 1:  # vectorized bottom-up build
+        half = lvl // 2
+        tree[half:lvl] = np.maximum(tree[lvl : 2 * lvl : 2], tree[lvl + 1 : 2 * lvl : 2])
+        lvl = half
+    next_unopened = 0
+    assigned = []
+    for ln in lengths:
+        if tree[1] >= ln:
+            i = 1
+            while i < size:  # descend to the leftmost leaf with room
+                i *= 2
+                if tree[i] < ln:
+                    i += 1
+            placed = i - size
+        else:
+            placed = next_unopened  # oversize: force into a fresh bin
+        leaf = size + placed
+        tree[leaf] -= ln
+        leaf //= 2
+        while leaf:
+            tree[leaf] = max(tree[2 * leaf], tree[2 * leaf + 1])
+            leaf //= 2
+        if placed >= next_unopened:
+            next_unopened = placed + 1
+        assigned.append(placed)
+    return assigned
+
+
 def pack_bins(
     docs: DataFrame,
     id_col: str,
@@ -124,7 +206,13 @@ def pack_bins(
     First-fit over a sorted stream is inherently sequential state —
     exactly the ``applyInPandas`` escape hatch (one Python pass per
     bucket, Arrow-batched). Order: by length descending, id ascending
-    — deterministic for any partitioning.
+    — deterministic for any partitioning. The per-bucket pass is the
+    O(n log n) segment-tree first-fit (:func:`_first_fit_tree`), not
+    the naive open-bin scan: the scan is O(n × open bins) and turns
+    super-linear once buckets hold thousands of documents (measured
+    e≈1.5 at the 50× fixture — SCALING.md), while the tree answers
+    "leftmost bin with room" in O(log n) with bit-identical
+    assignments (equivalence pinned in tests/test_packing.py).
     """
     import pandas as pd
 
@@ -140,19 +228,7 @@ def pack_bins(
         pdf = pdf.sort_values(
             ["_len", id_col], ascending=[False, True], kind="mergesort"
         )
-        fills: list[int] = []  # fill level per open bin
-        assigned = []
-        for ln in pdf["_len"]:
-            placed = None
-            for i, fill in enumerate(fills):
-                if fill + ln <= budget:
-                    placed = i
-                    break
-            if placed is None:
-                fills.append(0)
-                placed = len(fills) - 1
-            fills[placed] += ln
-            assigned.append(placed)
+        assigned = _first_fit_tree(pdf["_len"].to_numpy(), budget)
         return pd.DataFrame(
             {
                 "bucket": pdf["bucket"].values,

@@ -76,6 +76,31 @@ def test_pack_bins_deterministic(spark):
     assert a == b
 
 
+def test_first_fit_tree_matches_scan_reference():
+    """The O(n log n) segment-tree first-fit must be bit-identical to
+    the naive open-bin scan on adversarial shapes: sorted-desc (the
+    operator's order), unsorted, ties, oversize docs, exact fits,
+    all-equal, and a large pseudo-random stream."""
+    from lakehouse_tools_spark.ext.packing import _first_fit_scan, _first_fit_tree
+
+    cases = [
+        ([], 100),
+        ([5], 100),
+        ([500, 20, 10], 100),  # oversize first (operator order)
+        ([10, 500, 20, 700, 5], 100),  # oversize mid-stream
+        ([50, 50, 50, 50], 100),  # exact fits
+        ([97, 96, 95, 3, 4, 5, 2, 1], 100),  # tight tail fills
+        ([1] * 200, 7),
+        ([100] * 50, 100),
+        (sorted((37 * i % 120 + 1 for i in range(2000)), reverse=True), 128),
+        ([37 * i % 300 + 1 for i in range(2000)], 128),  # incl. oversize mix
+    ]
+    for lengths, budget in cases:
+        assert _first_fit_tree(lengths, budget) == _first_fit_scan(
+            lengths, budget
+        ), (len(lengths), budget)
+
+
 def test_pack_chunks_plan_is_window_no_join(spark):
     docs = spark.createDataFrame(DOCS, SCHEMA)
     plan = pack_chunks(docs, "doc_id", "n", 128)._jdf.queryExecution().executedPlan().toString()

@@ -31,6 +31,14 @@ FLAGSHIPS = [
     "dedup_collapse",
     "sim_covariance",
     "corpus_dedup_e2e",
+    # one measured curve per remaining family with a 100 TB claim:
+    # ANN (bucketed cosine top-k), incremental dedup (index screen),
+    # text scoring (TF persist + per-doc window), packing (FFD via
+    # bucketed windowed cumsum)
+    "sim_ann_lsh",
+    "dedup_incremental",
+    "text_keywords",
+    "pack_bins",
 ]
 POINTS = [
     ("sf0.01", "/root/testdata/sf0.01"),
@@ -44,6 +52,10 @@ POINTS = [
 
 def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    # SCALE_FLAGSHIPS=a,b,c re-measures a subset (e.g. after a fix)
+    # without paying for the full 8-curve session
+    subset = os.environ.get("SCALE_FLAGSHIPS")
+    flagships = subset.split(",") if subset else FLAGSHIPS
     spark = get_session(
         app_name="scale_bench",
         extra_confs={"spark.ui.showConsoleProgress": "false"},
@@ -52,7 +64,7 @@ def main() -> None:
     qs = E.queries()
     points = [(lb, d) for lb, d in POINTS if os.path.isdir(d) or os.path.exists(d)]
     out: dict[str, dict] = {}
-    for name in FLAGSHIPS:
+    for name in flagships:
         times = {}
         for label, sf_dir in points:
             best = float("inf")
@@ -71,6 +83,9 @@ def main() -> None:
             rec[f"exponent_{lo}_to_{hi}"] = round(e, 3)
         out[name] = rec
         print(f"# {name}: {rec}", file=sys.stderr)
+        # same per-query cache isolation as bench.py: per-call
+        # persists must not accumulate into the next flagship's curve
+        spark.catalog.clearCache()
     print(json.dumps({"runs": runs, "scaling": out}, indent=1))
 
 
