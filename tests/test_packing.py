@@ -101,6 +101,24 @@ def test_first_fit_tree_matches_scan_reference():
         ), (len(lengths), budget)
 
 
+def test_first_fit_tree_matches_scan_property():
+    """Property form of the equivalence pin: arbitrary length streams
+    (including oversize and zero-ish lengths) and budgets."""
+    from hypothesis import given, settings, strategies as st
+
+    from lakehouse_tools_spark.ext.packing import _first_fit_scan, _first_fit_tree
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        lengths=st.lists(st.integers(min_value=1, max_value=400), max_size=300),
+        budget=st.integers(min_value=1, max_value=256),
+    )
+    def check(lengths, budget):
+        assert _first_fit_tree(lengths, budget) == _first_fit_scan(lengths, budget)
+
+    check()
+
+
 def test_pack_chunks_plan_is_window_no_join(spark):
     docs = spark.createDataFrame(DOCS, SCHEMA)
     plan = pack_chunks(docs, "doc_id", "n", 128)._jdf.queryExecution().executedPlan().toString()
