@@ -127,4 +127,15 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    # drop the manager's reference to the terminated drain: the
+    # StreamingQueryManager otherwise pins every finished query's
+    # runtime state for awaitAnyTermination() — which a drain-style
+    # caller never uses — and a long-lived driver session that drains
+    # many one-shot queries (the bench/driver harness runs ~10 per
+    # session) accumulates them without bound. Measured: repeated
+    # sf5 sessionize drains sit flat ~34 s with this release vs
+    # climbing past 120 s by the 8th drain without it (SCALING.md,
+    # streaming curve attribution). The memory-sink table itself is
+    # unaffected — it lives in the catalog until replaced by name.
+    stream_df.sparkSession.streams.resetTerminated()
     return stream_df.sparkSession.table(name)

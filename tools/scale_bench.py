@@ -39,6 +39,12 @@ FLAGSHIPS = [
     "dedup_incremental",
     "text_keywords",
     "pack_bins",
+    # stateful streaming (applyInPandasWithState sessionizer). Only
+    # measurable in a shared session since run_to_memory releases
+    # terminated drains (streams.resetTerminated) — before that the
+    # manager-pinned runtime state of prior drains inflated the 8th
+    # drain ~4x (125.8 s vs 31.9 s at sf5; SCALING.md attribution)
+    "events_stream_sessionize",
 ]
 POINTS = [
     ("sf0.01", "/root/testdata/sf0.01"),
