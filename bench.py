@@ -384,44 +384,70 @@ def main() -> None:
         # has a super-linear term. Measured 2026-08-14 (round 6).
         "scaling_evidence": {
             "method": (
-                "tools/scale_bench.py 3; points sf0.01/sf0.1 (driver "
+                "tools/scale_bench.py; points sf0.01/sf0.1 (driver "
                 "fixtures), sf1 (10x) and sf5 (50x) up-samples of "
                 "sf0.1 via tools/scale_fixture.py (keys id-shifted so "
                 "cardinality scales, documents text word-salted per "
                 "copy so the near-dup rate is scale-invariant); one "
-                "fresh warmed session, min of 3 runs per point. "
+                "fresh warmed session, min of runs per point, "
+                "spark.catalog.clearCache() between flagships (the "
+                "same cache-isolation methodology as this file). "
                 "exponent = dlog10(t)/dlog10(data) per segment; 1.0 "
-                "is linear-in-data."
+                "is linear-in-data. 9 flagships — one per operator "
+                "family with a 100 TB claim."
             ),
             "sec": {
-                "profiler_e2e": {"sf0.01": 2.747, "sf0.1": 4.241, "sf1": 9.094, "sf5": 57.267},
-                "dedup_collapse": {"sf0.01": 2.719, "sf0.1": 2.860, "sf1": 6.582, "sf5": 9.010},
-                "sim_covariance": {"sf0.01": 0.729, "sf0.1": 0.764, "sf1": 0.869, "sf5": 0.986},
-                "corpus_dedup_e2e": {"sf0.01": 2.591, "sf0.1": 3.503, "sf1": 4.951, "sf5": 12.884},
+                "profiler_e2e": {"sf0.01": 3.287, "sf0.1": 3.776, "sf1": 6.91, "sf5": 29.4},
+                "dedup_collapse": {"sf0.01": 4.096, "sf0.1": 3.911, "sf1": 6.628, "sf5": 9.435},
+                "sim_covariance": {"sf0.01": 0.974, "sf0.1": 0.8, "sf1": 0.857, "sf5": 0.984},
+                "corpus_dedup_e2e": {"sf0.01": 2.851, "sf0.1": 3.33, "sf1": 4.743, "sf5": 14.213},
+                "sim_ann_lsh": {"sf0.01": 0.665, "sf0.1": 0.725, "sf1": 0.794, "sf5": 1.37},
+                "dedup_incremental": {"sf0.01": 1.655, "sf0.1": 1.693, "sf1": 3.213, "sf5": 4.823},
+                "text_keywords": {"sf0.01": 0.744, "sf0.1": 0.851, "sf1": 1.191, "sf5": 2.121},
+                "pack_bins": {"sf0.01": 0.774, "sf0.1": 0.813, "sf1": 1.142, "sf5": 2.077},
+                "events_stream_sessionize": {"sf0.01": 4.38, "sf0.1": 4.1, "sf1": 8.941, "sf5": 31.87},
             },
             "exponent_sf0.1_to_sf1": {
-                "profiler_e2e": 0.331,
-                "dedup_collapse": 0.362,
-                "sim_covariance": 0.056,
-                "corpus_dedup_e2e": 0.150,
+                "profiler_e2e": 0.262,
+                "dedup_collapse": 0.229,
+                "sim_covariance": 0.03,
+                "corpus_dedup_e2e": 0.154,
+                "sim_ann_lsh": 0.039,
+                "dedup_incremental": 0.278,
+                "text_keywords": 0.146,
+                "pack_bins": 0.148,
+                "events_stream_sessionize": 0.339,
             },
             "exponent_sf1_to_sf5": {
-                "profiler_e2e": 1.143,
-                "dedup_collapse": 0.195,
-                "sim_covariance": 0.078,
-                "corpus_dedup_e2e": 0.594,
+                "profiler_e2e": 0.9,
+                "dedup_collapse": 0.219,
+                "sim_covariance": 0.086,
+                "corpus_dedup_e2e": 0.682,
+                "sim_ann_lsh": 0.339,
+                "dedup_incremental": 0.252,
+                "text_keywords": 0.359,
+                "pack_bins": 0.372,
+                "events_stream_sessionize": 0.79,
             },
             "note": (
-                "the single >1 segment (profiler_e2e sf1->sf5, "
-                "e=1.14) was root-caused, not waved off: an isolated "
-                "re-run at the same 32 shuffle partitions measured "
-                "43.0 s (session variance), and re-sizing "
-                "spark.sql.shuffle.partitions to 256 — the sizing "
-                "rule SCALING.md already documents (partition state "
-                "must fit memory; err high, AQE coalesces) — "
-                "measured 33.0 s, i.e. e~0.80 sublinear. The knob, "
-                "not the plan, is the binding constraint at 30M-row "
-                "lineitem on a fixed-32-partition local session."
+                "three super-linear tails were found by this harness "
+                "across r06 and each was root-caused and closed, not "
+                "waved off (full narratives in SCALING.md): (1) "
+                "profiler_e2e e=1.14 pre-isolation -> the fixed-32-"
+                "partition local knob (256 partitions measured "
+                "e~0.80; under cache isolation the segment is "
+                "e=0.90); (2) pack_bins e=1.50 -> the per-bucket "
+                "first-fit scanned every open bin, O(n x bins); "
+                "replaced with an exact segment-tree first-fit "
+                "(bit-identical, hypothesis-pinned), post-fix "
+                "e=0.37; (3) events_stream_sessionize e=1.2 through "
+                "the shared session (125.8 s at sf5 vs 31.0 s "
+                "isolated) -> the StreamingQueryManager pinned every "
+                "terminated drain; run_to_memory now calls "
+                "streams.resetTerminated() after each availableNow "
+                "drain, post-fix e=0.79 through the same harness. "
+                "All 9 curves are sublinear on every measured "
+                "segment."
             ),
         },
         "attribution": {
