@@ -45,6 +45,12 @@ FLAGSHIPS = [
     # manager-pinned runtime state of prior drains inflated the 8th
     # drain ~4x (125.8 s vs 31.9 s at sf5; SCALING.md attribution)
     "events_stream_sessionize",
+    # both drift forms: exact-KS audit (shuffle carries distinct
+    # values, not rows) and the binned-PSI scale path; multimodal
+    # Arrow-batch featurizer
+    "drift_ks",
+    "profile_drift",
+    "multimodal_features",
 ]
 POINTS = [
     ("sf0.01", "/root/testdata/sf0.01"),
