@@ -5066,6 +5066,60 @@ FROM e
 """
 
 
+def q_corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document span dedup (ext/dedup.span_dedup) — the C4 /
+    RefinedWeb boilerplate pass document-level dedup can't do: every
+    exact 10-word span occurring in ≥2 distinct documents (template
+    boilerplate, repeated headers) is dropped from EVERY document,
+    the surrounding unique text kept in order. One md5(span) groupBy
+    with two-phase count(distinct doc) — the shuffle carries one row
+    per distinct span, not per occurrence — then one groupBy(doc) to
+    reassemble. The result row carries the md5 of the reassembled
+    text, so the driver hash pins the exact post-removal byte
+    sequence of every document, not just the counts."""
+    from lakehouse_tools_spark.ext.dedup import span_dedup
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    out = span_dedup(
+        docs, "doc_id", "text", span_words=10, min_doc_freq=2
+    )
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_kept",
+        "n_dropped",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+_CORPUS_SPAN_DEDUP_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), spans AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ') AS seg
+  FROM w, LATERAL (
+    SELECT unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS i
+  ) t
+), hot AS (
+  SELECT md5(seg) AS h FROM spans
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT s.doc_id, s.pos, s.seg, (h.h IS NOT NULL) AS hot
+  FROM spans s LEFT JOIN hot h ON md5(s.seg) = h.h
+)
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(count(*) - sum(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       md5(coalesce(
+         string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE NOT hot), ''
+       )) AS clean_md5
+FROM marked GROUP BY doc_id
+"""
+
+
 def q_corpus_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end an LLM-data user actually runs, composed from
     THREE already-oracled families and hash-verified as one flow:
@@ -8036,6 +8090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_pandas": q_sim_topk_pandas,
         # new this round (freeze rule: inside the window)
         "corpus_dedup_e2e": q_corpus_dedup_e2e,
+        "corpus_span_dedup": q_corpus_span_dedup,
         # stalest r03 rows fill the remaining window slots
         "dedup_clusters": q_dedup_clusters,
         "semantic_dedup": q_semantic_dedup,
@@ -8370,6 +8425,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_estimate": _DEDUP_MINHASH_EST_ORACLE,
         "dedup_collapse": _DEDUP_COLLAPSE_ORACLE,
         "corpus_dedup_e2e": _corpus_dedup_e2e_oracle(),
+        "corpus_span_dedup": _CORPUS_SPAN_DEDUP_ORACLE,
         # round 5: first-fit is sequential state but still a LINEAR
         # recursion -- the oracle simulates the exact loop as a
         # recursive CTE carrying open-bin fills as a list column

@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "dedup_minhash_estimate",
     "dedup_collapse",
     "corpus_dedup_e2e",
+    "corpus_span_dedup",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

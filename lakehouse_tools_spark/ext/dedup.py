@@ -702,3 +702,110 @@ def incremental_screen(
         word_shingles(cand_corpus, text_col, id_col, k)
     )
     return jaccard_pairs(sh, candidates=cand, threshold=threshold)
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    span_words: int = 10,
+    min_doc_freq: int = 2,
+    delimiter: str | None = None,
+) -> DataFrame:
+    """Sub-document (span/line) deduplication — the C4 / RefinedWeb
+    boilerplate pass: drop every span whose EXACT text occurs in at
+    least ``min_doc_freq`` distinct documents (nav menus, cookie
+    banners, license headers, template footers), keeping the rest of
+    each document intact and in order. Document-level dedup
+    (:func:`exact_duplicates`, MinHash/LSH) can't catch these — the
+    surrounding unique text keeps whole-doc similarity low while the
+    repeated span still leaks into every training sequence.
+
+    Span unit: with ``delimiter`` (e.g. ``"\\n"``) spans are
+    delimiter-separated lines — the RefinedWeb form. Without, spans
+    are consecutive ``span_words``-word windows of the
+    space-tokenized text — the C4 form, usable on single-line text.
+    Segmentation is pure array arithmetic on each row
+    (``split`` + ``sequence`` + ``slice`` + ``array_join``): zero
+    shuffle, no UDF.
+
+    Scale shape (the whole point): ONE groupBy over md5(span) with a
+    two-phase ``count(distinct doc)`` — the shuffle carries one row
+    per distinct span hash, partials combined map-side; hot spans are
+    exactly the high-frequency keys the partial aggregate collapses
+    first. The hot-span relation (``df >= min_doc_freq``) is then
+    equi-joined back on the hash (AQE broadcasts it when small — the
+    usual case; boilerplate is a vanishing fraction of distinct
+    spans) and each document is reassembled with ONE groupBy(id):
+    order restored by ``array_sort`` over (pos, span) structs, hot
+    spans dropped by a null-skipping ``collect_list``. Never
+    collects; both shuffles are key-partitioned and linear.
+
+    Returns one row per document: ``<id_col>, n_spans, n_kept,
+    n_dropped, clean_text`` (the reassembled text, hot spans
+    removed, single-space/delimiter-rejoined). Deterministic for any
+    partitioning; every step is engine-portable (md5, not xxhash64),
+    so a SQL oracle can replay it exactly.
+    """
+    if delimiter is not None:
+        spans = docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.col(text_col), F.lit(delimiter), -1)
+            ).alias("pos", "seg"),
+        )
+        joiner = delimiter
+    else:
+        k = int(span_words)
+        words = F.split(F.col(text_col), " ", -1)
+        n_spans = F.ceil(F.size(words) / F.lit(k)).cast("int")
+        spans = docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_spans - F.lit(1)),
+                    lambda i: F.array_join(
+                        F.slice(words, i * F.lit(k) + F.lit(1), F.lit(k)), " "
+                    ),
+                )
+            ).alias("pos", "seg"),
+        )
+        joiner = " "
+    spans = spans.withColumn("h", F.md5(F.col("seg")))
+    hot = (
+        spans.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= F.lit(int(min_doc_freq)))
+        .select("h", F.lit(True).alias("hot"))
+    )
+    marked = spans.join(hot, "h", "left").select(
+        id_col,
+        "pos",
+        "seg",
+        F.coalesce(F.col("hot"), F.lit(False)).alias("hot"),
+    )
+    kept_struct = F.when(
+        ~F.col("hot"), F.struct(F.col("pos"), F.col("seg"))
+    )  # null for hot spans — collect_list skips nulls
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("hot").cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["seg"],
+                ),
+                joiner,
+            ).alias("clean_text"),
+        )
+        .select(
+            id_col,
+            F.col("n_spans").cast("long").alias("n_spans"),
+            (F.col("n_spans") - F.col("n_dropped")).cast("long").alias("n_kept"),
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+            "clean_text",
+        )
+    )

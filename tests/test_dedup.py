@@ -332,3 +332,94 @@ def test_persist_false_same_results_zero_cache_growth(spark):
     tf_plain = rows(T.tfidf_keywords(docs, "text", "doc_id", k=2, persist=False))
     assert tf_plain == tf_cached
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_span_dedup_drops_hot_spans_keeps_order(spark):
+    from lakehouse_tools_spark.ext.dedup import span_dedup
+
+    boiler = "the cookie banner text here"  # 5 words = one span at k=5
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon"),
+            (2, boiler + " one two three four five"),
+            (3, "zeta eta theta iota kappa " + boiler),
+            (4, "unique words only in this document here now yes ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in span_dedup(
+            docs, "doc_id", "text", span_words=5, min_doc_freq=2
+        ).collect()
+    }
+    assert len(out) == 4
+    # the boilerplate span (present in 3 docs) is dropped everywhere
+    assert out[1].n_dropped == 1 and out[1].clean_text == "alpha beta gamma delta epsilon"
+    assert out[2].n_dropped == 1 and out[2].clean_text == "one two three four five"
+    # order preserved when the hot span is NOT first
+    assert out[3].clean_text == "zeta eta theta iota kappa"
+    # untouched doc keeps its exact text
+    assert out[4].n_dropped == 0
+    assert out[4].clean_text == "unique words only in this document here now yes ok"
+    for r in out.values():
+        assert r.n_spans == r.n_kept + r.n_dropped
+
+
+def test_span_dedup_min_doc_freq_is_distinct_docs(spark):
+    from lakehouse_tools_spark.ext.dedup import span_dedup
+
+    # the span repeats TWICE in one doc but exists in only 1 distinct
+    # doc -> not hot at min_doc_freq=2
+    docs = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, "f g h i j k l m n o")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in span_dedup(
+            docs, "doc_id", "text", span_words=5, min_doc_freq=2
+        ).collect()
+    }
+    assert out[1].n_dropped == 0 and out[1].clean_text == "a b c d e a b c d e"
+
+
+def test_span_dedup_delimiter_mode_lines(spark):
+    from lakehouse_tools_spark.ext.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\nCOPYRIGHT FOOTER\nalso keep"),
+            (2, "other content\nCOPYRIGHT FOOTER"),
+            (3, "totally unrelated"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in span_dedup(
+            docs, "doc_id", "text", min_doc_freq=2, delimiter="\n"
+        ).collect()
+    }
+    assert out[1].clean_text == "keep me\nalso keep"
+    assert out[2].clean_text == "other content"
+    assert out[3].clean_text == "totally unrelated" and out[3].n_dropped == 0
+
+
+def test_span_dedup_deterministic_across_partitioning(spark):
+    from lakehouse_tools_spark.ext.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(37))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, span_dedup(docs, "doc_id", "text", span_words=4, min_doc_freq=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            span_dedup(
+                docs.repartition(7), "doc_id", "text", span_words=4, min_doc_freq=3
+            ).collect(),
+        )
+    )
+    assert a == b
