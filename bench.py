@@ -384,124 +384,133 @@ def main() -> None:
         # local times are still fixed-overhead-bound and no flagship
         # has a super-linear term. Measured 2026-08-14 (round 6).
         "scaling_evidence": {
-            "method": "tools/scale_bench.py; points sf0.01/sf0.1 (driver fixtures), sf1 (10x) and sf5 (50x) up-samples of sf0.1 via tools/scale_fixture.py (keys id-shifted so cardinality scales, documents text word-salted per copy so the near-dup rate is scale-invariant); one fresh warmed session, min of runs per point, spark.catalog.clearCache() between flagships (the same cache-isolation methodology as bench.py). exponent = dlog10(t)/dlog10(data) per segment; 1.0 is linear-in-data. 12 flagships - one per operator family with a 100 TB claim, plus both drift forms (exact-KS audit vs binned-PSI scale path).",
+            "method": "tools/scale_bench.py 2; points sf0.01/sf0.1 (driver fixtures), sf1 (10x) and sf5 (50x) up-samples of sf0.1 via tools/scale_fixture.py (keys id-shifted so cardinality scales, documents text word-salted per copy so the near-dup rate is scale-invariant); ONE fresh warmed session for all 13 flagships, min of runs per point, spark.catalog.clearCache() between flagships (the same cache-isolation methodology as bench.py). exponent = dlog10(t)/dlog10(data) per segment; 1.0 is linear-in-data. One flagship per operator family with a 100 TB claim, plus both drift forms (exact-KS audit vs binned-PSI scale path) and the span-dedup boilerplate pass.",
             "sec": {
                 "profiler_e2e": {
-                    "sf0.01": 3.287,
-                    "sf0.1": 3.776,
-                    "sf1": 6.91,
-                    "sf5": 29.4
+                    "sf0.01": 3.65,
+                    "sf0.1": 4.548,
+                    "sf1": 9.97,
+                    "sf5": 42.323
                 },
                 "dedup_collapse": {
-                    "sf0.01": 4.096,
-                    "sf0.1": 3.911,
-                    "sf1": 6.628,
-                    "sf5": 9.435
+                    "sf0.01": 7.112,
+                    "sf0.1": 4.851,
+                    "sf1": 9.189,
+                    "sf5": 10.464
                 },
                 "sim_covariance": {
-                    "sf0.01": 0.974,
-                    "sf0.1": 0.8,
-                    "sf1": 0.857,
-                    "sf5": 0.984
+                    "sf0.01": 1.049,
+                    "sf0.1": 0.927,
+                    "sf1": 1.086,
+                    "sf5": 1.326
                 },
                 "corpus_dedup_e2e": {
-                    "sf0.01": 2.851,
-                    "sf0.1": 3.33,
-                    "sf1": 4.743,
-                    "sf5": 14.213
+                    "sf0.01": 3.75,
+                    "sf0.1": 3.761,
+                    "sf1": 7.074,
+                    "sf5": 15.74
                 },
                 "sim_ann_lsh": {
-                    "sf0.01": 0.665,
-                    "sf0.1": 0.725,
-                    "sf1": 0.794,
-                    "sf5": 1.37
+                    "sf0.01": 0.731,
+                    "sf0.1": 0.749,
+                    "sf1": 0.875,
+                    "sf5": 1.459
                 },
                 "dedup_incremental": {
-                    "sf0.01": 1.655,
-                    "sf0.1": 1.693,
-                    "sf1": 3.213,
-                    "sf5": 4.823
+                    "sf0.01": 1.869,
+                    "sf0.1": 1.926,
+                    "sf1": 3.934,
+                    "sf5": 4.718
                 },
                 "text_keywords": {
-                    "sf0.01": 0.744,
-                    "sf0.1": 0.851,
-                    "sf1": 1.191,
-                    "sf5": 2.121
+                    "sf0.01": 0.66,
+                    "sf0.1": 0.664,
+                    "sf1": 1.08,
+                    "sf5": 2.029
                 },
                 "pack_bins": {
-                    "sf0.01": 0.774,
-                    "sf0.1": 0.813,
-                    "sf1": 1.142,
-                    "sf5": 2.077
+                    "sf0.01": 0.335,
+                    "sf0.1": 0.382,
+                    "sf1": 0.803,
+                    "sf5": 1.762
                 },
                 "events_stream_sessionize": {
-                    "sf0.01": 4.38,
-                    "sf0.1": 4.1,
-                    "sf1": 8.941,
-                    "sf5": 31.87
+                    "sf0.01": 4.961,
+                    "sf0.1": 7.387,
+                    "sf1": 19.809,
+                    "sf5": 45.288
                 },
                 "drift_ks": {
-                    "sf0.01": 1.269,
-                    "sf0.1": 0.994,
-                    "sf1": 1.082,
-                    "sf5": 1.654
+                    "sf0.01": 0.679,
+                    "sf0.1": 0.634,
+                    "sf1": 0.84,
+                    "sf5": 1.413
                 },
                 "profile_drift": {
-                    "sf0.01": 1.344,
-                    "sf0.1": 1.646,
-                    "sf1": 4.713,
-                    "sf5": 5.819
+                    "sf0.01": 0.856,
+                    "sf0.1": 1.589,
+                    "sf1": 1.318,
+                    "sf5": 2.078
                 },
                 "multimodal_features": {
-                    "sf0.01": 0.768,
-                    "sf0.1": 0.878,
-                    "sf1": 1.1,
-                    "sf5": 2.365
+                    "sf0.01": 0.35,
+                    "sf0.1": 0.409,
+                    "sf1": 0.516,
+                    "sf5": 1.054
+                },
+                "corpus_span_dedup": {
+                    "sf0.01": 0.574,
+                    "sf0.1": 1.11,
+                    "sf1": 1.468,
+                    "sf5": 4.934
                 }
             },
             "exponent_sf0.01_to_sf0.1": {
-                "profiler_e2e": 0.06,
-                "dedup_collapse": -0.02,
-                "sim_covariance": -0.085,
-                "corpus_dedup_e2e": 0.067,
-                "sim_ann_lsh": 0.038,
-                "dedup_incremental": 0.01,
-                "text_keywords": 0.058,
-                "pack_bins": 0.021,
-                "events_stream_sessionize": -0.029,
-                "drift_ks": -0.106,
-                "profile_drift": 0.088,
-                "multimodal_features": 0.058
+                "profiler_e2e": 0.096,
+                "dedup_collapse": -0.166,
+                "sim_covariance": -0.054,
+                "corpus_dedup_e2e": 0.001,
+                "sim_ann_lsh": 0.011,
+                "dedup_incremental": 0.013,
+                "text_keywords": 0.003,
+                "pack_bins": 0.057,
+                "events_stream_sessionize": 0.173,
+                "drift_ks": -0.03,
+                "profile_drift": 0.269,
+                "multimodal_features": 0.068,
+                "corpus_span_dedup": 0.286
             },
             "exponent_sf0.1_to_sf1": {
-                "profiler_e2e": 0.262,
-                "dedup_collapse": 0.229,
-                "sim_covariance": 0.03,
-                "corpus_dedup_e2e": 0.154,
-                "sim_ann_lsh": 0.039,
-                "dedup_incremental": 0.278,
-                "text_keywords": 0.146,
-                "pack_bins": 0.148,
-                "events_stream_sessionize": 0.339,
-                "drift_ks": 0.037,
-                "profile_drift": 0.457,
-                "multimodal_features": 0.098
+                "profiler_e2e": 0.341,
+                "dedup_collapse": 0.277,
+                "sim_covariance": 0.069,
+                "corpus_dedup_e2e": 0.274,
+                "sim_ann_lsh": 0.068,
+                "dedup_incremental": 0.31,
+                "text_keywords": 0.211,
+                "pack_bins": 0.323,
+                "events_stream_sessionize": 0.428,
+                "drift_ks": 0.122,
+                "profile_drift": -0.081,
+                "multimodal_features": 0.101,
+                "corpus_span_dedup": 0.121
             },
             "exponent_sf1_to_sf5": {
-                "profiler_e2e": 0.9,
-                "dedup_collapse": 0.219,
-                "sim_covariance": 0.086,
-                "corpus_dedup_e2e": 0.682,
-                "sim_ann_lsh": 0.339,
-                "dedup_incremental": 0.252,
-                "text_keywords": 0.359,
-                "pack_bins": 0.372,
-                "events_stream_sessionize": 0.79,
-                "drift_ks": 0.264,
-                "profile_drift": 0.131,
-                "multimodal_features": 0.476
+                "profiler_e2e": 0.898,
+                "dedup_collapse": 0.081,
+                "sim_covariance": 0.124,
+                "corpus_dedup_e2e": 0.497,
+                "sim_ann_lsh": 0.318,
+                "dedup_incremental": 0.113,
+                "text_keywords": 0.392,
+                "pack_bins": 0.488,
+                "events_stream_sessionize": 0.514,
+                "drift_ks": 0.323,
+                "profile_drift": 0.283,
+                "multimodal_features": 0.444,
+                "corpus_span_dedup": 0.753
             },
-            "note": "three super-linear tails were found by this harness across r06 and each was root-caused and closed, not waved off (full narratives in SCALING.md): (1) profiler_e2e e=1.14 pre-isolation -> the fixed-32-partition local knob (256 partitions measured e~0.80; under cache isolation the segment is e=0.90); (2) pack_bins e=1.50 -> the per-bucket first-fit scanned every open bin, O(n x bins); replaced with an exact segment-tree first-fit (bit-identical, hypothesis-pinned), post-fix e=0.37; (3) events_stream_sessionize e=1.2 through the shared session (125.8 s at sf5 vs 31.0 s isolated) -> the StreamingQueryManager pinned every terminated drain; run_to_memory now calls streams.resetTerminated() after each availableNow drain, post-fix e=0.79 through the same harness. Caveat on drift_ks: at sf5 the events columns hold 17.8k/75k distinct values, so the curve proves the distinct-not-rows shuffle shape (5M rows -> 93k window rows) but NOT the continuous-column worst case where distinct~n per column lands in one partition - that case is documented out (quantize-first or the binned profile_drift, whose curve is also measured here). All 12 curves are sublinear on every measured segment."
+            "note": "single-session unified measurement (all 13 curves from ONE tools/scale_bench.py run, late r06). Three super-linear tails were found by this harness across r06 and each was root-caused and closed, not waved off (full narratives in SCALING.md): (1) profiler_e2e e=1.14 pre-isolation -> the fixed-32-partition local knob (256 partitions measured e~0.80; unified run e=0.90); (2) pack_bins e=1.50 -> the per-bucket first-fit scanned every open bin, O(n x bins); replaced with an exact segment-tree first-fit (bit-identical, hypothesis-pinned), unified run e=0.49; (3) events_stream_sessionize e=1.2 -> the StreamingQueryManager pinned every terminated drain; run_to_memory now calls streams.resetTerminated() after each availableNow drain, unified run e=0.51. Caveat on drift_ks: at sf5 the events columns hold 17.8k/75k distinct values, so the curve proves the distinct-not-rows shuffle shape (5M rows -> 93k window rows) but NOT the continuous-column worst case where distinct~n per column lands in one partition - that case is documented out (quantize-first or the binned profile_drift, whose curve is also measured here). All 13 curves are sublinear on every measured segment."
         },
         "attribution": {
             "methodology_r06_cache_isolation": (

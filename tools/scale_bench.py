@@ -51,6 +51,8 @@ FLAGSHIPS = [
     "drift_ks",
     "profile_drift",
     "multimodal_features",
+    # sub-document span dedup (C4/RefinedWeb boilerplate pass)
+    "corpus_span_dedup",
 ]
 POINTS = [
     ("sf0.01", "/root/testdata/sf0.01"),
