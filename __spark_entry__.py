@@ -5120,6 +5120,66 @@ FROM marked GROUP BY doc_id
 """
 
 
+def q_corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the md5-interval deal
+    (`corpus_split`'s append-stable assignment) keyed on the NEAR-DUP
+    CLUSTER id instead of the document id, so every member of a
+    near-dup cluster lands in the same split — the guarantee a
+    per-document random split structurally cannot give (a near-copy
+    of a training document in the eval split is the canonical
+    benchmark-leakage failure). Clusters come from the same
+    LSH → exact-Jaccard ≥ 0.3 → connected-components stages as
+    `dedup_collapse`; `n_members` makes the guarantee auditable in
+    the result (group by cluster_id ⇒ exactly one split per
+    cluster). Scale: the collapse stages keep their bucketed shapes;
+    the split itself is a pure projection and the size count is one
+    cluster-keyed window — no new scale cost over the parts."""
+    from lakehouse_tools_spark.ext.graph import connected_components_contract
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    sh = X_dedup.word_shingles(docs, "text", "doc_id", k=3)
+    wide = X_dedup.minhash_wide_from_shingles(sh, num_hashes=8)
+    cand = X_dedup.lsh_candidate_pairs_wide(wide, bands=4, rows_per_band=2)
+    pairs = X_dedup.jaccard_pairs(sh, candidates=cand, threshold=0.3).select(
+        "doc_id", "doc_id2"
+    )
+    assign = connected_components_contract(
+        pairs, docs, src_col="doc_id", dst_col="doc_id2", id_col="doc_id"
+    )
+    sized = assign.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .cast("long")
+        .alias("n_members"),
+    )
+    return X_sample.split_corpus(
+        sized, {"train": 0.8, "val": 0.1, "test": 0.1}, "cluster_id"
+    ).select("doc_id", "cluster_id", "n_members", "split")
+
+
+def _corpus_split_leakage_safe_oracle() -> str:
+    h = _HASH_U32_SQL.format(key="a.cluster_id", salt="")
+    # sorted split names: test (0.1), train (0.9), val (1.0) — the
+    # same cumulative intervals as split_corpus's sorted-weights deal
+    return (
+        "WITH RECURSIVE "
+        + _MINHASH_CTE.lstrip()
+        + _COLLAPSE_GRAPH_CTES
+        + f""",
+members AS (
+  SELECT cluster_id, count(*) AS n_members FROM assign GROUP BY cluster_id
+)
+SELECT a.doc_id, a.cluster_id, CAST(m.n_members AS BIGINT) AS n_members,
+       CASE WHEN {h} / 4294967296.0 < 0.1 THEN 'test'
+            WHEN {h} / 4294967296.0 < 0.9 THEN 'train'
+            ELSE 'val' END AS split
+FROM assign a JOIN members m ON a.cluster_id = m.cluster_id
+"""
+    )
+
+
 def q_corpus_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end an LLM-data user actually runs, composed from
     THREE already-oracled families and hash-verified as one flow:
@@ -8091,6 +8151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round (freeze rule: inside the window)
         "corpus_dedup_e2e": q_corpus_dedup_e2e,
         "corpus_span_dedup": q_corpus_span_dedup,
+        "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
         # stalest r03 rows fill the remaining window slots
         "dedup_clusters": q_dedup_clusters,
         "semantic_dedup": q_semantic_dedup,
@@ -8426,6 +8487,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_collapse": _DEDUP_COLLAPSE_ORACLE,
         "corpus_dedup_e2e": _corpus_dedup_e2e_oracle(),
         "corpus_span_dedup": _CORPUS_SPAN_DEDUP_ORACLE,
+        "corpus_split_leakage_safe": _corpus_split_leakage_safe_oracle(),
         # round 5: first-fit is sequential state but still a LINEAR
         # recursion -- the oracle simulates the exact loop as a
         # recursive CTE carrying open-bin fills as a list column

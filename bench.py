@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "dedup_collapse",
     "corpus_dedup_e2e",
     "corpus_span_dedup",
+    "corpus_split_leakage_safe",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

@@ -187,3 +187,32 @@ def test_split_corpus_rejects_bad_weights(spark):
 
     with pytest.raises(ValueError):
         split_corpus(spark.range(5), {"a": 0.5, "b": 0.6}, "id")
+
+
+def test_leakage_safe_split_one_split_per_cluster(spark):
+    """Splitting on the cluster key must co-assign every member of a
+    near-dup cluster — the guarantee a per-doc split cannot give."""
+    from lakehouse_tools_spark.ext.sampling import split_corpus
+
+    # 3 clusters of sizes 3/2/1 (pre-clustered assignment — the split
+    # operator is agnostic to HOW clusters were computed)
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "doc_id long, cluster_id long",
+    )
+    out = split_corpus(
+        assign, {"train": 0.8, "val": 0.1, "test": 0.1}, "cluster_id"
+    ).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # and the assignment is the cluster key's deal: same cluster_id,
+    # same split, independent of doc_id
+    split_of = {r.cluster_id: r.split for r in out}
+    single = split_corpus(
+        spark.createDataFrame([(99, 1)], "doc_id long, cluster_id long"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        "cluster_id",
+    ).collect()[0]
+    assert single.split == split_of[1]
