@@ -157,6 +157,7 @@ def source_overlap(
     source_col: str = "source",
     k: int = 3,
     materialize: bool = True,
+    max_materialize_sources: int = 4096,
 ) -> DataFrame:
     """Pairwise content-overlap matrix between corpus sources — the
     mixture-design diagnostic: two crawls/feeds with high shingle
@@ -188,6 +189,16 @@ def source_overlap(
     plan inspection / composition into a larger pipeline); the
     shingle aggregate then evaluates once per consumer unless the
     caller persists it themselves.
+
+    The sources²-bound is **data-dependent**: a high-cardinality
+    ``source_col`` (e.g. per-domain) makes the matrix itself
+    data-sized and the eager ``collect()`` a driver-OOM risk. The
+    materialize path therefore counts distinct sources first (one
+    sources-sized job over the already-persisted shingle relation)
+    and, above ``max_materialize_sources`` (default 4096 ⇒ at most
+    ~8.4M pair rows localized), falls back to returning the lazy
+    un-persisted plan — identical semantics to
+    ``materialize=False`` — instead of collecting.
     """
     from lakehouse_tools_spark.ext.dedup import word_shingles
     from lakehouse_tools_spark.functions.portable import floor6
@@ -243,8 +254,20 @@ def source_overlap(
     )
     if not materialize:
         return out
-    # evaluate while the persist is live, then release it — the
-    # overlap matrix is sources²-bounded, so localizing it costs
+    # the matrix is sources²-bounded, but that bound is only small
+    # when the source cardinality is: guard the driver before
+    # collecting. sizes is sources-sized and reads the persisted
+    # shingle relation, so this probe shares all its work with the
+    # collect below.
+    n_sources = sizes.count()
+    if n_sources > max_materialize_sources:
+        # too many sources to localize safely — degrade to the lazy
+        # contract (same semantics as materialize=False) rather than
+        # risk a driver OOM on an O(sources²) collect
+        sh.unpersist()
+        return out
+    # evaluate while the persist is live, then release it — within
+    # the guard the overlap matrix is small, so localizing it costs
     # nothing and the cached shingle relation can't outlive the call
     try:
         rows = out.collect()

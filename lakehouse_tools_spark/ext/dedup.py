@@ -723,9 +723,15 @@ def span_dedup(
     repeated span still leaks into every training sequence.
 
     Span unit: with ``delimiter`` (e.g. ``"\\n"``) spans are
-    delimiter-separated lines — the RefinedWeb form. Without, spans
-    are consecutive ``span_words``-word windows of the
-    space-tokenized text — the C4 form, usable on single-line text.
+    delimiter-separated lines — the RefinedWeb form. The delimiter
+    is treated as a LITERAL string (it is regex-quoted with
+    ``\\Q…\\E`` before reaching ``split``), so ``"."``, ``"|"``,
+    ``"+"`` etc. segment on the literal character, not as a Java
+    regex. Without a delimiter, spans are consecutive
+    ``span_words``-word windows of the space-tokenized text — the
+    C4 form, usable on single-line text. Rows whose ``text_col`` is
+    NULL are kept in the output (``n_spans = n_kept = n_dropped =
+    0``, ``clean_text`` NULL) rather than silently dropped.
     Segmentation is pure array arithmetic on each row
     (``split`` + ``sequence`` + ``slice`` + ``array_join``): zero
     shuffle, no UDF.
@@ -749,10 +755,18 @@ def span_dedup(
     so a SQL oracle can replay it exactly.
     """
     if delimiter is not None:
+        # Java-regex-quote the delimiter so '.', '|', '+', … split on
+        # the literal string (Pattern.quote semantics: wrap in
+        # \Q…\E, splicing around any embedded \E)
+        quoted = "\\Q" + delimiter.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+        # posexplode_outer: split(NULL) is NULL and plain posexplode
+        # would DROP the document; the outer form emits one
+        # (null pos, null seg) row instead, which the aggregate below
+        # turns into an n_spans=0 / clean_text NULL output row
         spans = docs.select(
             F.col(id_col),
-            F.posexplode(
-                F.split(F.col(text_col), F.lit(delimiter), -1)
+            F.posexplode_outer(
+                F.split(F.col(text_col), F.lit(quoted), -1)
             ).alias("pos", "seg"),
         )
         joiner = delimiter
@@ -762,7 +776,7 @@ def span_dedup(
         n_spans = F.ceil(F.size(words) / F.lit(k)).cast("int")
         spans = docs.select(
             F.col(id_col),
-            F.posexplode(
+            F.posexplode_outer(
                 F.transform(
                     F.sequence(F.lit(0), n_spans - F.lit(1)),
                     lambda i: F.array_join(
@@ -774,7 +788,8 @@ def span_dedup(
         joiner = " "
     spans = spans.withColumn("h", F.md5(F.col("seg")))
     hot = (
-        spans.groupBy("h")
+        spans.filter(F.col("seg").isNotNull())
+        .groupBy("h")
         .agg(F.countDistinct(id_col).alias("df"))
         .filter(F.col("df") >= F.lit(int(min_doc_freq)))
         .select("h", F.lit(True).alias("hot"))
@@ -786,12 +801,15 @@ def span_dedup(
         F.coalesce(F.col("hot"), F.lit(False)).alias("hot"),
     )
     kept_struct = F.when(
-        ~F.col("hot"), F.struct(F.col("pos"), F.col("seg"))
-    )  # null for hot spans — collect_list skips nulls
+        (~F.col("hot")) & F.col("seg").isNotNull(),
+        F.struct(F.col("pos"), F.col("seg")),
+    )  # null for hot spans and null-text sentinel rows — skipped
     return (
         marked.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
+            # count(seg), not count(1): the null-text sentinel row
+            # contributes 0 spans
+            F.count(F.col("seg")).alias("n_spans"),
             F.sum(F.col("hot").cast("long")).alias("n_dropped"),
             F.array_join(
                 F.transform(
@@ -806,6 +824,10 @@ def span_dedup(
             F.col("n_spans").cast("long").alias("n_spans"),
             (F.col("n_spans") - F.col("n_dropped")).cast("long").alias("n_kept"),
             F.col("n_dropped").cast("long").alias("n_dropped"),
-            "clean_text",
+            # null-text docs (n_spans=0) surface clean_text as NULL,
+            # not "" — "" is a real (empty-string) document
+            F.when(F.col("n_spans") > 0, F.col("clean_text")).alias(
+                "clean_text"
+            ),
         )
     )

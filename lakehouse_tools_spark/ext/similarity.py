@@ -883,6 +883,7 @@ def quantized_covariance(
     dims: tuple[int, ...] | None = None,
     scale: int = 1 << 20,
     strategy: str = "auto",
+    strict_width: bool = False,
 ) -> DataFrame:
     """Sample covariance of embedding components over QUANTIZED
     inputs, as (i, j, cov) rows for i ≤ j — the statistic PCA /
@@ -924,6 +925,13 @@ def quantized_covariance(
     probes stay pure-JVM. Since both are exact integer sums closed by
     the same expression, the choice is invisible to the hash-verified
     contract (same DuckDB oracle checks either).
+
+    Input validation probes only the FIRST row's width by default,
+    so a *ragged* corpus (some vectors shorter than ``max(dims)``)
+    slips past it: "gram" then fails loudly per batch while "agg"
+    silently sums nulls. Pass ``strict_width=True`` to pay one
+    min-length aggregate scan up front and make both strategies
+    reject ragged input identically.
     """
     d = len(dims) if dims is not None else None
     if d is None:
@@ -953,12 +961,30 @@ def quantized_covariance(
     # first-row probe used for dims inference; the null check is a
     # limit(1) early-exit filter that reads only the validity bitmap
     # (parquet definition levels), never decoding vectors.
+    #
+    # RAGGED-CORPUS ASYMMETRY: the first-row probe cannot see rows
+    # SHORTER than max(dims) further down the corpus. On ragged
+    # input the two strategies diverge there — "gram" fails loudly
+    # per Arrow batch (numpy shape mismatch) while "agg"'s
+    # element_at returns null and silently contaminates the sums.
+    # strict_width=True closes the gap with a full min(size) scan
+    # up front (one lightweight aggregate over array lengths) so
+    # both strategies fail identically on ragged corpora; the
+    # default keeps the probe cheap for the common fixed-width case.
     first = df.select(F.size(vec_col).alias("n")).first()
     if first is not None and first["n"] is not None and max(dims) >= int(first["n"]):
         raise ValueError(
             f"quantized_covariance: max(dims)={max(dims)} out of range "
             f"for {vec_col!r} vectors of length {int(first['n'])}"
         )
+    if strict_width:
+        mn = df.agg(F.min(F.size(vec_col)).alias("m")).first()["m"]
+        if mn is not None and max(dims) >= int(mn):
+            raise ValueError(
+                f"quantized_covariance: ragged corpus — min vector "
+                f"length {int(mn)} <= max(dims)={max(dims)}; the "
+                "statistic is undefined on the short rows"
+            )
     if df.filter(F.col(vec_col).isNull()).limit(1).count() > 0:
         raise ValueError(
             f"quantized_covariance: input contains null {vec_col!r} "

@@ -106,7 +106,10 @@ def upsert_stream(
 
 
 def run_to_memory(
-    stream_df: DataFrame, name: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    release_terminated: bool = True,
 ) -> DataFrame:
     """Drain a streaming DataFrame to completion (``availableNow``)
     into an in-memory sink table and return it as a batch DataFrame.
@@ -118,6 +121,21 @@ def run_to_memory(
     against a batch oracle. ``availableNow`` runs a trailing no-data
     batch precisely so that the final watermark advance flushes
     everything it owes.
+
+    .. warning:: **Session-global side effect.** With
+       ``release_terminated=True`` (default) this calls
+       ``spark.streams.resetTerminated()`` after the drain, which
+       clears **every** terminated query from the session's shared
+       :class:`StreamingQueryManager` — not just this one. A
+       concurrent caller blocked in ``awaitAnyTermination()`` in the
+       same session can miss a termination it was waiting to
+       observe. Pass ``release_terminated=False`` in sessions that
+       use ``awaitAnyTermination()``; the trade-off is that each
+       drained query's runtime state then stays pinned by the
+       manager for the session's lifetime (measured: repeated sf5
+       sessionize drains sit flat ~34 s with the release vs climbing
+       past 120 s by the 8th drain without it — SCALING.md,
+       streaming curve attribution).
     """
     q = (
         stream_df.writeStream.format("memory")
@@ -127,15 +145,15 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
-    # drop the manager's reference to the terminated drain: the
-    # StreamingQueryManager otherwise pins every finished query's
-    # runtime state for awaitAnyTermination() — which a drain-style
-    # caller never uses — and a long-lived driver session that drains
-    # many one-shot queries (the bench/driver harness runs ~10 per
-    # session) accumulates them without bound. Measured: repeated
-    # sf5 sessionize drains sit flat ~34 s with this release vs
-    # climbing past 120 s by the 8th drain without it (SCALING.md,
-    # streaming curve attribution). The memory-sink table itself is
-    # unaffected — it lives in the catalog until replaced by name.
-    stream_df.sparkSession.streams.resetTerminated()
+    if release_terminated:
+        # drop the manager's reference to the terminated drain: the
+        # StreamingQueryManager otherwise pins every finished query's
+        # runtime state for awaitAnyTermination() — which a
+        # drain-style caller never uses — and a long-lived driver
+        # session that drains many one-shot queries (the bench/driver
+        # harness runs ~10 per session) accumulates them without
+        # bound. The memory-sink table itself is unaffected — it
+        # lives in the catalog until replaced by name. NOTE this is
+        # session-global (see docstring warning).
+        stream_df.sparkSession.streams.resetTerminated()
     return stream_df.sparkSession.table(name)

@@ -423,3 +423,114 @@ def test_span_dedup_deterministic_across_partitioning(spark):
         )
     )
     assert a == b
+
+
+def test_span_dedup_regex_special_delimiter_is_literal(spark):
+    # ADVICE r06: '|' '.' '+' reached F.split as Java regex and
+    # segmented per-character; the delimiter is now regex-quoted
+    from lakehouse_tools_spark.ext.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me|AD BLOCK|also keep"),
+            (2, "other stuff|AD BLOCK"),
+            (3, "no pipes at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in span_dedup(
+            docs, "doc_id", "text", min_doc_freq=2, delimiter="|"
+        ).collect()
+    }
+    assert out[1].n_spans == 3 and out[1].clean_text == "keep me|also keep"
+    assert out[2].clean_text == "other stuff"
+    # '.' as delimiter: pre-fix this split every character away
+    docs2 = spark.createDataFrame(
+        [(1, "sentence one.SPAM.sentence two"), (2, "more text.SPAM")],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r.doc_id: r
+        for r in span_dedup(
+            docs2, "doc_id", "text", min_doc_freq=2, delimiter="."
+        ).collect()
+    }
+    assert out2[1].clean_text == "sentence one.sentence two"
+    assert out2[1].n_spans == 3 and out2[1].n_dropped == 1
+
+
+def test_span_dedup_null_text_rows_survive(spark):
+    # ADVICE r06: posexplode of split(NULL) dropped the row entirely;
+    # null-text docs now come back with zero counts and NULL text
+    from lakehouse_tools_spark.ext.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "shared span here ok yes"), (2, "shared span here ok yes"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    for kwargs in ({"span_words": 5}, {"delimiter": "\n"}):
+        out = {
+            r.doc_id: r
+            for r in span_dedup(
+                docs, "doc_id", "text", min_doc_freq=2, **kwargs
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3, 4}, kwargs
+        assert out[3].n_spans == 0 and out[3].n_kept == 0 and out[3].n_dropped == 0
+        assert out[3].clean_text is None
+        # empty string is a real document, distinct from NULL
+        assert out[4].n_spans == 1 and out[4].clean_text is not None
+
+
+def test_source_overlap_materialize_guard_degrades_to_lazy(spark):
+    # ADVICE r06: the eager collect is sources^2-bounded only when
+    # source cardinality is small; above the guard it must return the
+    # lazy plan (and leave no persisted relation behind)
+    from lakehouse_tools_spark.ext.corpus import source_overlap
+
+    docs = spark.createDataFrame(
+        [(f"s{i}", "alpha beta gamma delta common tail words") for i in range(6)],
+        "source string, text string",
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = source_overlap(docs, "text", "source", max_materialize_sources=3)
+    # guard tripped: no cached relation may outlive the call
+    assert jsc.getPersistentRDDs().size() <= before
+    rows = {(r.source_a, r.source_b): r for r in out.collect()}
+    # identical semantics to the materialized path
+    mat = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap(docs, "text", "source").collect()
+    }
+    assert set(rows) == set(mat)
+    for k in rows:
+        assert rows[k].jaccard == mat[k].jaccard
+
+
+def test_quantized_covariance_strict_width_rejects_ragged(spark):
+    import pytest as _pytest
+
+    from lakehouse_tools_spark.ext.similarity import quantized_covariance
+
+    ragged = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3]), (2, [0.4, 0.5, 0.6]), (3, [0.7, 0.8])],
+        "id long, embedding array<double>",
+    )
+    # default first-row probe cannot see the short third row, so only
+    # strict_width turns the ragged corpus into a loud failure for
+    # BOTH strategies
+    for strategy in ("agg", "gram"):
+        with _pytest.raises(ValueError, match="ragged"):
+            quantized_covariance(
+                ragged, "embedding", dims=(0, 1, 2), strategy=strategy,
+                strict_width=True,
+            )
+    # fixed-width corpus passes the strict check
+    ok = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.4])], "id long, embedding array<double>"
+    )
+    res = quantized_covariance(ok, "embedding", dims=(0, 1), strict_width=True)
+    assert res.count() == 3

@@ -134,3 +134,25 @@ def test_interval_join_rejects_unknown_how(spark):
         stream_interval_join(
             p, v, "user_id", "ts", "ts", -1800, 0, how="right_outer"
         )
+
+
+def test_run_to_memory_release_terminated_opt_out(spark, tmp_path):
+    # ADVICE r06: resetTerminated() is session-global; callers that
+    # coordinate via awaitAnyTermination() can now opt out. The
+    # opt-out path must still drain to a readable table.
+    views, purchases = _rows()
+    vdir, pdir = str(tmp_path / "v"), str(tmp_path / "p")
+    spark.createDataFrame(views, DDL).coalesce(1).write.parquet(vdir)
+    spark.createDataFrame(purchases, DDL).coalesce(1).write.parquet(pdir)
+    vs = with_watermark(spark.readStream.schema(DDL).parquet(vdir), "ts", "1 hour")
+    ps = with_watermark(spark.readStream.schema(DDL).parquet(pdir), "ts", "1 hour")
+    out = stream_interval_join(
+        ps, vs, "user_id", "ts", "ts", -1800, 0, prefixes=("p_", "v_")
+    )
+    res = run_to_memory(
+        out, "t_ssjoin_noreset", output_mode="append", release_terminated=False
+    )
+    got = {(r.p_event_id, r.v_event_id) for r in res.collect()}
+    assert got == EXPECTED_WITH_BOUNDARY
+    # leave the session clean for later streaming tests
+    spark.streams.resetTerminated()

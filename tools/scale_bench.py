@@ -1,8 +1,10 @@
-"""Two-decade scaling measurement for the flagship queries.
+"""Multi-point scaling measurement for the 13 flagship queries.
 
-Runs each flagship at sf0.01 and sf0.1 (driver fixtures) and sf1
-(10x up-sample built by tools/scale_fixture.py), all in ONE fresh
-warmed session, min-of-RUNS per point, and prints a JSON table with
+Runs each flagship at sf0.01 and sf0.1 (driver fixtures), sf1 (10x
+up-sample built by tools/scale_fixture.py), and — when the fixture
+exists — sf5 (and sf10 for the three highest-exponent flagships),
+all in ONE fresh warmed session, min-of-RUNS per point, cache
+cleared between queries, and prints a JSON table with
 the per-decade scaling exponent e = log10(t_hi / t_lo): e == 1 is
 linear-in-data, e == 0 is pure fixed overhead, e > 1 is a
 super-linear term that would not survive 100 TB. Local caveat
@@ -67,7 +69,7 @@ POINTS = [
 def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     # SCALE_FLAGSHIPS=a,b,c re-measures a subset (e.g. after a fix)
-    # without paying for the full 8-curve session
+    # without paying for the full 13-curve session
     subset = os.environ.get("SCALE_FLAGSHIPS")
     flagships = subset.split(",") if subset else FLAGSHIPS
     spark = get_session(
