@@ -8098,18 +8098,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver correctness snapshot, which records the
-    # FIRST ~50 entries only. Round-6 window (VERDICT r05 item #1 +
-    # freeze rule #6): positions 1-38 are the entire r02-stale cohort
-    # (TPC-H bulk, window/setop/skew/quality suites, the classic
-    # dedup shapes — all green since r02 but surrounded by 3 rounds
-    # of churn, e.g. _ps_derived feeds five of the TPC-H queries);
-    # position 39 is the ONE new query this round (corpus_dedup_e2e,
-    # the collapse→prepare→split composition, hash-verified — added
-    # INSIDE the window per the freeze rule); positions 40-50 are the
-    # stalest r03 rows (streaming joins, the profiler flagship, the
-    # sim/dedup r03 stragglers). Done-bar: after this window lands,
-    # no registered query's latest driver row is older than r03.
+    # FIRST ~50 entries only. Round-7 window (VERDICT r06 items #2-3
+    # + the freeze rule, now extended: a materially-changed operator
+    # rotates its carrier query into that round's window):
+    # positions 1-9 are every operator whose executing code changed
+    # in r06/r07 (pack_bins segment-tree, dedup_incremental semi-join
+    # prune, source_overlap eager-materialize + r07 driver guard,
+    # sim_covariance input validation + r07 strict_width, the four
+    # streaming/sink.py consumers, and corpus_span_dedup whose
+    # delimiter/null handling changed this round); positions 10-46
+    # are the entire 37-query r03-stale cohort (text_*, batch events_
+    # windows, multimodal, source roundtrips, cdc, samples, chunks,
+    # table_versions, ...); positions 47-50 are the stalest r04 rows.
+    # Done-bar: after this window lands, no registered query's latest
+    # driver row is older than r04 and no operator's row is older
+    # than its code. No new queries this round so far; any r07
+    # addition must be placed inside this window per the freeze rule.
     return {
+        # -- changed-operator rotation (r06/r07 code changes)
+        "pack_bins": q_pack_bins,
+        "dedup_incremental": q_dedup_incremental,
+        "source_overlap": q_source_overlap,
+        "sim_covariance": q_sim_covariance,
+        "events_stream_sessionize": q_events_stream_sessionize,
+        "events_stream_outer_join": q_events_stream_outer_join,
+        "events_stream_upsert": q_events_stream_upsert,
+        "events_stream_profile": q_events_stream_profile,
+        "corpus_span_dedup": q_corpus_span_dedup,
+        # -- the 37-query r03-stale cohort
+        "multimodal_features": q_multimodal_features,
+        "table_versions": q_table_versions,
+        "asof_tolerance": q_asof_tolerance,
+        "catalog_stats": q_catalog_stats,
+        "cdc_apply": q_cdc_apply,
+        "cdc_merge_into": q_cdc_merge_into,
+        "chunk_chars": q_chunk_chars,
+        "chunk_tokens": q_chunk_tokens,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_mixture": q_corpus_mixture,
+        "corpus_prepare": q_corpus_prepare,
+        "cube_pricing": q_cube_pricing,
+        "events_json": q_events_json,
+        "events_lag_lead": q_events_lag_lead,
+        "events_pivot": q_events_pivot,
+        "events_range_join": q_events_range_join,
+        "events_sessionize": q_events_sessionize,
+        "events_sliding": q_events_sliding,
+        "events_tumbling": q_events_tumbling,
+        "events_unpivot": q_events_unpivot,
+        "multimodal_decode": q_multimodal_decode,
+        "pack_chunks": q_pack_chunks,
+        "profile_drift": q_profile_drift,
+        "profile_quantiles_exact": q_profile_quantiles_exact,
+        "sample_balanced": q_sample_balanced,
+        "sample_stratified": q_sample_stratified,
+        "scd2_customers": q_scd2_customers,
+        "snapshot_diff": q_snapshot_diff,
+        "source_binaryfile": q_source_binaryfile,
+        "source_csv_roundtrip": q_source_csv_roundtrip,
+        "source_json_roundtrip": q_source_json_roundtrip,
+        "source_orc_roundtrip": q_source_orc_roundtrip,
+        "text_fingerprints": q_text_fingerprints,
+        "text_quality": q_text_quality,
+        "text_redact": q_text_redact,
+        "text_tokens": q_text_tokens,
+        "text_vocabulary": q_text_vocabulary,
+        # -- stalest r04 rows fill the last window slots
+        "sim_recall_report": q_sim_recall_report,
+        "neardup_recall_report": q_neardup_recall_report,
+        "corpus_e2e": q_corpus_e2e,
+        "graph_pagerank": q_graph_pagerank,
+        # --- position 51+: outside the ~50-entry driver
+        # snapshot window, prior relative order preserved
+        # (stalest-first: remaining r04 cohort, then r05,
+        # then r06 greens freshest-last)
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
@@ -8148,11 +8210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_topk": q_profile_topk,
         "profiler_incremental": q_profiler_incremental,
         "sim_topk_pandas": q_sim_topk_pandas,
-        # new this round (freeze rule: inside the window)
         "corpus_dedup_e2e": q_corpus_dedup_e2e,
-        "corpus_span_dedup": q_corpus_span_dedup,
         "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
-        # stalest r03 rows fill the remaining window slots
         "dedup_clusters": q_dedup_clusters,
         "semantic_dedup": q_semantic_dedup,
         "sim_ivf": q_sim_ivf,
@@ -8162,62 +8221,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": q_events_stream_dedup,
         "profiler_e2e": q_profiler_e2e,
         "fuzzy_join": q_fuzzy_join,
-        "multimodal_features": q_multimodal_features,
-        "table_versions": q_table_versions,
-        # --- position 51+: outside the ~50-entry driver snapshot
-        # window. r07 priority: the remaining r03 rows below, then
-        # the r04 cohort, then the r05 greens (freshest last).
-        "asof_tolerance": q_asof_tolerance,
-        "catalog_stats": q_catalog_stats,
-        "cdc_apply": q_cdc_apply,
-        "cdc_merge_into": q_cdc_merge_into,
-        "chunk_chars": q_chunk_chars,
-        "chunk_tokens": q_chunk_tokens,
-        "corpus_decontaminate": q_corpus_decontaminate,
-        "corpus_mixture": q_corpus_mixture,
-        "corpus_prepare": q_corpus_prepare,
-        "cube_pricing": q_cube_pricing,
-        "events_json": q_events_json,
-        "events_lag_lead": q_events_lag_lead,
-        "events_pivot": q_events_pivot,
-        "events_range_join": q_events_range_join,
-        "events_sessionize": q_events_sessionize,
-        "events_sliding": q_events_sliding,
-        "events_tumbling": q_events_tumbling,
-        "events_unpivot": q_events_unpivot,
-        "multimodal_decode": q_multimodal_decode,
-        "pack_chunks": q_pack_chunks,
-        "profile_drift": q_profile_drift,
-        "profile_quantiles_exact": q_profile_quantiles_exact,
-        "sample_balanced": q_sample_balanced,
-        "sample_stratified": q_sample_stratified,
-        "scd2_customers": q_scd2_customers,
-        "snapshot_diff": q_snapshot_diff,
-        "source_binaryfile": q_source_binaryfile,
-        "source_csv_roundtrip": q_source_csv_roundtrip,
-        "source_json_roundtrip": q_source_json_roundtrip,
-        "source_orc_roundtrip": q_source_orc_roundtrip,
-        "text_fingerprints": q_text_fingerprints,
-        "text_quality": q_text_quality,
-        "text_redact": q_text_redact,
-        "text_tokens": q_text_tokens,
-        "text_vocabulary": q_text_vocabulary,
         "sim_pca": q_sim_pca,
         "pca_error_report": q_pca_error_report,
         "drift_ks": q_drift_ks,
         "events_ewma": q_events_ewma,
         "events_transitions": q_events_transitions,
         "dedup_graph_triangles": q_dedup_graph_triangles,
-        "sim_covariance": q_sim_covariance,
         "integrity_report": q_integrity_report,
-        "events_stream_outer_join": q_events_stream_outer_join,
         "profile_clip": q_profile_clip,
         "events_gap_fill": q_events_gap_fill,
         "events_forward_fill": q_events_forward_fill,
         "events_rolling": q_events_rolling,
         "events_dense_impute": q_events_dense_impute,
         "profile_heavy_hitters": q_profile_heavy_hitters,
-        "events_stream_upsert": q_events_stream_upsert,
         "bloom_join_prune": q_bloom_join_prune,
         "text_repetition": q_text_repetition,
         "corpus_split": q_corpus_split,
@@ -8229,11 +8245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_hard_negatives": q_sim_hard_negatives,
         "sim_quantize_report": q_sim_quantize_report,
         "text_language": q_text_language,
-        "dedup_incremental": q_dedup_incremental,
-        "source_overlap": q_source_overlap,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "dedup_collapse": q_dedup_collapse,
-        "pack_bins": q_pack_bins,
         "profile_intended": q_profile_intended,
         "merge_upsert": q_merge_upsert,
         "sim_topk": q_sim_topk,
@@ -8246,7 +8259,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_rowset": q_zorder_rowset,
         "merge_full_sync": q_merge_full_sync,
         "sim_ivf_kmeans": q_sim_ivf_kmeans,
-        "events_stream_sessionize": q_events_stream_sessionize,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_multiprobe": q_sim_ann_multiprobe,
         "sim_neardup_lsh": q_sim_neardup_lsh,
@@ -8260,11 +8272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_distinct_sketch": q_profile_distinct_sketch,
         "catalog_show_tables": q_catalog_show_tables,
         "profile_nested": q_profile_nested,
-        "sim_recall_report": q_sim_recall_report,
         "sketch_error_report": q_sketch_error_report,
         "quantile_error_report": q_quantile_error_report,
         "pack_report": q_pack_report,
-        "neardup_recall_report": q_neardup_recall_report,
         "text_keywords": q_text_keywords,
         "text_bigrams": q_text_bigrams,
         "text_logprob": q_text_logprob,
@@ -8276,14 +8286,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_outliers": q_profile_outliers,
         "source_partitioned": q_source_partitioned,
         "merge_evolve": q_merge_evolve,
-        "events_stream_profile": q_events_stream_profile,
         "schema_drift": q_schema_drift,
         "profile_quantiles_grouped": q_profile_quantiles_grouped,
         "summary_error_report": q_summary_error_report,
         "text_bpe": q_text_bpe,
         "layout_report": q_layout_report,
         "quality_quarantine": q_quality_quarantine,
-        "corpus_e2e": q_corpus_e2e,
         "source_evolved": q_source_evolved,
         "asof_nearest": q_asof_nearest,
         "events_interval_join": q_events_interval_join,
@@ -8293,7 +8301,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_entropy": q_profile_entropy,
         "events_anomaly_rolling": q_events_anomaly_rolling,
         "events_stream_enrich": q_events_stream_enrich,
-        "graph_pagerank": q_graph_pagerank,
         "sim_cross_contamination": q_sim_cross_contamination,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "events_interpolate": q_events_interpolate,
