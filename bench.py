@@ -525,21 +525,69 @@ def main() -> None:
                 "same query remain warm; only cross-query cache "
                 "state is shed. Round-over-round comparisons that "
                 "straddle this change should expect driver-session "
-                "numbers to move TOWARD queries_fresh."
+                "numbers to move TOWARD queries_fresh. The shift is "
+                "MEASURED in ab_cache_isolation_r07 (r07 A-B run, "
+                "tools/ab_isolation.py)."
             ),
-            "fresh_vs_fresh_r06": (
-                "distribution check, r06 vs r05 queries_fresh over "
-                "all 179 shared queries: median ratio 0.998 "
-                "(p25 0.86, p75 1.13) — no systematic shift; the 12 "
-                "entries >1.3x are tail noise, cross-checked by "
-                "isolated fresh-session min-of-3 showing first-run "
-                "JIT/GC spikes of 2-3x (dedup_collapse "
-                "[16.68, 7.28, 5.41] s, source_overlap "
-                "[12.53, 2.97, 2.55] s) with no code or plan change "
-                "in any flagged query's path (dedup_collapse's "
-                "stages untouched since r05; same-day "
-                "tools/scale_bench.py measured it 4.96 s min-of-3 "
-                "at sf0.1)."
+            "fresh_vs_fresh_r07": (
+                "CORRECTED distribution check (the committed r06 "
+                "note quoted numbers computed mid-round at 8701c5c, "
+                "before the isolation change and five bench "
+                "refreshes; VERDICT r06 item #1). Recomputed from "
+                "committed JSON only: r06 closing bench b1a6ca4 vs "
+                "r05 closing 807980b over 179 shared queries = "
+                "median 1.157 (p25 1.02, p75 1.32), 50 entries "
+                ">1.3x. That decomposes into two measured factors: "
+                "(1) the closing session ran contended — see "
+                "closing_bench_r06_contention — and (2) the "
+                "isolation methodology change — see "
+                "ab_cache_isolation_r07. Removing factor (1) by "
+                "comparing the same-round IDLE bench e32ab99 vs r05 "
+                "gives median 0.946 (p25 0.84, p75 1.05) with only "
+                "8 entries >1.3x: source_overlap 2.42 "
+                "(code-attributed, see its entry), dedup_collapse "
+                "1.51 / dedup_incremental 1.51 (isolated min-of-3 "
+                "first-run JIT spikes measured r06: dedup_collapse "
+                "[16.68, 7.28, 5.41] s; same-day scale_bench 4.96 s "
+                "min-of-3), events_ewma 1.42, and four entries at "
+                "1.32-1.33 straddling the threshold — i.e. no "
+                "systematic plan regression r05->r06 once the "
+                "contended session is excluded."
+            ),
+            "closing_bench_r06_contention": (
+                "the two same-round committed r06 benches disagree "
+                "systematically: idle e32ab99 totals 205.5 s (181 "
+                "queries) vs closing b1a6ca4 249.8 s (+2 queries). "
+                "Per-query close/idle over 181 shared: median 1.228, "
+                "p10 0.98, p90 1.49, corr(log idle-time, log ratio) "
+                "= -0.18 — a uniform session-external multiplier "
+                "(machine contention while the closing bench ran "
+                "late-round), not per-query regressions: 45 of the "
+                "50 >1.3x close-vs-r05 swings vanish when the "
+                "idle-vs-r05 comparison is used instead (8 remain). "
+                "Both r06 benches are post-isolation-change, so "
+                "methodology is identical between them. Rule "
+                "adopted: the closing bench of each round runs on "
+                "an otherwise-idle machine, verified via load "
+                "average before launch."
+            ),
+            "ab_cache_isolation_r07": (
+                "measured A-B for the r06 methodology change "
+                "(tools/ab_isolation.py, sf0.1, two fresh sessions, "
+                "identical warm-up, min-of-2): 10 cache-affine "
+                "queries (per-call persisters + neighbors riding "
+                "their state). isolation ON vs OFF ratios: tpch_q15 "
+                "1.52, tpch_q17 1.31, tpch_q21 1.58, tpch_q18 1.45, "
+                "graph_pagerank 1.77, dedup_graph_stats 2.40, "
+                "text_keywords 0.71, text_bigrams 0.83, "
+                "dedup_jaccard 0.39, dedup_clusters 0.67 — median "
+                "1.38 on this deliberately cache-affine list, but "
+                "totals 21.7 s ON vs 23.9 s OFF: shedding caches "
+                "slows the queries that rode them and speeds the "
+                "ones that paid their memory pressure, netting "
+                "~neutral-to-faster over a mixed list — consistent "
+                "with the full-distribution idle-vs-r05 median of "
+                "0.946 across 179 queries."
             ),
             "source_overlap": (
                 "r06 0.73 -> 1.59 s: partly code-attributable — the "
