@@ -308,3 +308,15 @@ def test_source_overlap_prunes_to_text_and_source(spark):
     p2 = plan_of(E.q_source_overlap(spark, SF))
     assert "FileScan" not in p2
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_span_dedup_zero_sortmerge_one_broadcast(spark):
+    # SCALING.md "Span-level dedup" plan audit, now pinned: the hot
+    # set (boilerplate is a vanishing fraction of distinct spans)
+    # joins back BROADCAST; a sort-merge join here means the
+    # candidate prune or AQE sizing was lost and the reassembly
+    # would pay a corpus-wide shuffle sort at 100 TB
+    p = plan_of(E.q_corpus_span_dedup(spark, SF))
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") == 1
+    assert "CartesianProduct" not in p

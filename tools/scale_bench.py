@@ -63,7 +63,17 @@ POINTS = [
     # optional half-decade extension: present iff
     # `python tools/scale_fixture.py 50 .scale_fixtures/sf5` was run
     ("sf5", ".scale_fixtures/sf5"),
+    # full-decade extension, measured only for SF10_FLAGSHIPS (the
+    # three curves whose e(1->5) was highest in r06 — the segments
+    # most likely to reveal a hidden quadratic next); present iff
+    # `python tools/scale_fixture.py 100 .scale_fixtures/sf10` was run
+    ("sf10", ".scale_fixtures/sf10"),
 ]
+SF10_FLAGSHIPS = {
+    "corpus_span_dedup",      # e(1->5) 0.75 in r06
+    "events_stream_sessionize",  # 0.51
+    "corpus_dedup_e2e",       # 0.50
+}
 
 
 def main() -> None:
@@ -83,6 +93,8 @@ def main() -> None:
     for name in flagships:
         times = {}
         for label, sf_dir in points:
+            if label == "sf10" and name not in SF10_FLAGSHIPS:
+                continue
             best = float("inf")
             for _ in range(runs):
                 t0 = time.time()
@@ -92,8 +104,14 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             times[label] = round(best, 3)
         rec = {"sec": times}
-        labels = [lb for lb, _ in points]
-        decades = {"sf0.01": -2.0, "sf0.1": -1.0, "sf1": 0.0, "sf5": math.log10(5)}
+        labels = [lb for lb, _ in points if lb in times]
+        decades = {
+            "sf0.01": -2.0,
+            "sf0.1": -1.0,
+            "sf1": 0.0,
+            "sf5": math.log10(5),
+            "sf10": 1.0,
+        }
         for lo, hi in zip(labels, labels[1:]):
             e = math.log10(times[hi] / times[lo]) / (decades[hi] - decades[lo])
             rec[f"exponent_{lo}_to_{hi}"] = round(e, 3)
