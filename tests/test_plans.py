@@ -310,6 +310,17 @@ def test_source_overlap_prunes_to_text_and_source(spark):
     assert jsc.getPersistentRDDs().size() <= before
 
 
+def test_ann_lsh_bucket_join_broadcast_never_all_pairs(spark):
+    # SCALING.md "Similarity search": the ANN scale path joins
+    # corpus buckets to query buckets — the query side is k-bounded
+    # and must broadcast; a CartesianProduct or sort-merge here is
+    # the all-pairs form the LSH bucketing exists to avoid
+    p = plan_of(E.q_sim_ann_lsh(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
 def test_span_dedup_zero_sortmerge_one_broadcast(spark):
     # SCALING.md "Span-level dedup" plan audit, now pinned: the hot
     # set (boilerplate is a vanishing fraction of distinct spans)
