@@ -147,10 +147,15 @@ SCALE_VARIANTS = {"events_stream_sessionize": _sessionize_to_noop}
 
 
 def _child(runs: int, flagships: list[str]) -> None:
-    spark = get_session(
-        app_name="scale_bench",
-        extra_confs={"spark.ui.showConsoleProgress": "false"},
-    )
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    # SCALE_SHUFFLE_PARTITIONS=256 re-measures a curve at a different
+    # partition knob — the documented local-sizing rule check
+    # (SCALING.md "Sizing knobs": the 32 default is a local[32]
+    # convenience, real deployments size 2-3x cores)
+    sp = os.environ.get("SCALE_SHUFFLE_PARTITIONS")
+    if sp:
+        extra["spark.sql.shuffle.partitions"] = sp
+    spark = get_session(app_name="scale_bench", extra_confs=extra)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     qs = E.queries()
     points = [(lb, d) for lb, d in POINTS if os.path.isdir(d) or os.path.exists(d)]
