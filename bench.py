@@ -382,7 +382,7 @@ def main() -> None:
         # SCALING.md "sf10 extension and measurement isolation" for
         # the full receipts. Measured 2026-08-15 (round 7).
         "scaling_evidence": {
-            "method": "tools/scale_bench.py 3 (r07 isolation methodology); points sf0.01/sf0.1 (driver fixtures), sf1 (10x), sf5 (50x) and -- for the three r06 highest-tail-exponent flagships corpus_span_dedup/events_stream_sessionize/corpus_dedup_e2e -- sf10 (100x) up-samples of sf0.1 via tools/scale_fixture.py (keys id-shifted so cardinality scales, documents text word-salted per copy so the near-dup rate is scale-invariant). Each flagship's curve runs in its OWN identically-warmed subprocess (an exponent only compares points within one flagship; sharing a JVM across flagships adds session aging, not comparability -- measured: corpus_dedup_e2e sf10 41.9s third-in-session vs 28.4s fresh-session, identical protocol), min-of-3 per point, spark.catalog.clearCache() between points. events_stream_sessionize is measured through a streaming noop sink (SCALE_VARIANTS in scale_bench.py): the registered query's driver-memory sink is the correctness harness, but at 5-10M session rows it measures driver heap churn (2-3x run variance), not the operator. exponent = dlog10(t)/dlog10(data) per segment; 1.0 is linear-in-data.",
+            "method": "tools/scale_bench.py 3 (r07 isolation methodology); points sf0.01/sf0.1 (driver fixtures), sf1 (10x), sf5 (50x) and -- for SF10_FLAGSHIPS: the three r06 highest-tail-exponent flagships corpus_span_dedup/events_stream_sessionize/corpus_dedup_e2e plus the sketch profiler profile_summary_approx -- sf10 (100x) up-samples of sf0.1 via tools/scale_fixture.py (keys id-shifted so cardinality scales, documents text word-salted per copy so the near-dup rate is scale-invariant). Each flagship's curve runs in its OWN identically-warmed subprocess (an exponent only compares points within one flagship; sharing a JVM across flagships adds session aging, not comparability -- measured: corpus_dedup_e2e sf10 41.9s third-in-session vs 28.4s fresh-session, identical protocol), min-of-3 per point, spark.catalog.clearCache() between points. events_stream_sessionize is measured through a streaming noop sink (SCALE_VARIANTS in scale_bench.py): the registered query's driver-memory sink is the correctness harness, but at 5-10M session rows it measures driver heap churn (2-3x run variance), not the operator. exponent = dlog10(t)/dlog10(data) per segment; 1.0 is linear-in-data.",
             "sec": {
                 "profiler_e2e": {
                     "sf0.01": 2.534,
@@ -464,6 +464,13 @@ def main() -> None:
                     "sf1": 2.059,
                     "sf5": 6.128,
                     "sf10": 11.159
+                },
+                "profile_summary_approx": {
+                    "sf0.01": 1.253,
+                    "sf0.1": 2.102,
+                    "sf1": 2.41,
+                    "sf5": 8.282,
+                    "sf10": 14.755
                 }
             },
             "exponent_sf0.01_to_sf0.1": {
@@ -479,7 +486,8 @@ def main() -> None:
                 "drift_ks": -0.054,
                 "profile_drift": -0.097,
                 "multimodal_features": 0.018,
-                "corpus_span_dedup": 0.008
+                "corpus_span_dedup": 0.008,
+                "profile_summary_approx": 0.225
             },
             "exponent_sf0.1_to_sf1": {
                 "profiler_e2e": 0.217,
@@ -494,7 +502,8 @@ def main() -> None:
                 "drift_ks": 0.108,
                 "profile_drift": 0.034,
                 "multimodal_features": 0.061,
-                "corpus_span_dedup": 0.091
+                "corpus_span_dedup": 0.091,
+                "profile_summary_approx": 0.059
             },
             "exponent_sf1_to_sf5": {
                 "profiler_e2e": 0.763,
@@ -509,14 +518,16 @@ def main() -> None:
                 "drift_ks": 0.238,
                 "profile_drift": 0.402,
                 "multimodal_features": 0.296,
-                "corpus_span_dedup": 0.678
+                "corpus_span_dedup": 0.678,
+                "profile_summary_approx": 0.767
             },
             "exponent_sf5_to_sf10": {
                 "corpus_dedup_e2e": 0.831,
                 "events_stream_sessionize": 0.771,
-                "corpus_span_dedup": 0.865
+                "corpus_span_dedup": 0.865,
+                "profile_summary_approx": 0.833
             },
-            "note": "r07 table of record (process-isolated; supersedes the r06 shared-session run). All 13 curves sublinear on every measured segment, including the three 5-point sf10-extended curves (tail exponents 0.865/0.771/0.831). The sf10 extension first surfaced two apparently super-linear segments and both root-caused to MEASUREMENT, fixed structurally in the harness, with receipts in SCALING.md 'sf10 extension and measurement isolation': (1) corpus_dedup_e2e e(5->10)=1.41 was session aging -- every pipeline stage scales linearly standalone (jaccard 1.94x, prepare 1.96x, full-pipeline noop 2.0x for 2x data; LSH candidates flat at 0.15 pairs/doc across sf1/5/10); (2) the sessionize memory-sink curve was driver GC churn ([47.8,101.1,60.3]s identical back-to-back sf5 drains). The profiler_e2e row is a bracketed re-measure after a measured host slow-window (same code/fixture/day: 97.4s min-of-3, then [33.8,23.3,19.9]s ~30min later; GC 1.9s total, steal 0, disk 1.2GB/s -- the host, not the JVM), sentinel sim_covariance within 1.22x of its in-sweep reading; and the r06 claim that 256 shuffle partitions fixed the profiler sf5 point is RETRACTED -- clean-window min-of-3 is 20.5s at 32 partitions vs 20.6s at 256. drift_ks caveat unchanged: the curve proves the distinct-not-rows shuffle shape, not the continuous-column worst case (documented out: quantize-first or binned profile_drift)."
+            "note": "r07 table of record (14 curves, process-isolated; supersedes the r06 shared-session run). All curves sublinear on every measured segment, including the four 5-point sf10-extended ones (tail exponents: span_dedup 0.865, sessionize 0.771, dedup_e2e 0.831, summary_approx 0.833). The sf10 extension first surfaced two apparently super-linear segments and both root-caused to MEASUREMENT, fixed structurally in the harness, with receipts in SCALING.md 'sf10 extension and measurement isolation': (1) corpus_dedup_e2e e(5->10)=1.41 was session aging -- every pipeline stage scales linearly standalone (jaccard 1.94x, prepare 1.96x, full-pipeline noop 2.0x for 2x data; LSH candidates flat at 0.15 pairs/doc across sf1/5/10); (2) the sessionize memory-sink curve was driver GC churn ([47.8,101.1,60.3]s identical back-to-back sf5 drains). The profiler_e2e row is a bracketed re-measure after a measured host slow-window (same code/fixture/day: 97.4s min-of-3, then [33.8,23.3,19.9]s ~30min later; GC 1.9s total, steal 0, disk 1.2GB/s -- the host, not the JVM), sentinel sim_covariance within 1.22x of its in-sweep reading; and the r06 claim that 256 shuffle partitions fixed the profiler sf5 point is RETRACTED -- clean-window min-of-3 is 20.5s at 32 partitions vs 20.6s at 256. The 14th curve (profile_summary_approx, added r07) is the exact profiler's documented 100 TB path for high-cardinality columns: one wide mergeable-sketch aggregate, no melt -- 8.28s at sf5 vs the exact melt's 20.5s, 14.76s at sf10. drift_ks caveat unchanged: the curve proves the distinct-not-rows shuffle shape, not the continuous-column worst case (documented out: quantize-first or binned profile_drift)."
         },
         "attribution": {
             "methodology_r06_cache_isolation": (

@@ -1,8 +1,9 @@
-"""Multi-point scaling measurement for the 13 flagship queries.
+"""Multi-point scaling measurement for the 14 flagship queries.
 
 Runs each flagship at sf0.01 and sf0.1 (driver fixtures), sf1 (10x
 up-sample built by tools/scale_fixture.py), and — when the fixture
-exists — sf5 (and sf10 for the three highest-exponent flagships),
+exists — sf5 (and sf10 for ``SF10_FLAGSHIPS``: the three r06
+highest-exponent curves plus the sketch profiler),
 min-of-RUNS per point, and prints a JSON table with the per-decade
 scaling exponent e = log10(t_hi / t_lo): e == 1 is linear-in-data,
 e == 0 is pure fixed overhead, e > 1 is a super-linear term that
@@ -69,6 +70,10 @@ FLAGSHIPS = [
     "multimodal_features",
     # sub-document span dedup (C4/RefinedWeb boilerplate pass)
     "corpus_span_dedup",
+    # the sketch profiler — the documented 100 TB path for exact-
+    # profile-hostile (high-cardinality) columns: one wide mergeable-
+    # sketch aggregate per table, no melt, nothing data-sized shuffles
+    "profile_summary_approx",
 ]
 POINTS = [
     ("sf0.01", "/root/testdata/sf0.01"),
@@ -87,6 +92,9 @@ SF10_FLAGSHIPS = {
     "corpus_span_dedup",      # e(1->5) 0.75 in r06
     "events_stream_sessionize",  # 0.51
     "corpus_dedup_e2e",       # 0.50
+    # the sketch profiler rides the full decade too: its 100 TB claim
+    # (mergeable sketches, no melt) is exactly what sf10 stresses
+    "profile_summary_approx",
 }
 
 
@@ -200,7 +208,7 @@ def _child(runs: int, flagships: list[str]) -> None:
 def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     # SCALE_FLAGSHIPS=a,b,c re-measures a subset (e.g. after a fix)
-    # without paying for the full 13-curve sweep
+    # without paying for the full 14-curve sweep
     subset = os.environ.get("SCALE_FLAGSHIPS")
     flagships = subset.split(",") if subset else FLAGSHIPS
     if os.environ.get("SCALE_CHILD") == "1":
