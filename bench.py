@@ -570,6 +570,26 @@ def main() -> None:
                 "systematic plan regression r05->r06 once the "
                 "contended session is excluded."
             ),
+            "fresh_vs_fresh_r07_closing": (
+                "closing-vs-closing distribution, r07 vs r06 (this file's "
+                "queries_fresh vs committed b1a6ca4): 182 shared queries, "
+                "median ratio 0.736 (p25 0.673, p75 0.799), total 249.8s -> "
+                "181.9s (0.728x); ZERO entries >1.3x slower, 115 entries "
+                ">1.3x faster. The speedup is one uniform multiplier, not "
+                "per-query plan changes (corr of log-ratio with log-runtime "
+                "-0.17; tight p25-p75 band), and it is the predicted "
+                "composition of two committed factors: (1) the r06 closing "
+                "bench ran contended by a measured uniform 1.228x -- see "
+                "closing_bench_r06_contention; this r07 closing ran on an "
+                "idle machine per the rule that entry established (verified: "
+                "only this bench's own JVM at sampling, vmstat steal 0); (2) "
+                "residual host-condition drift, the same phenomenon bracketed "
+                "and documented for the profiler scaling row (SCALING.md "
+                "'sf10 extension and measurement isolation'). No plan changed "
+                "this round (the round's code changes were "
+                "measurement-harness only), so no per-query attribution is "
+                "owed."
+            ),
             "closing_bench_r06_contention": (
                 "the two same-round committed r06 benches disagree "
                 "systematically: idle e32ab99 totals 205.5 s (181 "
