@@ -6946,6 +6946,68 @@ def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_sessionize_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME sessionization contract as q_events_stream_sessionize,
+    re-expressed on Spark 4's transformWithStateInPandas (typed
+    ListState + first-class event-time timers + RocksDB column
+    families) — the state API production Spark 4 clusters standardize
+    on; same flush-sentinel drain, same oracle. The TWS runtime needs
+    google.protobuf in the JVM's worker env (streaming/tws.py
+    documents the sandbox shim); when THIS session's JVM was launched
+    without it (a foreign harness JVM), the probe routes to the
+    applyInPandasWithState twin, which tests/test_tws.py pins
+    result-identical — so the oracle contract holds on either path.
+    Three-way agreement (TWS == legacy == batch session_window) is
+    pinned at fixture scale in tests/test_tws.py."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from lakehouse_tools_spark.sources.tables import load_stream
+    from lakehouse_tools_spark.streaming.joins import flush_sentinel_union
+    from lakehouse_tools_spark.streaming.sink import run_to_memory
+    from lakehouse_tools_spark.streaming.stateful import stateful_sessionize
+    from lakehouse_tools_spark.streaming.tws import (
+        rocksdb_state_store,
+        stateful_sessionize_tws,
+        tws_runtime_ready,
+    )
+
+    s = _spark(spark)
+    stream = load_stream(s, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    d = tempfile.mkdtemp(prefix="lts_flush_sessionize_tws_")
+    try:
+        withsent = flush_sentinel_union(
+            stream,
+            {
+                "user_id": -1,
+                "ts": datetime.datetime(2030, 1, 1),
+                "value": 0.0,
+            },
+            d,
+        )
+        watermarked = X_win.with_watermark(withsent, "ts", "10 minutes")
+        if tws_runtime_ready(s):
+            sessions = stateful_sessionize_tws(watermarked, gap_minutes=5)
+            with rocksdb_state_store(s):
+                out = run_to_memory(sessions, "events_stream_sessions_tws")
+        else:  # foreign JVM without the protobuf runtime: legacy twin
+            sessions = stateful_sessionize(watermarked, gap_minutes=5)
+            out = run_to_memory(sessions, "events_stream_sessions_tws")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        "session_start",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("sum_value"), 6).alias("sum_value"),
+    )
+
+
 def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense per-type time series (streaming/windows.gap_fill):
     hourly counts INCLUDING zero-filled empty buckets between each
@@ -8112,8 +8174,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # table_versions, ...); positions 47-50 are the stalest r04 rows.
     # Done-bar: after this window lands, no registered query's latest
     # driver row is older than r04 and no operator's row is older
-    # than its code. No new queries this round so far; any r07
-    # addition must be placed inside this window per the freeze rule.
+    # than its code. ONE new query this round so far —
+    # events_stream_sessionize_tws (the transformWithState port) —
+    # placed inside the window per the freeze rule, displacing the
+    # last optional r04 filler (graph_pagerank, r04-green, rotates
+    # next round); any further r07 addition also goes inside.
     return {
         # -- changed-operator rotation (r06/r07 code changes)
         "pack_bins": q_pack_bins,
@@ -8121,6 +8186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "sim_covariance": q_sim_covariance,
         "events_stream_sessionize": q_events_stream_sessionize,
+        # -- new in r07 (freeze rule: new queries land in-window):
+        #    the transformWithStateInPandas port of the sessionizer
+        "events_stream_sessionize_tws": q_events_stream_sessionize_tws,
         "events_stream_outer_join": q_events_stream_outer_join,
         "events_stream_upsert": q_events_stream_upsert,
         "events_stream_profile": q_events_stream_profile,
@@ -8485,6 +8553,7 @@ def oracle_sql() -> dict[str, str]:
         # round 5: flush-sentinel drain makes the stateful streaming
         # sessionizer equal the batch islands computation exactly
         "events_stream_sessionize": _EVENTS_SESSION_ORACLE,
+        "events_stream_sessionize_tws": _EVENTS_SESSION_ORACLE,
         # round 5: quantized-int mean updates make both Lloyd
         # iterations bit-replayable as chained CTEs
         "sim_ivf_kmeans": _sim_ivf_kmeans_oracle(),

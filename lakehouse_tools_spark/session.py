@@ -68,6 +68,12 @@ def get_session(
 ) -> SparkSession:
     """Build (or get) a SparkSession with the engine conf map applied."""
     from lakehouse_tools_spark import backend
+    from lakehouse_tools_spark.streaming.tws import ensure_tws_runtime
+
+    # must run BEFORE the JVM launches: transformWithState workers need
+    # google.protobuf, and the JVM freezes its env (PYTHONPATH + the
+    # protobuf version flag) at launch — see streaming/tws.py
+    ensure_tws_runtime()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
