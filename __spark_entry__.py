@@ -3256,6 +3256,53 @@ def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(_spark(spark), _RAW_SQL, sf_dir=sf_dir)
 
 
+# Spark 4 SQL pipe syntax (|>): each stage is a self-contained
+# transformation of the previous relation — scan, filter, aggregate,
+# post-aggregation filter (the pipe spelling of HAVING), order. The
+# engine's SQL passthrough accepts it unchanged because pipe queries
+# parse to the SAME logical plan as their nested-SELECT equivalents
+# (Catalyst sees no difference — pushdown/pruning/codegen all apply);
+# the oracle is the standard-SQL equivalent, proving plan parity by
+# value. Money sums follow the repo's determinism rule: exact DECIMAL
+# accumulation, cast to double only at the edge.
+_PIPE_SQL = """
+FROM lineitem
+|> WHERE l_shipdate <= DATE '1998-09-02'
+|> AGGREGATE
+     count(*) AS count_order,
+     CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+     CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+       AS sum_base_price
+   GROUP BY l_returnflag, l_linestatus
+|> WHERE count_order > 100
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_sql_pipe_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe-syntax passthrough (Spark 4's |> operator chain) over
+    the raw-SQL surface (F6): the TPC-H Q1 aggregation shape written
+    as a linear pipe with a post-aggregation WHERE. Same run_sql
+    entry point as q_sql_passthrough — the point is that the modern
+    SQL surface needs zero engine changes."""
+    from lakehouse_tools_spark.sql import run_sql
+
+    return run_sql(_spark(spark), _PIPE_SQL, sf_dir=sf_dir)
+
+
+_SQL_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_base_price
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+HAVING count(*) > 100
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _spark(spark)
     cust = load_table(s, sf_dir, "customer")
@@ -7921,6 +7968,45 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_events_json contract through Spark 4's VARIANT type:
+    ``parse_json`` decodes each props payload ONCE into the binary
+    variant encoding, and every path extraction (``variant_get`` /
+    ``try_variant_get``) is a typed read of that encoding — vs
+    ``get_json_object``, which re-parses the JSON STRING per path.
+    Same aggregate values as the string-path twin (the oracle proves
+    it), plus the missing-path contract: ``try_variant_get`` on an
+    absent key yields NULL, never an error, so ``count(missing)``
+    pins the null semantics cross-engine. At 100 TB this is the
+    semi-structured scan shape that matters: parse cost paid once
+    per row regardless of how many paths a query reads, and the
+    variant column prunes/pushes like any other."""
+    ev = load_table(_spark(spark), sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_type",
+        F.variant_get("v", "$.k", "int").alias("k"),
+        F.try_variant_get("v", "$.missing", "string").alias("missing"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count("missing").alias("n_missing_present"),
+    )
+
+
+_EVENTS_JSON_VARIANT_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       CAST(count(json_extract_string(props, '$.missing')) AS BIGINT)
+         AS n_missing_present
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------- catalog
 
 
@@ -8174,11 +8260,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # table_versions, ...); positions 47-50 are the stalest r04 rows.
     # Done-bar: after this window lands, no registered query's latest
     # driver row is older than r04 and no operator's row is older
-    # than its code. ONE new query this round so far —
-    # events_stream_sessionize_tws (the transformWithState port) —
-    # placed inside the window per the freeze rule, displacing the
-    # last optional r04 filler (graph_pagerank, r04-green, rotates
-    # next round); any further r07 addition also goes inside.
+    # than its code. THREE new queries this round so far —
+    # events_stream_sessionize_tws (the transformWithState port),
+    # sql_pipe_passthrough (Spark 4 |> pipe syntax), and
+    # events_json_variant (VARIANT semi-structured path) — placed
+    # inside the window per the freeze rule, displacing the last
+    # three optional r04 fillers (neardup_recall_report, corpus_e2e,
+    # graph_pagerank — all r04-green standing facts, rotate next
+    # round); any further r07 addition also goes inside.
     return {
         # -- changed-operator rotation (r06/r07 code changes)
         "pack_bins": q_pack_bins,
@@ -8187,8 +8276,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_covariance": q_sim_covariance,
         "events_stream_sessionize": q_events_stream_sessionize,
         # -- new in r07 (freeze rule: new queries land in-window):
-        #    the transformWithStateInPandas port of the sessionizer
+        #    the transformWithStateInPandas port of the sessionizer,
+        #    the Spark-4 SQL pipe-syntax passthrough, and the VARIANT
+        #    semi-structured twin of events_json
         "events_stream_sessionize_tws": q_events_stream_sessionize_tws,
+        "sql_pipe_passthrough": q_sql_pipe_passthrough,
+        "events_json_variant": q_events_json_variant,
         "events_stream_outer_join": q_events_stream_outer_join,
         "events_stream_upsert": q_events_stream_upsert,
         "events_stream_profile": q_events_stream_profile,
@@ -8554,6 +8647,8 @@ def oracle_sql() -> dict[str, str]:
         # sessionizer equal the batch islands computation exactly
         "events_stream_sessionize": _EVENTS_SESSION_ORACLE,
         "events_stream_sessionize_tws": _EVENTS_SESSION_ORACLE,
+        "sql_pipe_passthrough": _SQL_PIPE_ORACLE,
+        "events_json_variant": _EVENTS_JSON_VARIANT_ORACLE,
         # round 5: quantized-int mean updates make both Lloyd
         # iterations bit-replayable as chained CTEs
         "sim_ivf_kmeans": _sim_ivf_kmeans_oracle(),

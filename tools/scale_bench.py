@@ -1,9 +1,10 @@
-"""Multi-point scaling measurement for the 14 flagship queries.
+"""Multi-point scaling measurement for the 15 flagship queries.
 
-Runs each flagship at sf0.01 and sf0.1 (driver fixtures), sf1 (10x
-up-sample built by tools/scale_fixture.py), and — when the fixture
-exists — sf5 (and sf10 for ``SF10_FLAGSHIPS``: the three r06
-highest-exponent curves plus the sketch profiler),
+Runs each flagship at sf0.01 and sf0.1 (driver fixtures), then sf1
+(10x up-sample built by tools/scale_fixture.py), sf5, and sf10 —
+each point measured iff its fixture dir exists (sf10 initially
+covered only the three r06 highest-exponent curves + the sketch
+profiler; since late r07 every flagship runs the full decade),
 min-of-RUNS per point, and prints a JSON table with the per-decade
 scaling exponent e = log10(t_hi / t_lo): e == 1 is linear-in-data,
 e == 0 is pure fixed overhead, e > 1 is a super-linear term that
@@ -62,6 +63,12 @@ FLAGSHIPS = [
     # manager-pinned runtime state of prior drains inflated the 8th
     # drain ~4x (125.8 s vs 31.9 s at sf5; SCALING.md attribution)
     "events_stream_sessionize",
+    # the SAME sessionizer on Spark 4's transformWithState API
+    # (streaming/tws.py): typed ListState + per-key event-time
+    # timers on the RocksDB state store — the measured comparison
+    # of the two stateful runtimes (HDFS-backed tuple-blob state vs
+    # RocksDB column families) on an identical workload
+    "events_stream_sessionize_tws",
     # both drift forms: exact-KS audit (shuffle carries distinct
     # values, not rows) and the binned-PSI scale path; multimodal
     # Arrow-batch featurizer
@@ -82,20 +89,15 @@ POINTS = [
     # optional half-decade extension: present iff
     # `python tools/scale_fixture.py 50 .scale_fixtures/sf5` was run
     ("sf5", ".scale_fixtures/sf5"),
-    # full-decade extension, measured only for SF10_FLAGSHIPS (the
-    # three curves whose e(1->5) was highest in r06 — the segments
-    # most likely to reveal a hidden quadratic next); present iff
-    # `python tools/scale_fixture.py 100 .scale_fixtures/sf10` was run
+    # full-decade extension; present iff
+    # `python tools/scale_fixture.py 100 .scale_fixtures/sf10` was
+    # run. Initially measured only for the three r06
+    # highest-tail-exponent curves + the sketch profiler; since late
+    # r07 EVERY flagship runs the full decade (the r06 gating was a
+    # budget call, and the sf10 segment is precisely where hidden
+    # quadratics surface — the harness's whole point)
     ("sf10", ".scale_fixtures/sf10"),
 ]
-SF10_FLAGSHIPS = {
-    "corpus_span_dedup",      # e(1->5) 0.75 in r06
-    "events_stream_sessionize",  # 0.51
-    "corpus_dedup_e2e",       # 0.50
-    # the sketch profiler rides the full decade too: its 100 TB claim
-    # (mergeable sketches, no melt) is exactly what sf10 stresses
-    "profile_summary_approx",
-}
 
 
 def _sessionize_to_noop(spark, sf_dir: str) -> None:
@@ -149,9 +151,61 @@ def _sessionize_to_noop(spark, sf_dir: str) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _sessionize_tws_to_noop(spark, sf_dir: str) -> None:
+    """Same noop-sink scale shape as :func:`_sessionize_to_noop`, on
+    the ``transformWithStateInPandas`` operator (streaming/tws.py):
+    the measured head-to-head of the two PySpark stateful runtimes on
+    an identical sessionization workload — tuple-blob state in the
+    HDFS-backed provider vs typed ListState + per-key event-time
+    timers in RocksDB column families."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from lakehouse_tools_spark.sources.tables import load_stream
+    from lakehouse_tools_spark.streaming import windows as X_win
+    from lakehouse_tools_spark.streaming.joins import flush_sentinel_union
+    from lakehouse_tools_spark.streaming.tws import (
+        rocksdb_state_store,
+        stateful_sessionize_tws,
+        tws_runtime_ready,
+    )
+
+    if not tws_runtime_ready(spark):
+        raise RuntimeError(
+            "transformWithState runtime unavailable in this session"
+        )
+    stream = load_stream(spark, sf_dir, "events").select("user_id", "ts", "value")
+    d = tempfile.mkdtemp(prefix="lts_scale_sessionize_tws_")
+    try:
+        withsent = flush_sentinel_union(
+            stream,
+            {"user_id": -1, "ts": datetime.datetime(2030, 1, 1), "value": 0.0},
+            d,
+        )
+        sessions = stateful_sessionize_tws(
+            X_win.with_watermark(withsent, "ts", "10 minutes"), gap_minutes=5
+        )
+        with rocksdb_state_store(spark):
+            q = (
+                sessions.writeStream.format("noop")
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(d, "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        spark.streams.resetTerminated()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # flagship -> self-contained measured action; every other flagship is
 # measured as queries()[name](spark, sf_dir) -> batch noop write
-SCALE_VARIANTS = {"events_stream_sessionize": _sessionize_to_noop}
+SCALE_VARIANTS = {
+    "events_stream_sessionize": _sessionize_to_noop,
+    "events_stream_sessionize_tws": _sessionize_tws_to_noop,
+}
 
 
 def _child(runs: int, flagships: list[str]) -> None:
@@ -171,8 +225,6 @@ def _child(runs: int, flagships: list[str]) -> None:
     for name in flagships:
         times = {}
         for label, sf_dir in points:
-            if label == "sf10" and name not in SF10_FLAGSHIPS:
-                continue
             best = float("inf")
             for _ in range(runs):
                 t0 = time.time()
