@@ -8203,6 +8203,67 @@ FROM documents
 """
 
 
+def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector on Spark 4's Python DataSource API
+    (sources/pysource.py): a from-scratch source with real partition
+    planning (N range slices -> N scan tasks), planning-time filter
+    pushdown on the partition key (range predicates prune whole
+    slices; every filter is also re-applied by Spark so pruning is
+    never load-bearing), and Arrow-batch reads. The generated rows
+    derive entirely from md5(row_index) — the repo's engine-portable
+    hash idiom — so the ORACLE regenerates the identical relation in
+    DuckDB SQL and replays the same range filter + aggregate: the
+    whole connector (planning, pushdown, generation, batch handoff)
+    is hash-verified, not just smoke-tested. sf_dir is unused by
+    design — the source materializes no fixture bytes (that is the
+    point of a deterministic synthetic connector). Money-sum
+    determinism per the repo rule: 2-decimal values accumulate as
+    DECIMAL, cast to double at the edge."""
+    from lakehouse_tools_spark.sources.pysource import read_synthetic_events
+
+    ev = read_synthetic_events(_spark(spark), rows=20_000, partitions=8)
+    return (
+        ev.filter((F.col("event_id") >= 5_000) & (F.col("event_id") < 15_000))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(T.DecimalType(12, 2)))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+    )
+
+
+# the oracle REGENERATES the connector's rows: h = first 8 md5 hex
+# chars of the row index as an integer, exactly pysource.py's formula
+_PYSOURCE_ORACLE = """
+WITH idx AS (SELECT unnest(generate_series(5000, 14999)) AS i),
+ev AS (
+  SELECT i AS event_id,
+         CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS h
+  FROM idx
+),
+rows_ AS (
+  SELECT event_id,
+         CAST(1 + h % 1000 AS BIGINT) AS user_id,
+         CASE h % 5 WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                    WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+                    ELSE 'error' END AS event_type,
+         CAST(h % 100000 AS DOUBLE) / 100.0 AS value
+  FROM ev
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+       MIN(event_id) AS min_event, MAX(event_id) AS max_event
+FROM rows_ GROUP BY event_type
+"""
+
+
 def q_catalog_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 + P5: SHOW TABLES minus the NOT-IN self-exclusion list,
     round-tripped through Spark's real catalog (register the fixture
@@ -8260,14 +8321,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # table_versions, ...); positions 47-50 are the stalest r04 rows.
     # Done-bar: after this window lands, no registered query's latest
     # driver row is older than r04 and no operator's row is older
-    # than its code. THREE new queries this round so far —
+    # than its code. FOUR new queries this round so far —
     # events_stream_sessionize_tws (the transformWithState port),
-    # sql_pipe_passthrough (Spark 4 |> pipe syntax), and
-    # events_json_variant (VARIANT semi-structured path) — placed
-    # inside the window per the freeze rule, displacing the last
-    # three optional r04 fillers (neardup_recall_report, corpus_e2e,
-    # graph_pagerank — all r04-green standing facts, rotate next
-    # round); any further r07 addition also goes inside.
+    # sql_pipe_passthrough (Spark 4 |> pipe syntax),
+    # events_json_variant (VARIANT semi-structured path), and
+    # source_python_datasource (custom Python DataSource connector
+    # with pushdown) — placed inside the window per the freeze rule,
+    # displacing all four optional r04 fillers (sim_recall_report,
+    # neardup_recall_report, corpus_e2e, graph_pagerank — r04-green
+    # standing facts, rotate next round); the REQUIRED rotation
+    # (changed-operator carriers + the full 37-query r03 cohort)
+    # still fits positions 1-50 intact. Any further r07 addition
+    # also goes inside.
     return {
         # -- changed-operator rotation (r06/r07 code changes)
         "pack_bins": q_pack_bins,
@@ -8282,6 +8347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sessionize_tws": q_events_stream_sessionize_tws,
         "sql_pipe_passthrough": q_sql_pipe_passthrough,
         "events_json_variant": q_events_json_variant,
+        "source_python_datasource": q_source_python_datasource,
         "events_stream_outer_join": q_events_stream_outer_join,
         "events_stream_upsert": q_events_stream_upsert,
         "events_stream_profile": q_events_stream_profile,
@@ -8649,6 +8715,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_sessionize_tws": _EVENTS_SESSION_ORACLE,
         "sql_pipe_passthrough": _SQL_PIPE_ORACLE,
         "events_json_variant": _EVENTS_JSON_VARIANT_ORACLE,
+        "source_python_datasource": _PYSOURCE_ORACLE,
         # round 5: quantized-int mean updates make both Lloyd
         # iterations bit-replayable as chained CTEs
         "sim_ivf_kmeans": _sim_ivf_kmeans_oracle(),

@@ -35,6 +35,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # Surface parquet TIMESTAMP(NANOS) as long (sources.tables converts
     # to micros); without this the scan hard-fails on nanos columns
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # let Python DataSource readers receive pushFilters() (off by
+    # default in Spark 4.1); sources/pysource.py prunes partitions
+    # from the pushed range predicates
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 # Builder-time confs for sessions we create ourselves.
