@@ -210,6 +210,9 @@ BENCH_QUERIES = [
     "corpus_dedup_e2e",
     "corpus_span_dedup",
     "corpus_split_leakage_safe",
+    "events_stream_sessionize_tws",
+    "sql_pipe_passthrough",
+    "events_json_variant",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with
@@ -262,6 +265,7 @@ NOISY = {
     "events_stream_enrich",
     "events_stream_upsert",
     "events_stream_outer_join",
+    "events_stream_sessionize_tws",
 }
 
 
@@ -273,6 +277,31 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # grade the host window first (tools/host_sentinel.py): r07 caught
+    # a degraded-I/O window (cold reads 0.03-0.14 GB/s vs 1.2 healthy)
+    # that inflates scan-heavy timings with 2-5x run variance; the
+    # grade rides in BENCH_DETAIL so round-over-round comparisons can
+    # exclude contaminated benches instead of mis-attributing swings
+    host_sentinel: dict = {}
+    try:
+        import subprocess
+
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "tools",
+                    "host_sentinel.py",
+                ),
+            ],
+            stdout=subprocess.PIPE,
+            text=True,
+            timeout=300,
+        )
+        host_sentinel = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as exc:  # advisory, never fatal
+        host_sentinel = {"error": str(exc)}
     spark = get_session(
         app_name="lakehouse_tools_spark_bench",
         extra_confs={"spark.ui.showConsoleProgress": "false"},
@@ -354,6 +383,7 @@ def main() -> None:
         "total_sec": total,
         "n_queries": len(timings),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "host_sentinel": host_sentinel,
         "min_of_3": sorted(NOISY),
         "noise_note": {
             "applies_to": "queries_driver"

@@ -16,13 +16,18 @@ binding production Spark 4 clusters will standardize on:
   shared with the legacy operator (``stateful._coalesce``), which is
   what makes sub-watermark stragglers merge exactly like the batch
   ``session_window`` operator.
-- timers: after each batch the processor keeps exactly ONE
-  registered event-time timer per key, at the earliest point the
-  watermark can seal a live interval (clamped past the current
-  watermark — a timer at/behind it would never fire). Expired timers
-  re-run the same seal step, so a key whose stream goes quiet still
-  flushes without new input — the behavior the legacy API expressed
-  through ``GroupStateTimeout.EventTimeTimeout``.
+- timers: each batch (re-)arms an event-time timer per touched key
+  at the earliest point the watermark can seal a live interval
+  (clamped past the current watermark — a timer at/behind it would
+  never fire). Expired timers re-run the same seal step, so a key
+  whose stream goes quiet still flushes without new input — the
+  behavior the legacy API expressed through
+  ``GroupStateTimeout.EventTimeTimeout``. Timers from earlier
+  batches are deliberately left in place: a stale fire is an
+  idempotent no-op (seals what the watermark allows, re-arms iff
+  live intervals remain), bounded by the number of batches the key
+  appeared in — so the list+delete round-trips buy nothing (and
+  were A/B-measured neutral; see the note in ``_load``).
 - sealing: an interval is emitted and dropped once
   ``watermark >= last_event + gap`` — after which no admissible event
   can extend or merge it. State is 32 bytes per live interval,
@@ -243,31 +248,39 @@ def _make_processor(gap_us: int):
             )
 
         def _load(self) -> list[list]:
-            if not self._ivs.exists():
-                return []
+            # no exists() probe: get() on absent state already yields
+            # an empty iterator (the client raises StopIteration on
+            # the not-found status), so the extra per-key round-trip
+            # buys nothing. NOTE the RPC-count hypothesis for the TWS
+            # overhead was A/B-measured and REFUTED: trimming 3 of ~7
+            # per-key round-trips (this probe + list/delete timers)
+            # moved the sf5 noop drain 40.5 -> 41.7 s min-of-3, i.e.
+            # neutral — the trim is kept for simplicity, not speed;
+            # the TWS-vs-legacy gap lives elsewhere (state-server
+            # serialization + RocksDB maintenance)
             return [
                 [int(r[0]), int(r[1]), int(r[2]), float(r[3])]
                 for r in self._ivs.get()
             ]
 
         def _seal_and_emit(
-            self, user_id: int, ivs: list[list], wm_us: int, in_timer: bool
+            self, user_id: int, ivs: list[list], wm_us: int
         ) -> Iterator[pd.DataFrame]:
             done = [iv for iv in ivs if iv[1] + gap_us <= wm_us]
             live = [iv for iv in ivs if iv[1] + gap_us > wm_us]
             self._ivs.clear()
-            if not in_timer:
-                # keep exactly one outstanding timer per key: drop
-                # whatever an earlier batch registered before arming
-                # the new earliest-seal point (an expired timer was
-                # already consumed by the engine — nothing to drop)
-                for t in list(self._handle.listTimers()):
-                    self._handle.deleteTimer(t)
             if live:
                 self._ivs.put([tuple(iv) for iv in live])
                 due_ms = min(iv[1] + gap_us for iv in live) // 1000
                 # a timer at/behind the watermark never fires: clamp
-                # one ms past it so the flush lands next micro-batch
+                # one ms past it so the flush lands next micro-batch.
+                # Earlier timers from previous batches are NOT listed
+                # and deleted (2 more per-key RPCs): a stale timer
+                # firing is idempotent — it seals what the watermark
+                # allows (possibly nothing) and re-arms iff live
+                # intervals remain — and the outstanding-timer count
+                # is bounded by the batches a key appeared in, so
+                # correctness and state size are unaffected
                 self._handle.registerTimer(max(due_ms, wm_us // 1000 + 1))
             if done:
                 yield pd.DataFrame(
@@ -292,16 +305,14 @@ def _make_processor(gap_us: int):
                 )
             ivs = _coalesce(ivs, gap_us)
             wm_us = timerValues.getCurrentWatermarkInMs() * 1000
-            yield from self._seal_and_emit(user_id, ivs, wm_us, False)
+            yield from self._seal_and_emit(user_id, ivs, wm_us)
 
         def handleExpiredTimer(
             self, key, timerValues: "TimerValues", expiredTimerInfo
         ) -> Iterator[pd.DataFrame]:
             (user_id,) = key
             wm_us = timerValues.getCurrentWatermarkInMs() * 1000
-            yield from self._seal_and_emit(
-                user_id, self._load(), wm_us, True
-            )
+            yield from self._seal_and_emit(user_id, self._load(), wm_us)
 
         def close(self) -> None:
             pass

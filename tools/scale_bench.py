@@ -266,8 +266,28 @@ def main() -> None:
     if os.environ.get("SCALE_CHILD") == "1":
         _child(runs, flagships)
         return
-    # parent: one identically-warmed subprocess per flagship (see
-    # module docstring — isolation is the methodology, not a knob)
+    # parent: grade the host window FIRST (tools/host_sentinel.py) —
+    # r07 caught a degraded-I/O window (cold reads 0.03-0.14 GB/s vs
+    # 1.2 healthy) that inflated scan-heavy points up to ~4x with
+    # 2-5x run variance; a sweep taken in such a window must not
+    # become the table of record
+    sentinel = {}
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "host_sentinel.py"),
+            ],
+            stdout=subprocess.PIPE,
+            text=True,
+            timeout=300,
+        )
+        sentinel = json.loads(proc.stdout.strip().splitlines()[-1])
+        print(f"# host sentinel: {sentinel}", file=sys.stderr)
+    except Exception as exc:  # sentinel is advisory, never fatal
+        sentinel = {"error": str(exc)}
+    # one identically-warmed subprocess per flagship (see module
+    # docstring — isolation is the methodology, not a knob)
     merged: dict[str, dict] = {}
     for name in flagships:
         env = dict(os.environ, SCALE_CHILD="1", SCALE_FLAGSHIPS=name)
@@ -283,7 +303,12 @@ def main() -> None:
         merged.update(json.loads(proc.stdout)["scaling"])
     print(
         json.dumps(
-            {"runs": runs, "isolation": "process-per-flagship", "scaling": merged},
+            {
+                "runs": runs,
+                "isolation": "process-per-flagship",
+                "host_sentinel": sentinel,
+                "scaling": merged,
+            },
             indent=1,
         )
     )
