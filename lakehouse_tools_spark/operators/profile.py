@@ -166,9 +166,16 @@ def profile_table(
         branches.append(F.lit(f.name))
         branches.append(stable_string(F.col(f"`{f.name}`"), f.dataType))
     # the melt multiplies rows ×len(fields) and renders every value to
-    # text BEFORE the aggregate's map-side combine — spread the scan so
-    # that work isn't bounded by the table's file count
-    melted = ensure_parallelism(df.select(*[f"`{f.name}`" for f in fields])).select(
+    # text BEFORE the aggregate's map-side combine — spread the scan
+    # size-aware (expansion = the melt multiplier) so each task's
+    # melted working set fits its execution-memory share; sized by
+    # core count alone, the partial-agg map outgrows its share on
+    # high-cardinality tables and falls back to sort+spill (measured:
+    # stage CPU 319 s -> 1065 s for 2x data at sf10, e(5->10)=2.1,
+    # restored to ~linear by this sizing — SCALING.md r07)
+    melted = ensure_parallelism(
+        df.select(*[f"`{f.name}`" for f in fields]), expansion=len(fields)
+    ).select(
         F.stack(F.lit(len(fields)), *branches).alias("columnName", "value")
     )
 
@@ -278,7 +285,10 @@ def profile_summary(
             melt_branches.append(F.lit(f.name))
             melt_branches.append(stable_string(F.col(f"`{f.name}`"), f.dataType))
         nd = (
-            ensure_parallelism(df.select(*[f"`{f.name}`" for f in fields]))
+            ensure_parallelism(
+                df.select(*[f"`{f.name}`" for f in fields]),
+                expansion=len(fields),
+            )
             .select(
                 F.stack(F.lit(len(fields)), *melt_branches).alias("columnName", "value")
             )

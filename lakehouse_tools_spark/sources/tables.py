@@ -57,17 +57,50 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def ensure_parallelism(df: DataFrame, *cols: str) -> DataFrame:
-    """Round-robin (or keyed) repartition up to the cluster's core
-    count — identity if the input already has enough splits.
+#: Source bytes per task the parallelism guard aims for — aligned
+#: with spark.sql.files.maxPartitionBytes' 128 MB default, the same
+#: "a task's working set must fit its memory share" sizing rule
+#: SCALING.md documents for real deployments.
+_BYTES_PER_TASK = 128 << 20
 
-    Spark's scan parallelism is bounded by file count / split size; a
-    compact table (one 10 MB parquet file) otherwise serializes every
-    CPU-heavy pre-shuffle stage (melt, explode, render) onto a couple
-    of tasks. At real scale inputs arrive with thousands of splits and
-    this is a no-op — the guard exists for small/compacted inputs.
-    Truly tiny relations (< 1 MB of source files) are also left alone:
-    a 32-task shuffle of 25 rows costs more in scheduling than it buys
+#: Ceiling on the guard's partition count (64x cores): a degenerate
+#: expansion estimate must not schedule a million 1 KB tasks.
+_MAX_FANOUT = 64
+
+
+def ensure_parallelism(
+    df: DataFrame, *cols: str, expansion: float = 1.0
+) -> DataFrame:
+    """Round-robin (or keyed) repartition to a SIZE-AWARE task count —
+    identity if the input already has enough splits.
+
+    Two failure modes bound a CPU-heavy pre-shuffle stage (melt,
+    explode, render):
+
+    - too few splits: a compact table (one 10 MB parquet file)
+      serializes the stage onto a couple of tasks — so repartition up
+      to at least the core count;
+    - too few BYTES-PER-TASK slots: an operator that multiplies its
+      input (the profiler's melt emits ``n_columns`` rows per input
+      row and stringifies every value) can hand each task a working
+      set far bigger than its execution-memory share even when the
+      task COUNT looks fine. The r07 scaling harness measured the
+      cliff: at sf10 (60 M-row lineitem, 32 tasks) the melt's
+      partial-aggregate map outgrew its share, fell back to
+      sort-based aggregation and spilled — stage CPU 319 s → 1065 s
+      for 2x the data (e(5→10) = 2.1). Pass ``expansion`` = the
+      operator's row/byte multiplier and the guard sizes the task
+      count as ``source_bytes x expansion / 128 MB`` (floored at the
+      core count, capped at 64x cores), which keeps every task's
+      melted working set inside one memory share at ANY input size —
+      the code form of SCALING.md's "size partitions so they fit"
+      rule.
+
+    At real scale inputs arrive with thousands of splits, so the
+    core-count floor is a no-op; the expansion term still kicks in
+    exactly when a multiplying operator would overload each split.
+    Truly tiny relations (< 1 MB of source files) are left alone: a
+    32-task shuffle of 25 rows costs more in scheduling than it buys
     in parallelism.
 
     Public API only — ``df.inputFiles()`` + driver-side file sizes —
@@ -79,7 +112,7 @@ def ensure_parallelism(df: DataFrame, *cols: str) -> DataFrame:
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
-    if not files or len(files) >= n:
+    if not files:
         return df
     total = 0
     for p in files:
@@ -90,12 +123,19 @@ def ensure_parallelism(df: DataFrame, *cols: str) -> DataFrame:
             except OSError:
                 pass
         # remote or unreadable path: size unknown — assume big enough
-        # to be worth spreading (the repartition is what we're here for)
+        # to be worth spreading (the repartition is what we're here
+        # for) but not big enough to out-size the core count
         total = None
         break
     if total is not None and total < (1 << 20):
         return df
-    return df.repartition(n, *cols) if cols else df.repartition(n)
+    target = n
+    if total is not None:
+        sized = -(-int(total * expansion) // _BYTES_PER_TASK)
+        target = max(n, min(sized, n * _MAX_FANOUT))
+    if len(files) >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
 
 
 def load_tables(

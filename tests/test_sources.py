@@ -94,3 +94,43 @@ def test_binary_export_and_scan_roundtrip(spark):
         ("1.bin", b"hello"),
         ("2.bin", "héllo wörld".encode("utf-8")),
     }
+
+
+def test_ensure_parallelism_is_size_aware(spark, tmp_path):
+    # the guard must size task count by source_bytes x expansion (the
+    # operator's row multiplier), not core count alone — the r07
+    # scaling harness measured the partial-agg sort+spill cliff that
+    # core-count-only sizing produces on melted high-cardinality
+    # tables (SCALING.md r07)
+    from lakehouse_tools_spark.sources.tables import ensure_parallelism
+
+    n = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "sized.parquet")
+    # ~3-6 MB on disk: above the 1 MB tiny guard, and incompressible
+    # so the size estimate is stable
+    spark.range(400_000).selectExpr(
+        "id", "md5(cast(id as string)) as a", "md5(cast(id+1 as string)) as b"
+    ).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    assert total > (1 << 20)
+    # expansion=1: core-count floor applies
+    assert ensure_parallelism(df).rdd.getNumPartitions() == n
+    # a multiplier large enough that bytes x expansion spans >n slots
+    # of 128 MB: the guard must scale the task count up with it
+    expansion = (200 * (128 << 20)) / total
+    got = ensure_parallelism(df, expansion=expansion).rdd.getNumPartitions()
+    assert got == 200
+    # ...and the 64x-cores ceiling must cap a degenerate estimate
+    got_capped = ensure_parallelism(
+        df, expansion=expansion * 1000
+    ).rdd.getNumPartitions()
+    assert got_capped == n * 64
+    # row set unchanged by the repartition
+    assert ensure_parallelism(df, expansion=expansion).count() == 400_000
