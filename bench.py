@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "events_stream_sessionize_tws",
     "sql_pipe_passthrough",
     "events_json_variant",
+    "source_python_datasource",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with
@@ -630,24 +631,31 @@ def main() -> None:
                 "contended session is excluded."
             ),
             "fresh_vs_fresh_r07_closing": (
-                "closing-vs-closing distribution, r07 vs r06 (this file's "
-                "queries_fresh vs committed b1a6ca4): 182 shared queries, "
-                "median ratio 0.736 (p25 0.673, p75 0.799), total 249.8s -> "
-                "181.9s (0.728x); ZERO entries >1.3x slower, 115 entries "
-                ">1.3x faster. The speedup is one uniform multiplier, not "
-                "per-query plan changes (corr of log-ratio with log-runtime "
-                "-0.17; tight p25-p75 band), and it is the predicted "
-                "composition of two committed factors: (1) the r06 closing "
-                "bench ran contended by a measured uniform 1.228x -- see "
-                "closing_bench_r06_contention; this r07 closing ran on an "
-                "idle machine per the rule that entry established (verified: "
-                "only this bench's own JVM at sampling, vmstat steal 0); (2) "
-                "residual host-condition drift, the same phenomenon bracketed "
-                "and documented for the profiler scaling row (SCALING.md "
-                "'sf10 extension and measurement isolation'). No plan changed "
-                "this round (the round's code changes were "
-                "measurement-harness only), so no per-query attribution is "
-                "owed."
+                "closing-vs-closing distribution, r07-final vs r06 closing "
+                "(this file's queries_fresh vs committed b1a6ca4): 182 shared "
+                "queries, median ratio 0.868 (p25 0.773, p75 0.995), totals "
+                "249.8 s to 213.0 s; 6 entries >1.3x slower (events_interpolate "
+                "1.35, events_sessionize 1.41, sim_cross_contamination 1.34, "
+                "source_binaryfile 1.80, source_partitioned 1.39, text_keywords "
+                "1.34 -- every one a <=2.1 s-absolute query, and every one "
+                "below 1.3x in the same-day pre-connector closing run 40 "
+                "minutes earlier, which measured median 0.776 with ZERO entries "
+                ">1.3x slower and 86 faster -- i.e. small-query session jitter, "
+                "not plan changes) and 45 entries >1.3x faster. corr of log "
+                "r06-time with log ratio = -0.26: a broad uniform speedup, "
+                "consistent with this bench running in a sentinel-verified "
+                "healthy window (cold reads 2.11 GB/s, grade embedded in this "
+                "file) while r06's closing ran under its measured 1.228x "
+                "contention multiplier -- see closing_bench_r06_contention. "
+                "Code changes this round touching benched queries: the profiler "
+                "melt sizing fix (ensure_parallelism expansion -- "
+                "arithmetically a no-op at sf0.1; profiler_e2e 4.49 to 3.77 s "
+                "is window, not plan) and four NEW queries "
+                "(events_stream_sessionize_tws, sql_pipe_passthrough, "
+                "events_json_variant, source_python_datasource) with no r06 "
+                "comparator. The closing-bench rule is now sentinel-enforced: "
+                "idle machine AND host_sentinel grade healthy, both verifiable "
+                "here."
             ),
             "closing_bench_r06_contention": (
                 "the two same-round committed r06 benches disagree "
