@@ -8307,43 +8307,174 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver correctness snapshot, which records the
-    # FIRST ~50 entries only. Round-7 window (VERDICT r06 items #2-3
-    # + the freeze rule, now extended: a materially-changed operator
-    # rotates its carrier query into that round's window):
-    # positions 1-9 are every operator whose executing code changed
-    # in r06/r07 (pack_bins segment-tree, dedup_incremental semi-join
-    # prune, source_overlap eager-materialize + r07 driver guard,
-    # sim_covariance input validation + r07 strict_width, the four
-    # streaming/sink.py consumers, and corpus_span_dedup whose
-    # delimiter/null handling changed this round); positions 10-46
-    # are the entire 37-query r03-stale cohort (text_*, batch events_
-    # windows, multimodal, source roundtrips, cdc, samples, chunks,
-    # table_versions, ...); positions 47-50 are the stalest r04 rows.
-    # Done-bar: after this window lands, no registered query's latest
-    # driver row is older than r04 and no operator's row is older
-    # than its code. FOUR new queries this round so far —
-    # events_stream_sessionize_tws (the transformWithState port),
-    # sql_pipe_passthrough (Spark 4 |> pipe syntax),
-    # events_json_variant (VARIANT semi-structured path), and
-    # source_python_datasource (custom Python DataSource connector
-    # with pushdown) — placed inside the window per the freeze rule,
-    # displacing all four optional r04 fillers (sim_recall_report,
-    # neardup_recall_report, corpus_e2e, graph_pagerank — r04-green
-    # standing facts, rotate next round); the REQUIRED rotation
-    # (changed-operator carriers + the full 37-query r03 cohort)
-    # still fits positions 1-50 intact. Any further r07 addition
-    # also goes inside.
+    # FIRST ~50 entries only. Round-8 window (VERDICT r07 items #2-3
+    # + the extended freeze rule: a materially-changed operator
+    # rotates its carrier query into that round's window, enforced by
+    # tools/freeze_gate.py before the end-of-round snapshot):
+    # position 1 is corpus_budget_select, the carrier for the ONE
+    # operator whose algorithm changed this round (budget_select's
+    # session-lifetime persist replaced by deterministic quantile
+    # bucketing, ext/corpus.py); positions 2-7 are the profiler
+    # family whose r05-r06 driver rows predate the r07 melt-sizing
+    # fix (eb3a97f) AND whose sizing fallback for unstatable paths
+    # changed this round (sources/tables.py ensure_parallelism);
+    # positions 8-50 are the remaining 43 queries of the r04-latest
+    # cohort (TPC-H q2/q9/q11/q16/q20, recall reports, corpus_e2e,
+    # graph_pagerank, text_* analysis, profile audit modes, ...).
+    # Done-bar: after this window lands, no registered query's
+    # latest driver row is older than r05 and no operator's row is
+    # older than its executing code. NO new queries this round (a
+    # new query would displace a mandatory rotation slot); the
+    # round's work is measurement protocol + scale audits.
     return {
-        # -- changed-operator rotation (r06/r07 code changes)
+        "corpus_budget_select": q_corpus_budget_select,
+        "profiler_e2e": q_profiler_e2e,
+        "profile_intended": q_profile_intended,
+        "profile_as_written": q_profile_as_written,
+        "profile_histogram": q_profile_histogram,
+        "profile_topk": q_profile_topk,
+        "profiler_incremental": q_profiler_incremental,
+        "sim_recall_report": q_sim_recall_report,
+        "neardup_recall_report": q_neardup_recall_report,
+        "corpus_e2e": q_corpus_e2e,
+        "graph_pagerank": q_graph_pagerank,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "profile_distinct_sketch": q_profile_distinct_sketch,
+        "catalog_show_tables": q_catalog_show_tables,
+        "profile_nested": q_profile_nested,
+        "sketch_error_report": q_sketch_error_report,
+        "quantile_error_report": q_quantile_error_report,
+        "pack_report": q_pack_report,
+        "text_keywords": q_text_keywords,
+        "text_bigrams": q_text_bigrams,
+        "text_logprob": q_text_logprob,
+        "dedup_containment": q_dedup_containment,
+        "profile_corr": q_profile_corr,
+        "sim_centroids": q_sim_centroids,
+        "events_anomaly": q_events_anomaly,
+        "text_pmi": q_text_pmi,
+        "profile_outliers": q_profile_outliers,
+        "source_partitioned": q_source_partitioned,
+        "merge_evolve": q_merge_evolve,
+        "schema_drift": q_schema_drift,
+        "profile_quantiles_grouped": q_profile_quantiles_grouped,
+        "summary_error_report": q_summary_error_report,
+        "text_bpe": q_text_bpe,
+        "layout_report": q_layout_report,
+        "quality_quarantine": q_quality_quarantine,
+        "source_evolved": q_source_evolved,
+        "asof_nearest": q_asof_nearest,
+        "events_interval_join": q_events_interval_join,
+        "sample_weighted": q_sample_weighted,
+        "dedup_graph_stats": q_dedup_graph_stats,
+        "profile_entropy": q_profile_entropy,
+        "events_anomaly_rolling": q_events_anomaly_rolling,
+        "events_stream_enrich": q_events_stream_enrich,
+        "sim_cross_contamination": q_sim_cross_contamination,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "events_interpolate": q_events_interpolate,
+        # --- position 51+: outside the ~50-entry driver
+        # snapshot window, stalest-first (r05 cohort, then
+        # r06, then r07 freshest-last), prior relative
+        # order preserved within each round group
+        # -- latest driver row r05
+        "sim_pca": q_sim_pca,
+        "pca_error_report": q_pca_error_report,
+        "drift_ks": q_drift_ks,
+        "events_ewma": q_events_ewma,
+        "events_transitions": q_events_transitions,
+        "dedup_graph_triangles": q_dedup_graph_triangles,
+        "integrity_report": q_integrity_report,
+        "profile_clip": q_profile_clip,
+        "events_gap_fill": q_events_gap_fill,
+        "events_forward_fill": q_events_forward_fill,
+        "events_rolling": q_events_rolling,
+        "events_dense_impute": q_events_dense_impute,
+        "profile_heavy_hitters": q_profile_heavy_hitters,
+        "bloom_join_prune": q_bloom_join_prune,
+        "text_repetition": q_text_repetition,
+        "corpus_split": q_corpus_split,
+        "cdc_roundtrip": q_cdc_roundtrip,
+        "rollup_maintenance": q_rollup_maintenance,
+        "golden_records": q_golden_records,
+        "profile_histogram_eqdepth": q_profile_histogram_eqdepth,
+        "compaction_report": q_compaction_report,
+        "sim_hard_negatives": q_sim_hard_negatives,
+        "sim_quantize_report": q_sim_quantize_report,
+        "text_language": q_text_language,
+        "dedup_minhash_estimate": q_dedup_minhash_estimate,
+        "dedup_collapse": q_dedup_collapse,
+        "merge_upsert": q_merge_upsert,
+        "sim_topk": q_sim_topk,
+        "schema_information": q_schema_information,
+        "profile_summary": q_profile_summary,
+        "profile_summary_approx": q_profile_summary_approx,
+        "profile_quantiles": q_profile_quantiles,
+        "asof_join": q_asof_join,
+        "zorder_rowset": q_zorder_rowset,
+        "merge_full_sync": q_merge_full_sync,
+        "sim_ivf_kmeans": q_sim_ivf_kmeans,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_multiprobe": q_sim_ann_multiprobe,
+        "sim_neardup_lsh": q_sim_neardup_lsh,
+        "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
+        "dedup_clusters_lsh": q_dedup_clusters_lsh,
+        # -- latest driver row r06
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "topk_customers": q_topk_customers,
+        "window_rank": q_window_rank,
+        "window_ranking_suite": q_window_ranking_suite,
+        "setop_nations": q_setop_nations,
+        "sql_passthrough": q_sql_passthrough,
+        "rollup_pricing": q_rollup_pricing,
+        "quality_check": q_quality_check,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_winnow": q_dedup_winnow,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "sim_topk_pandas": q_sim_topk_pandas,
+        "corpus_dedup_e2e": q_corpus_dedup_e2e,
+        "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
+        "dedup_clusters": q_dedup_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "sim_ivf": q_sim_ivf,
+        "sim_neardup": q_sim_neardup,
+        "events_stream_join": q_events_stream_join,
+        "events_stream_watermark": q_events_stream_watermark,
+        "events_stream_dedup": q_events_stream_dedup,
+        "fuzzy_join": q_fuzzy_join,
+        # -- latest driver row r07
         "pack_bins": q_pack_bins,
         "dedup_incremental": q_dedup_incremental,
         "source_overlap": q_source_overlap,
         "sim_covariance": q_sim_covariance,
         "events_stream_sessionize": q_events_stream_sessionize,
-        # -- new in r07 (freeze rule: new queries land in-window):
-        #    the transformWithStateInPandas port of the sessionizer,
-        #    the Spark-4 SQL pipe-syntax passthrough, and the VARIANT
-        #    semi-structured twin of events_json
         "events_stream_sessionize_tws": q_events_stream_sessionize_tws,
         "sql_pipe_passthrough": q_sql_pipe_passthrough,
         "events_json_variant": q_events_json_variant,
@@ -8352,7 +8483,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_upsert": q_events_stream_upsert,
         "events_stream_profile": q_events_stream_profile,
         "corpus_span_dedup": q_corpus_span_dedup,
-        # -- the 37-query r03-stale cohort
         "multimodal_features": q_multimodal_features,
         "table_versions": q_table_versions,
         "asof_tolerance": q_asof_tolerance,
@@ -8390,147 +8520,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact": q_text_redact,
         "text_tokens": q_text_tokens,
         "text_vocabulary": q_text_vocabulary,
-        # -- stalest r04 rows fill the last window slots
-        "sim_recall_report": q_sim_recall_report,
-        "neardup_recall_report": q_neardup_recall_report,
-        "corpus_e2e": q_corpus_e2e,
-        "graph_pagerank": q_graph_pagerank,
-        # --- position 51+: outside the ~50-entry driver
-        # snapshot window, prior relative order preserved
-        # (stalest-first: remaining r04 cohort, then r05,
-        # then r06 greens freshest-last)
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "topk_customers": q_topk_customers,
-        "window_rank": q_window_rank,
-        "window_ranking_suite": q_window_ranking_suite,
-        "setop_nations": q_setop_nations,
-        "sql_passthrough": q_sql_passthrough,
-        "rollup_pricing": q_rollup_pricing,
-        "quality_check": q_quality_check,
-        "skew_salted_agg": q_skew_salted_agg,
-        "skew_salted_join": q_skew_salted_join,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_lsh_pairs": q_dedup_lsh_pairs,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_winnow": q_dedup_winnow,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "profile_histogram": q_profile_histogram,
-        "profile_topk": q_profile_topk,
-        "profiler_incremental": q_profiler_incremental,
-        "sim_topk_pandas": q_sim_topk_pandas,
-        "corpus_dedup_e2e": q_corpus_dedup_e2e,
-        "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
-        "dedup_clusters": q_dedup_clusters,
-        "semantic_dedup": q_semantic_dedup,
-        "sim_ivf": q_sim_ivf,
-        "sim_neardup": q_sim_neardup,
-        "events_stream_join": q_events_stream_join,
-        "events_stream_watermark": q_events_stream_watermark,
-        "events_stream_dedup": q_events_stream_dedup,
-        "profiler_e2e": q_profiler_e2e,
-        "fuzzy_join": q_fuzzy_join,
-        "sim_pca": q_sim_pca,
-        "pca_error_report": q_pca_error_report,
-        "drift_ks": q_drift_ks,
-        "events_ewma": q_events_ewma,
-        "events_transitions": q_events_transitions,
-        "dedup_graph_triangles": q_dedup_graph_triangles,
-        "integrity_report": q_integrity_report,
-        "profile_clip": q_profile_clip,
-        "events_gap_fill": q_events_gap_fill,
-        "events_forward_fill": q_events_forward_fill,
-        "events_rolling": q_events_rolling,
-        "events_dense_impute": q_events_dense_impute,
-        "profile_heavy_hitters": q_profile_heavy_hitters,
-        "bloom_join_prune": q_bloom_join_prune,
-        "text_repetition": q_text_repetition,
-        "corpus_split": q_corpus_split,
-        "cdc_roundtrip": q_cdc_roundtrip,
-        "rollup_maintenance": q_rollup_maintenance,
-        "golden_records": q_golden_records,
-        "profile_histogram_eqdepth": q_profile_histogram_eqdepth,
-        "compaction_report": q_compaction_report,
-        "sim_hard_negatives": q_sim_hard_negatives,
-        "sim_quantize_report": q_sim_quantize_report,
-        "text_language": q_text_language,
-        "dedup_minhash_estimate": q_dedup_minhash_estimate,
-        "dedup_collapse": q_dedup_collapse,
-        "profile_intended": q_profile_intended,
-        "merge_upsert": q_merge_upsert,
-        "sim_topk": q_sim_topk,
-        "profile_as_written": q_profile_as_written,
-        "schema_information": q_schema_information,
-        "profile_summary": q_profile_summary,
-        "profile_summary_approx": q_profile_summary_approx,
-        "profile_quantiles": q_profile_quantiles,
-        "asof_join": q_asof_join,
-        "zorder_rowset": q_zorder_rowset,
-        "merge_full_sync": q_merge_full_sync,
-        "sim_ivf_kmeans": q_sim_ivf_kmeans,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ann_multiprobe": q_sim_ann_multiprobe,
-        "sim_neardup_lsh": q_sim_neardup_lsh,
-        "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
-        "dedup_clusters_lsh": q_dedup_clusters_lsh,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
-        "profile_distinct_sketch": q_profile_distinct_sketch,
-        "catalog_show_tables": q_catalog_show_tables,
-        "profile_nested": q_profile_nested,
-        "sketch_error_report": q_sketch_error_report,
-        "quantile_error_report": q_quantile_error_report,
-        "pack_report": q_pack_report,
-        "text_keywords": q_text_keywords,
-        "text_bigrams": q_text_bigrams,
-        "text_logprob": q_text_logprob,
-        "dedup_containment": q_dedup_containment,
-        "profile_corr": q_profile_corr,
-        "sim_centroids": q_sim_centroids,
-        "events_anomaly": q_events_anomaly,
-        "text_pmi": q_text_pmi,
-        "profile_outliers": q_profile_outliers,
-        "source_partitioned": q_source_partitioned,
-        "merge_evolve": q_merge_evolve,
-        "schema_drift": q_schema_drift,
-        "profile_quantiles_grouped": q_profile_quantiles_grouped,
-        "summary_error_report": q_summary_error_report,
-        "text_bpe": q_text_bpe,
-        "layout_report": q_layout_report,
-        "quality_quarantine": q_quality_quarantine,
-        "source_evolved": q_source_evolved,
-        "asof_nearest": q_asof_nearest,
-        "events_interval_join": q_events_interval_join,
-        "sample_weighted": q_sample_weighted,
-        "corpus_budget_select": q_corpus_budget_select,
-        "dedup_graph_stats": q_dedup_graph_stats,
-        "profile_entropy": q_profile_entropy,
-        "events_anomaly_rolling": q_events_anomaly_rolling,
-        "events_stream_enrich": q_events_stream_enrich,
-        "sim_cross_contamination": q_sim_cross_contamination,
-        "dedup_winnow_pairs": q_dedup_winnow_pairs,
-        "events_interpolate": q_events_interpolate,
     }
 
 
