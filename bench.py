@@ -303,6 +303,22 @@ def main() -> None:
         host_sentinel = json.loads(proc.stdout.strip().splitlines()[-1])
     except Exception as exc:  # advisory, never fatal
         host_sentinel = {"error": str(exc)}
+    # per-BENCH bracketing (VERDICT r07 item 1): the start sentinel
+    # cannot see a window shift mid-bench (the r07 driver snapshot
+    # landed 1.26x above the same-day closing bench with BOTH start
+    # sentinels green). Quick probes before/after the timed loop ride
+    # in BENCH_DETAIL: bracket_ok=false means the window moved while
+    # the numbers were being taken, so round-over-round deltas from
+    # this bench are attributable to the host, not the code.
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    try:
+        import host_sentinel as _HS
+
+        bracket_pre = _HS.probe_quick()
+    except Exception as exc:
+        _HS, bracket_pre = None, {"error": str(exc)}
     spark = get_session(
         app_name="lakehouse_tools_spark_bench",
         extra_confs={"spark.ui.showConsoleProgress": "false"},
@@ -337,6 +353,11 @@ def main() -> None:
         # q11 outliers. Repeat runs of the SAME query stay warm (the
         # min is still steady-state); only cross-query state is shed.
         spark.catalog.clearCache()
+    try:
+        bracket_post = _HS.probe_quick() if _HS else {"error": "no probe"}
+        bracket_ok = bool(_HS and _HS.brackets_agree(bracket_pre, bracket_post))
+    except Exception as exc:
+        bracket_post, bracket_ok = {"error": str(exc)}, False
     total = round(sum(timings.values()), 3)
     # Full per-query detail goes to a committed artifact; the stdout
     # line must stay under the driver's 2000-char stdout-tail capture
@@ -385,6 +406,9 @@ def main() -> None:
         "n_queries": len(timings),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "host_sentinel": host_sentinel,
+        "bracket_pre": bracket_pre,
+        "bracket_post": bracket_post,
+        "bracket_ok": bracket_ok,
         "min_of_3": sorted(NOISY),
         "noise_note": {
             "applies_to": "queries_driver"

@@ -98,42 +98,56 @@ def budget_select(
 
     The global running sum is TWO-PHASE, never a single-partition
     window (an unpartitioned ``Window.orderBy`` funnels the whole
-    relation through one task — Spark even warns): rows range-
-    partition by the sort key, each partition cumsums locally, and
-    the per-partition totals (one row per partition — metadata) come
-    back as a broadcast offset map added to the local sums. Same
-    two-phase shape as any scalable global ranking.
+    relation through one task — Spark even warns): rows bucket by the
+    score, each bucket cumsums locally under a window partitioned by
+    the bucket, and the per-bucket totals (one row per bucket —
+    metadata) come back as a broadcast offset map added to the local
+    sums. Same two-phase shape as any scalable global ranking.
 
-    Cache ownership: the range-partitioned cumsum relation is
-    persisted for the session (it feeds the eager totals job AND the
-    returned plan) and — unlike the opt-out persists in the pair/text
-    scorers — this one is a CORRECTNESS requirement, not a speedup:
-    ``spark_partition_id`` is only stable against the materialized
-    partitioning, so a recompute on an unpersisted plan could pair
-    offsets with the wrong partitions. Long-lived callers reclaim it
-    with ``spark.catalog.clearCache()`` after consuming the result.
+    Bucket assignment is a PURE FUNCTION of the row: ``num_buckets-1``
+    approximate score quantiles are computed once on the driver and
+    baked into the plan as literals (bucket i = number of boundaries
+    strictly above the row's score — monotone non-increasing in
+    score, so every row of bucket i precedes every row of bucket i+1
+    in the (score desc, id asc) order, and score ties always share a
+    bucket). Because the assignment is deterministic and
+    recompute-stable, NOTHING here needs to be persisted — unlike a
+    ``spark_partition_id`` pairing, which is only stable against a
+    materialized partitioning, a recompute of the returned lazy plan
+    always pairs offsets with the right buckets. No cache outlives
+    the call: the cost is one extra scan (quantile probe + totals job
+    + the returned plan = three passes over a relation that is
+    typically the narrow, already-filtered survivor metadata), which
+    at 100 TB beats pinning that relation in MEMORY_AND_DISK for the
+    session.
     """
     from pyspark.sql import Window
 
     order = [F.col(score_col).desc(), F.col(id_col).asc()]
-    parts = df.repartitionByRange(num_partitions, *order).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    # boundaries: computed ONCE on the driver (GK sketch, one pass),
+    # then frozen into the plan as literals — any approximate,
+    # deterministic, monotone split is correct here; the quantiles
+    # only balance the buckets
+    qs = [i / num_partitions for i in range(1, num_partitions)]
+    bounds = sorted(set(df.approxQuantile(score_col, qs, 0.001)))
+    nn = F.lit(0)
+    for b in bounds:
+        nn = nn + F.when(F.col(score_col) < F.lit(b), 1).otherwise(0)
+    # desc order sorts nulls LAST, so null scores take the final
+    # bucket (they also sort last inside it — window desc nulls-last)
+    bkt = F.when(F.col(score_col).isNull(), F.lit(len(bounds))).otherwise(nn)
     w_in = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_bkt")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # persisted: the relation feeds the totals job AND the final plan,
-    # and a recompute must see the identical range partitioning
-    from pyspark import StorageLevel
-
-    local = parts.withColumn(
+    local = df.withColumn("_bkt", bkt).withColumn(
         "_cum_in", F.sum(F.col(cost_col)).over(w_in)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     totals = {
-        r["_pid"]: r["_t"]
-        for r in local.groupBy("_pid")
+        r["_bkt"]: r["_t"]
+        for r in df.withColumn("_bkt", bkt)
+        .groupBy("_bkt")
         .agg(F.sum(F.col(cost_col)).alias("_t"))
         .collect()
     }
@@ -141,13 +155,21 @@ def budget_select(
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid]
-    off = F.create_map(
-        *[x for pid in sorted(offsets) for x in (F.lit(pid), F.lit(offsets[pid]))]
-    )
+    if offsets:
+        off = F.create_map(
+            *[
+                x
+                for pid in sorted(offsets)
+                for x in (F.lit(pid), F.lit(offsets[pid]))
+            ]
+        )
+        cum = F.col("_cum_in") + F.element_at(off, F.col("_bkt"))
+    else:  # empty input: no buckets observed, plan stays well-formed
+        cum = F.col("_cum_in")
     return (
-        local.withColumn("_cum", F.col("_cum_in") + off[F.col("_pid")])
+        local.withColumn("_cum", cum)
         .filter(F.col("_cum") <= budget)
-        .drop("_pid", "_cum_in", "_cum")
+        .drop("_bkt", "_cum_in", "_cum")
     )
 
 

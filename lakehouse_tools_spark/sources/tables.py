@@ -68,6 +68,29 @@ _BYTES_PER_TASK = 128 << 20
 _MAX_FANOUT = 64
 
 
+def _parse_bytes_conf(value: str | None) -> int:
+    """Parse a Spark byte-size conf string (``134217728``, ``128m``,
+    ``128MB``, ``134217728b``) to bytes; unknown forms fall back to
+    the 128 MB split default."""
+    if not value:
+        return _BYTES_PER_TASK
+    s = str(value).strip().lower()
+    for suffix, mult in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            break
+    else:
+        mult = 1
+    try:
+        return max(1, int(float(s) * mult))
+    except ValueError:
+        return _BYTES_PER_TASK
+
+
 def ensure_parallelism(
     df: DataFrame, *cols: str, expansion: float = 1.0
 ) -> DataFrame:
@@ -108,6 +131,12 @@ def ensure_parallelism(
     call) and no ``_jdf`` stats reach-in (breaks under Spark Connect).
     Relations not backed by files (in-memory test data, post-shuffle
     intermediates) are left untouched: a shuffle already spread them.
+    Files whose size the driver cannot ``stat`` (S3/HDFS paths) are
+    ESTIMATED at one ``spark.sql.files.maxPartitionBytes`` split
+    each, so the expansion term survives on remote deployments
+    instead of silently degrading to the core-count floor (the
+    estimate errs toward MORE tasks — the safe direction for the
+    working-set bound — and the 64x-cores cap still applies).
     """
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
@@ -115,6 +144,7 @@ def ensure_parallelism(
     if not files:
         return df
     total = 0
+    unstat = 0
     for p in files:
         if p.startswith("file:"):
             try:
@@ -122,17 +152,17 @@ def ensure_parallelism(
                 continue
             except OSError:
                 pass
-        # remote or unreadable path: size unknown — assume big enough
-        # to be worth spreading (the repartition is what we're here
-        # for) but not big enough to out-size the core count
-        total = None
-        break
-    if total is not None and total < (1 << 20):
+        unstat += 1
+    if unstat:
+        per = _parse_bytes_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+        )
+        total += unstat * per
+    elif total < (1 << 20):
+        # truly tiny local relation: scheduling beats parallelism
         return df
-    target = n
-    if total is not None:
-        sized = -(-int(total * expansion) // _BYTES_PER_TASK)
-        target = max(n, min(sized, n * _MAX_FANOUT))
+    sized = -(-int(total * expansion) // _BYTES_PER_TASK)
+    target = max(n, min(sized, n * _MAX_FANOUT))
     if len(files) >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)

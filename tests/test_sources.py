@@ -134,3 +134,48 @@ def test_ensure_parallelism_is_size_aware(spark, tmp_path):
     assert got_capped == n * 64
     # row set unchanged by the repartition
     assert ensure_parallelism(df, expansion=expansion).count() == 400_000
+
+
+def test_ensure_parallelism_estimates_unstatable_files(spark, tmp_path, monkeypatch):
+    # ADVICE r07: on S3/HDFS the driver cannot stat file sizes; the
+    # guard must estimate each unstatable file at one
+    # spark.sql.files.maxPartitionBytes split so the expansion term
+    # still sizes the task count (instead of silently falling back to
+    # the core-count floor and reopening the melt spill cliff)
+    from lakehouse_tools_spark.sources import tables as tbl
+
+    n = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "unstat.parquet")
+    spark.range(400_000).selectExpr(
+        "id", "md5(cast(id as string)) as a"
+    ).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    real_getsize = tbl.os.path.getsize
+
+    def deny(p):
+        if "unstat.parquet" in str(p):
+            raise OSError("simulated remote path")
+        return real_getsize(p)
+
+    monkeypatch.setattr(tbl.os.path, "getsize", deny)
+    # 1 unstatable file estimated at maxPartitionBytes (=128 MB here)
+    # -> bytes x expansion / 128 MB = expansion slots exactly
+    got = tbl.ensure_parallelism(df, expansion=3 * n).rdd.getNumPartitions()
+    assert got == 3 * n
+    # expansion=1 on one estimated split stays at the core floor
+    assert tbl.ensure_parallelism(df).rdd.getNumPartitions() == n
+
+
+def test_parse_bytes_conf_forms():
+    from lakehouse_tools_spark.sources.tables import (
+        _BYTES_PER_TASK,
+        _parse_bytes_conf,
+    )
+
+    assert _parse_bytes_conf("134217728") == 128 << 20
+    assert _parse_bytes_conf("134217728b") == 128 << 20
+    assert _parse_bytes_conf("128m") == 128 << 20
+    assert _parse_bytes_conf("128MB") == 128 << 20
+    assert _parse_bytes_conf("1g") == 1 << 30
+    assert _parse_bytes_conf(None) == _BYTES_PER_TASK
+    assert _parse_bytes_conf("garbage") == _BYTES_PER_TASK

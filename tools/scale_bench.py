@@ -40,6 +40,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import host_sentinel as HS  # noqa: E402
 
 import __spark_entry__ as E  # noqa: E402
 from lakehouse_tools_spark.session import get_session  # noqa: E402
@@ -222,25 +225,51 @@ def _child(runs: int, flagships: list[str]) -> None:
     qs = E.queries()
     points = [(lb, d) for lb, d in POINTS if os.path.isdir(d) or os.path.exists(d)]
     out: dict[str, dict] = {}
+    def _measure(name: str, sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            if name in SCALE_VARIANTS:
+                SCALE_VARIANTS[name](spark, sf_dir)
+            else:
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            best = min(best, time.time() - t0)
+        # per-POINT cache isolation: a point's per-call persists
+        # (materialized by run 1, reused warm by runs 2..N) must
+        # not squat in storage memory while larger points run
+        spark.catalog.clearCache()
+        return best
+
     for name in flagships:
         times = {}
+        brackets: dict[str, dict] = {}
         for label, sf_dir in points:
-            best = float("inf")
-            for _ in range(runs):
-                t0 = time.time()
-                if name in SCALE_VARIANTS:
-                    SCALE_VARIANTS[name](spark, sf_dir)
-                else:
-                    qs[name](spark, sf_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                best = min(best, time.time() - t0)
+            # per-POINT sentinel bracketing (VERDICT r07 item 1): the
+            # host window can shift MID-sweep, so a start-of-sweep
+            # sentinel alone cannot certify any single point. A point
+            # whose pre/post quick probes disagree >1.3x is REJECTED
+            # and re-measured (up to 3 attempts); a point that never
+            # brackets clean is recorded contaminated=true and must
+            # not be spliced into a table of record.
+            pre = HS.probe_quick()
+            best = _measure(name, sf_dir)
+            post = HS.probe_quick()
+            attempts = 1
+            while not HS.brackets_agree(pre, post) and attempts < 3:
+                pre = HS.probe_quick()
+                best = _measure(name, sf_dir)
+                post = HS.probe_quick()
+                attempts += 1
             times[label] = round(best, 3)
-            # per-POINT cache isolation: a point's per-call persists
-            # (materialized by run 1, reused warm by runs 2..N) must
-            # not squat in storage memory while larger points run
-            spark.catalog.clearCache()
-        rec = {"sec": times}
+            brackets[label] = {
+                "pre": pre,
+                "post": post,
+                "attempts": attempts,
+                "contaminated": not HS.brackets_agree(pre, post),
+            }
+        rec = {"sec": times, "brackets": brackets}
         labels = [lb for lb, _ in points if lb in times]
         decades = {
             "sf0.01": -2.0,
@@ -258,7 +287,9 @@ def _child(runs: int, flagships: list[str]) -> None:
 
 
 def main() -> None:
-    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    argv = [a for a in sys.argv[1:] if a != "--force"]
+    force = "--force" in sys.argv[1:] or os.environ.get("SCALE_FORCE") == "1"
+    runs = int(argv[0]) if argv else 3
     # SCALE_FLAGSHIPS=a,b,c re-measures a subset (e.g. after a fix)
     # without paying for the full 14-curve sweep
     subset = os.environ.get("SCALE_FLAGSHIPS")
@@ -284,8 +315,24 @@ def main() -> None:
         )
         sentinel = json.loads(proc.stdout.strip().splitlines()[-1])
         print(f"# host sentinel: {sentinel}", file=sys.stderr)
-    except Exception as exc:  # sentinel is advisory, never fatal
+    except Exception as exc:  # probe failure itself is advisory
         sentinel = {"error": str(exc)}
+    # ADVICE r07: the "not-healthy sweeps must not become the table
+    # of record" rule is now ENFORCED, not conventional — a degraded
+    # or marginal start aborts the multi-hour sweep before it can
+    # produce a contaminated table. --force (or SCALE_FORCE=1)
+    # overrides for diagnostic runs; "no-fixture" proceeds (CPU-only
+    # gate) since the per-point brackets still police the window.
+    grade = sentinel.get("grade")
+    if grade not in ("healthy", "no-fixture", None) and not force:
+        print(
+            f"# ABORT: host sentinel grade '{grade}' — a sweep started "
+            "in this window must not become a table of record. Re-run "
+            "in a healthy window, or pass --force for a diagnostic "
+            "(non-record) sweep.",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     # one identically-warmed subprocess per flagship (see module
     # docstring — isolation is the methodology, not a knob)
     merged: dict[str, dict] = {}
