@@ -8218,10 +8218,15 @@ def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     design — the source materializes no fixture bytes (that is the
     point of a deterministic synthetic connector). Money-sum
     determinism per the repo rule: 2-decimal values accumulate as
-    DECIMAL, cast to double at the edge."""
+    DECIMAL, cast to double at the edge. pushdown=True is safe here
+    because this relation is scanned exactly once (pruning is opt-in
+    since r08 — see the pysource module docstring's Spark 4.1
+    shared-relation hazard)."""
     from lakehouse_tools_spark.sources.pysource import read_synthetic_events
 
-    ev = read_synthetic_events(_spark(spark), rows=20_000, partitions=8)
+    ev = read_synthetic_events(
+        _spark(spark), rows=20_000, partitions=8, pushdown=True
+    )
     return (
         ev.filter((F.col("event_id") >= 5_000) & (F.col("event_id") < 15_000))
         .groupBy("event_type")
@@ -8328,6 +8333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round's work is measurement protocol + scale audits.
     return {
         "corpus_budget_select": q_corpus_budget_select,
+        "source_python_datasource": q_source_python_datasource,
+        "events_stream_sessionize_tws": q_events_stream_sessionize_tws,
         "profiler_e2e": q_profiler_e2e,
         "profile_intended": q_profile_intended,
         "profile_as_written": q_profile_as_written,
@@ -8353,7 +8360,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigrams": q_text_bigrams,
         "text_logprob": q_text_logprob,
         "dedup_containment": q_dedup_containment,
-        "profile_corr": q_profile_corr,
         "sim_centroids": q_sim_centroids,
         "events_anomaly": q_events_anomaly,
         "text_pmi": q_text_pmi,
@@ -8371,7 +8377,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": q_events_interval_join,
         "sample_weighted": q_sample_weighted,
         "dedup_graph_stats": q_dedup_graph_stats,
-        "profile_entropy": q_profile_entropy,
         "events_anomaly_rolling": q_events_anomaly_rolling,
         "events_stream_enrich": q_events_stream_enrich,
         "sim_cross_contamination": q_sim_cross_contamination,
@@ -8382,6 +8387,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r06, then r07 freshest-last), prior relative
         # order preserved within each round group
         # -- latest driver row r05
+        # (displaced from the r08 window by the two changed-
+        #  operator carriers; profile.py code paths are covered
+        #  by the six in-window profiler-family carriers)
+        "profile_corr": q_profile_corr,
+        "profile_entropy": q_profile_entropy,
         "sim_pca": q_sim_pca,
         "pca_error_report": q_pca_error_report,
         "drift_ks": q_drift_ks,
@@ -8475,10 +8485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "sim_covariance": q_sim_covariance,
         "events_stream_sessionize": q_events_stream_sessionize,
-        "events_stream_sessionize_tws": q_events_stream_sessionize_tws,
         "sql_pipe_passthrough": q_sql_pipe_passthrough,
         "events_json_variant": q_events_json_variant,
-        "source_python_datasource": q_source_python_datasource,
         "events_stream_outer_join": q_events_stream_outer_join,
         "events_stream_upsert": q_events_stream_upsert,
         "events_stream_profile": q_events_stream_profile,

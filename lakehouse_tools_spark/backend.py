@@ -11,7 +11,7 @@ blue/green swap stands in for Delta's ACID commit).
 Detection is import-based, not install-based: this environment has no
 delta-spark wheel and no PyPI route (``pip download delta-spark`` →
 "No matching distribution found"; DNS-level failure re-confirmed
-2026-08-15 in round 7 ("Name or service not known" on every retry) —
+2026-08-15 in round 8 ("Name or service not known" on every retry) —
 retried once per round since 2026-08-13;
 installing is also out-of-bounds for this build), so the Delta branch
 cannot be exercised here. It is wired so that dropping delta-spark into the

@@ -18,6 +18,18 @@ REAL connector must get right at scale, each pinned by tests:
   (conservatively "unsupported"), so pruning can only skip rows the
   filter would drop anyway: correctness never depends on the
   source's own predicate evaluation.
+
+  Pruning is OPT-IN (``pushdown=True`` / ``.option("pushdown",
+  "true")``) because of a measured Spark 4.1 engine hazard (r08):
+  the JVM stores the last filtered scan's Python planning result on
+  the SHARED relation, so re-scanning one loaded DataFrame under a
+  weaker (or no) filter can silently reuse the stronger scan's
+  pruned partitions and LOSE rows — measured: ``df.filter(id<125)``
+  then ``df.count()`` returns 125, and a union of two filtered
+  branches of one load undercounts. With pushdown enabled the
+  relation is single-use by contract: derive each differently-
+  filtered scan from a fresh ``.load()``. The default never prunes,
+  so arbitrary plan reuse stays correct.
 - **Arrow batch reads**: ``read()`` yields ``pyarrow.RecordBatch``
   per slice, not per-row tuples — the vectorized handoff path.
 
@@ -72,8 +84,9 @@ class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.rows = int(options.get("rows", 20_000))
         self.num_partitions = int(options.get("partitions", 8))
+        self.pushdown = str(options.get("pushdown", "false")).lower() == "true"
         # planning-time bounds on event_id == the global row index;
-        # tightened by pushFilters, consumed by partitions()
+        # tightened by pushFilters (opt-in), consumed by partitions()
         self.lo = 0
         self.hi = self.rows
 
@@ -82,7 +95,13 @@ class SyntheticEventsReader(DataSourceReader):
         predicates on event_id. EVERY filter is yielded back as
         unsupported — Spark re-applies them post-scan — so the pruning
         here is a pure planning optimization (fewer partitions, fewer
-        generated rows), never load-bearing for correctness."""
+        generated rows), never load-bearing for correctness — but see
+        the module docstring's Spark 4.1 shared-relation hazard: the
+        bounds only tighten when ``pushdown=true`` was passed, making
+        the relation single-use by contract."""
+        if not self.pushdown:
+            yield from filters
+            return
         for f in filters:
             if isinstance(
                 f,
@@ -166,13 +185,20 @@ def register(spark) -> None:
 
 
 def read_synthetic_events(
-    spark, rows: int = 20_000, partitions: int = 8
+    spark, rows: int = 20_000, partitions: int = 8, pushdown: bool = False
 ):
-    """Register + read in one call (the engine-facing entry point)."""
+    """Register + read in one call (the engine-facing entry point).
+
+    ``pushdown=True`` enables planning-time slice pruning and makes
+    the returned relation SINGLE-USE: scan it under one filter
+    context only, and call this again for each differently-filtered
+    scan (module docstring: Spark 4.1 stores the last filtered
+    scan's planning on the shared relation)."""
     register(spark)
     return (
         spark.read.format(SOURCE_NAME)
         .option("rows", str(rows))
         .option("partitions", str(partitions))
+        .option("pushdown", "true" if pushdown else "false")
         .load()
     )

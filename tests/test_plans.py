@@ -331,3 +331,31 @@ def test_span_dedup_zero_sortmerge_one_broadcast(spark):
     assert "SortMergeJoin" not in p
     assert p.count("BroadcastHashJoin") == 1
     assert "CartesianProduct" not in p
+
+
+def test_pysource_pushdown_prunes_at_planning_time(spark):
+    # the custom Python DataSource's filter pushdown (sources/
+    # pysource.py pushFilters -> partitions) must prune whole
+    # key-range slices BEFORE tasks launch when opted in (pruning is
+    # opt-in since r08: Spark 4.1 stores the last filtered scan's
+    # planning on the shared relation, so a pushed-down load is
+    # single-use — test_pysource pins the hazard): the planned
+    # partition count shrinks with the range, the scan node is the
+    # Python source, and the filter is still re-applied post-scan
+    from lakehouse_tools_spark.sources.pysource import (
+        read_synthetic_events,
+    )
+    import pyspark.sql.functions as F
+
+    narrow = read_synthetic_events(
+        spark, rows=1000, partitions=8, pushdown=True
+    ).filter(F.col("event_id") < 125)
+    assert narrow.rdd.getNumPartitions() <= 2
+    p = plan_of(narrow)
+    assert "PythonScan" in p or "BatchScan" in p
+    assert re.search(r"Filter .*event_id", p)
+    # default (no pushdown): full partition grid survives any filter
+    full = read_synthetic_events(spark, rows=1000, partitions=8).filter(
+        F.col("event_id") < 125
+    )
+    assert full.rdd.getNumPartitions() == 8

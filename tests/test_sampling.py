@@ -243,7 +243,19 @@ def test_budget_select_leaves_no_cache(spark):
 
     from lakehouse_tools_spark.ext.corpus import budget_select
 
+    import time
+
     spark.catalog.clearCache()
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    # clearCache's unpersists are non-blocking: give session-shared
+    # leftovers from earlier tests a moment to drain
+    deadline = time.time() + 10
+    while n_persistent() and time.time() < deadline:
+        time.sleep(0.2)
+    before = n_persistent()
     df = spark.createDataFrame(
         [Row(doc_id=i, score=float(1000 - i), cost=7) for i in range(200)]
     )
@@ -252,7 +264,10 @@ def test_budget_select_leaves_no_cache(spark):
     # the returned plan recomputes correctly (bucket assignment is a
     # pure function of the row, not a materialized partition id)
     assert out.count() == 100
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    # delta-zero: budget_select itself may not add a single persisted
+    # relation (global zero would hold a shared test session hostage
+    # to other tests' documented opt-out caches mid-drain)
+    assert n_persistent() == before
 
 
 def test_package_persists_are_owned():

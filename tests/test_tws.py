@@ -147,3 +147,67 @@ def test_tws_agrees_with_legacy_and_native(spark, tables, tmp_path):
     assert emitted <= native
     n_users = tables["events"].select("user_id").distinct().count()
     assert len(emitted) >= len(native) - n_users
+
+
+def test_tws_min_armed_timer_strategy_is_result_identical(spark, tmp_path):
+    # r08 A/B variant (VERDICT r07 item 5): the worker-local armed-
+    # timer cache must not change WHAT is emitted — including the
+    # timer-flush path (session B below is only ever sealed by a
+    # timer fire) and the stale-fire re-arm chain
+    _require_tws(spark)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minute, user=1, value=1.0):
+        return (i, t0 + dt.timedelta(minutes=minute), user, value)
+
+    batches = [
+        [ev(1, 0), ev(2, 2), ev(3, 4), ev(4, 10), ev(5, 0, user=2)],
+        [ev(6, 30), ev(7, 31, user=2)],
+        [ev(8, 120), ev(9, 120, user=2)],
+    ]
+    results = {}
+    for arm in ("per-batch", "min-armed"):
+        src = str(tmp_path / f"tws_arm_{arm.replace('-', '_')}")
+        for b in batches:
+            _write_batch(spark, src, b)
+        stream = (
+            spark.readStream.schema(EVENTS_DDL)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = stateful_sessionize_tws(
+            with_watermark(stream, "ts", "0 seconds"),
+            gap_minutes=5,
+            timer_arm=arm,
+        )
+        results[arm] = _drain(spark, out, f"t_tws_arm_{arm.replace('-', '_')}")
+    assert results["min-armed"] == results["per-batch"]
+    assert (1, "2024-01-01 00:10:00", 1, 1.0) in results["min-armed"]
+
+
+def test_tws_constant_factor_vs_legacy_is_pinned(spark, tables, tmp_path):
+    # the TWS runtime costs a measured ~1.5x constant factor over the
+    # legacy state API at bench scale (SCALING.md r07/r08 A/B, parallel
+    # scaling curves; min-armed default shrinks the measured sf5 ratio
+    # to ~1.15) — pin an upper bound so a regression to 3x+ (e.g. a
+    # per-row state round-trip creeping in) is caught at fixture scale
+    import time
+
+    _require_tws(spark)
+    src = str(tmp_path / "tws_ratio_src")
+    ev = tables["events"].select("event_id", "ts", "user_id", "value")
+    ev.write.parquet(src)
+
+    def timed(op, name):
+        t0 = time.time()
+        stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+        out = op(with_watermark(stream, "ts", "0 seconds"), gap_minutes=5)
+        _drain(spark, out, name)
+        return time.time() - t0
+
+    # untimed warm-up of both runtimes (JIT, RocksDB provider load)
+    timed(stateful_sessionize_tws, "t_ratio_warm_tws")
+    timed(stateful_sessionize, "t_ratio_warm_legacy")
+    t_tws = min(timed(stateful_sessionize_tws, f"t_ratio_tws_{i}") for i in (1, 2))
+    t_leg = min(timed(stateful_sessionize, f"t_ratio_leg_{i}") for i in (1, 2))
+    assert t_tws / t_leg < 3.0, (t_tws, t_leg)
