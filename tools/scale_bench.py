@@ -84,6 +84,11 @@ FLAGSHIPS = [
     # profile-hostile (high-cardinality) columns: one wide mergeable-
     # sketch aggregate per table, no melt, nothing data-sized shuffles
     "profile_summary_approx",
+    # budget-capped selection — r08 rewrite: persist-free two-phase
+    # global cumsum over deterministic driver-computed quantile
+    # buckets (ext/corpus.budget_select); 16th curve added the round
+    # the algorithm changed
+    "corpus_budget_select",
 ]
 POINTS = [
     ("sf0.01", "/root/testdata/sf0.01"),
