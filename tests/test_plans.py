@@ -359,3 +359,17 @@ def test_pysource_pushdown_prunes_at_planning_time(spark):
         F.col("event_id") < 125
     )
     assert full.rdd.getNumPartitions() == 8
+
+
+def test_budget_select_no_persist_no_single_partition_window(spark):
+    # the r08 rewrite (ext/corpus.budget_select): the two-phase global
+    # cumsum must run over driver-computed quantile BUCKETS — a hash
+    # exchange on _bkt feeding a partitioned Window — with no cached
+    # relation in the plan (persist-free by design) and never an
+    # unpartitioned single-partition window funnel
+    p = plan_of(E.q_corpus_budget_select(spark, SF))
+    assert "InMemoryRelation" not in p  # no persist survives the call
+    assert "SinglePartition" not in p
+    assert re.search(r"Window .*windowspecdefinition\(_bkt", p)
+    # scan prunes to the two consumed columns
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,n_chars:bigint>", p)
