@@ -8312,86 +8312,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver correctness snapshot, which records the
-    # FIRST ~50 entries only. Round-8 window (VERDICT r07 items #2-3
-    # + the extended freeze rule: a materially-changed operator
-    # rotates its carrier query into that round's window, enforced by
-    # tools/freeze_gate.py before the end-of-round snapshot):
-    # position 1 is corpus_budget_select, the carrier for the ONE
-    # operator whose algorithm changed this round (budget_select's
-    # session-lifetime persist replaced by deterministic quantile
-    # bucketing, ext/corpus.py); positions 2-7 are the profiler
-    # family whose r05-r06 driver rows predate the r07 melt-sizing
-    # fix (eb3a97f) AND whose sizing fallback for unstatable paths
-    # changed this round (sources/tables.py ensure_parallelism);
-    # positions 8-50 are the remaining 43 queries of the r04-latest
-    # cohort (TPC-H q2/q9/q11/q16/q20, recall reports, corpus_e2e,
-    # graph_pagerank, text_* analysis, profile audit modes, ...).
-    # Done-bar: after this window lands, no registered query's
-    # latest driver row is older than r05 and no operator's row is
-    # older than its executing code. NO new queries this round (a
-    # new query would displace a mandatory rotation slot); the
-    # round's work is measurement protocol + scale audits.
+    # FIRST ~50 entries only. Round-9 window (VERDICT r08 item #2 +
+    # the scripted staleness floor in tools/closing_gate.py, floor
+    # r06 this round): positions 1-2 are the changed-operator
+    # carriers for the two operators touched this round
+    # (budget_select: ADVICE r08 determinism contract +
+    # non-numeric-score guard, ext/corpus.py; the TWS sessionizer:
+    # ADVICE r08 stale-_armed hazard fix, streaming/tws.py) --
+    # required in-window by the freeze rule (tools/freeze_gate.py);
+    # positions 3-45 are the FULL stale cohort the closing gate
+    # enumerates (2 r04 + 41 r05 rows); positions 46-50 pre-rotate
+    # the 5 cheapest r06 queries (closing-bench sf0.1 mins 0.26-0.41
+    # s) so the r10 wall shrinks 45 -> 40 (VERDICT r08 item #4).
+    # Done-bar after this window lands: no registered query's latest
+    # driver row is older than r06.
+    #
+    # r10 rotation plan (arithmetic, per VERDICT r08 item #4): the
+    # remaining 40 r06-latest queries below fit the 50-slot r10
+    # window with 10 spare slots for r10's changed-operator carriers
+    # and the first r07 pre-rotations -- no --allow-displaced needed.
     return {
+        # -- changed-operator carriers (freeze rule)
         "corpus_budget_select": q_corpus_budget_select,
-        "source_python_datasource": q_source_python_datasource,
         "events_stream_sessionize_tws": q_events_stream_sessionize_tws,
-        "profiler_e2e": q_profiler_e2e,
-        "profile_intended": q_profile_intended,
-        "profile_as_written": q_profile_as_written,
-        "profile_histogram": q_profile_histogram,
-        "profile_topk": q_profile_topk,
-        "profiler_incremental": q_profiler_incremental,
-        "sim_recall_report": q_sim_recall_report,
-        "neardup_recall_report": q_neardup_recall_report,
-        "corpus_e2e": q_corpus_e2e,
-        "graph_pagerank": q_graph_pagerank,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
-        "profile_distinct_sketch": q_profile_distinct_sketch,
-        "catalog_show_tables": q_catalog_show_tables,
-        "profile_nested": q_profile_nested,
-        "sketch_error_report": q_sketch_error_report,
-        "quantile_error_report": q_quantile_error_report,
-        "pack_report": q_pack_report,
-        "text_keywords": q_text_keywords,
-        "text_bigrams": q_text_bigrams,
-        "text_logprob": q_text_logprob,
-        "dedup_containment": q_dedup_containment,
-        "sim_centroids": q_sim_centroids,
-        "events_anomaly": q_events_anomaly,
-        "text_pmi": q_text_pmi,
-        "profile_outliers": q_profile_outliers,
-        "source_partitioned": q_source_partitioned,
-        "merge_evolve": q_merge_evolve,
-        "schema_drift": q_schema_drift,
-        "profile_quantiles_grouped": q_profile_quantiles_grouped,
-        "summary_error_report": q_summary_error_report,
-        "text_bpe": q_text_bpe,
-        "layout_report": q_layout_report,
-        "quality_quarantine": q_quality_quarantine,
-        "source_evolved": q_source_evolved,
-        "asof_nearest": q_asof_nearest,
-        "events_interval_join": q_events_interval_join,
-        "sample_weighted": q_sample_weighted,
-        "dedup_graph_stats": q_dedup_graph_stats,
-        "events_anomaly_rolling": q_events_anomaly_rolling,
-        "events_stream_enrich": q_events_stream_enrich,
-        "sim_cross_contamination": q_sim_cross_contamination,
-        "dedup_winnow_pairs": q_dedup_winnow_pairs,
-        "events_interpolate": q_events_interpolate,
-        # --- position 51+: outside the ~50-entry driver
-        # snapshot window, stalest-first (r05 cohort, then
-        # r06, then r07 freshest-last), prior relative
-        # order preserved within each round group
-        # -- latest driver row r05
-        # (displaced from the r08 window by the two changed-
-        #  operator carriers; profile.py code paths are covered
-        #  by the six in-window profiler-family carriers)
+        # -- stale cohort: latest driver row r04
         "profile_corr": q_profile_corr,
         "profile_entropy": q_profile_entropy,
+        # -- stale cohort: latest driver row r05
         "sim_pca": q_sim_pca,
         "pca_error_report": q_pca_error_report,
         "drift_ks": q_drift_ks,
@@ -8433,19 +8380,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup_lsh": q_sim_neardup_lsh,
         "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
+        # -- r06 pre-rotation (cheapest 5, shrink the r10 wall)
+        "dedup_exact": q_dedup_exact,
+        "setop_nations": q_setop_nations,
+        "tpch_q6": q_tpch_q6,
+        "events_funnel": q_events_funnel,
+        "tpch_q15": q_tpch_q15,
+        # --- position 51+: outside the ~50-entry driver
+        # snapshot window, stalest-first (r06 cohort, then r07,
+        # then the displaced r08 window freshest-last), prior
+        # relative order preserved within each round group
         # -- latest driver row r06
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q10": q_tpch_q10,
         "tpch_q12": q_tpch_q12,
         "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
@@ -8454,19 +8409,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_customers": q_topk_customers,
         "window_rank": q_window_rank,
         "window_ranking_suite": q_window_ranking_suite,
-        "setop_nations": q_setop_nations,
         "sql_passthrough": q_sql_passthrough,
         "rollup_pricing": q_rollup_pricing,
         "quality_check": q_quality_check,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_winnow": q_dedup_winnow,
-        "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "sim_topk_pandas": q_sim_topk_pandas,
         "corpus_dedup_e2e": q_corpus_dedup_e2e,
@@ -8528,6 +8480,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact": q_text_redact,
         "text_tokens": q_text_tokens,
         "text_vocabulary": q_text_vocabulary,
+        # -- latest driver row r08 (last round's window)
+        "source_python_datasource": q_source_python_datasource,
+        "profiler_e2e": q_profiler_e2e,
+        "profile_intended": q_profile_intended,
+        "profile_as_written": q_profile_as_written,
+        "profile_histogram": q_profile_histogram,
+        "profile_topk": q_profile_topk,
+        "profiler_incremental": q_profiler_incremental,
+        "sim_recall_report": q_sim_recall_report,
+        "neardup_recall_report": q_neardup_recall_report,
+        "corpus_e2e": q_corpus_e2e,
+        "graph_pagerank": q_graph_pagerank,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "profile_distinct_sketch": q_profile_distinct_sketch,
+        "catalog_show_tables": q_catalog_show_tables,
+        "profile_nested": q_profile_nested,
+        "sketch_error_report": q_sketch_error_report,
+        "quantile_error_report": q_quantile_error_report,
+        "pack_report": q_pack_report,
+        "text_keywords": q_text_keywords,
+        "text_bigrams": q_text_bigrams,
+        "text_logprob": q_text_logprob,
+        "dedup_containment": q_dedup_containment,
+        "sim_centroids": q_sim_centroids,
+        "events_anomaly": q_events_anomaly,
+        "text_pmi": q_text_pmi,
+        "profile_outliers": q_profile_outliers,
+        "source_partitioned": q_source_partitioned,
+        "merge_evolve": q_merge_evolve,
+        "schema_drift": q_schema_drift,
+        "profile_quantiles_grouped": q_profile_quantiles_grouped,
+        "summary_error_report": q_summary_error_report,
+        "text_bpe": q_text_bpe,
+        "layout_report": q_layout_report,
+        "quality_quarantine": q_quality_quarantine,
+        "source_evolved": q_source_evolved,
+        "asof_nearest": q_asof_nearest,
+        "events_interval_join": q_events_interval_join,
+        "sample_weighted": q_sample_weighted,
+        "dedup_graph_stats": q_dedup_graph_stats,
+        "events_anomaly_rolling": q_events_anomaly_rolling,
+        "events_stream_enrich": q_events_stream_enrich,
+        "sim_cross_contamination": q_sim_cross_contamination,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "events_interpolate": q_events_interpolate,
     }
 
 
