@@ -5466,7 +5466,13 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ext/corpus.budget_select): keep the longest documents (score =
     cost = n_chars here) until the cumulative size reaches 50k chars
     — how a fixed-size training mix is filled from a curated pool.
-    Global window cumsum = range-partitioned sort at scale."""
+    The global cumsum is a TWO-PHASE quantile-bucket sum (r08
+    rewrite): driver-computed score quantiles frozen as literals
+    assign each row a bucket, a window partitioned BY BUCKET cumsums
+    locally, and the per-bucket totals come back as a broadcast
+    offset map — never an unpartitioned global window (single-task
+    funnel), and nothing persisted (deterministic input; see the
+    operator docstring's contract)."""
     from lakehouse_tools_spark.ext.corpus import budget_select
 
     docs = load_table(_spark(spark), sf_dir, "documents")

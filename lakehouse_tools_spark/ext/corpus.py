@@ -88,6 +88,7 @@ def budget_select(
     budget: int,
     id_col: str,
     num_partitions: int = 32,
+    persist: bool = False,
 ) -> DataFrame:
     """Quality-first selection under a budget: keep the best-scoring
     documents until their cumulative cost (tokens, chars, bytes)
@@ -110,29 +111,71 @@ def budget_select(
     strictly above the row's score — monotone non-increasing in
     score, so every row of bucket i precedes every row of bucket i+1
     in the (score desc, id asc) order, and score ties always share a
-    bucket). Because the assignment is deterministic and
-    recompute-stable, NOTHING here needs to be persisted — unlike a
-    ``spark_partition_id`` pairing, which is only stable against a
-    materialized partitioning, a recompute of the returned lazy plan
-    always pairs offsets with the right buckets. No cache outlives
-    the call: the cost is one extra scan (quantile probe + totals job
-    + the returned plan = three passes over a relation that is
-    typically the narrow, already-filtered survivor metadata), which
-    at 100 TB beats pinning that relation in MEMORY_AND_DISK for the
-    session.
+    bucket).
+
+    **Input contract — deterministic relation.** ``df`` is scanned
+    THREE times independently (quantile probe, per-bucket totals, the
+    returned lazy plan), and the offset pairing is only correct when
+    every scan sees the same rows. Deterministic inputs (files, a
+    table, pure transformations) satisfy this for free. A
+    NONDETERMINISTIC upstream — ``rand()``-derived scores, an
+    unseeded ``sample()``, fresh-UUID ids — can hand the totals scan
+    and the final scan different rows; rather than silently dropping
+    rows, a bucket that appears in the final scan but not in the
+    offset map RAISES at execution time. For such inputs pass
+    ``persist=True``: the input is pinned MEMORY_AND_DISK so all
+    three passes read one materialization. Cache ownership: the
+    pinned relation feeds the RETURNED lazy plan, so the caller owns
+    it — call ``df.unpersist()`` (or ``spark.catalog.clearCache()``)
+    after consuming the result. The default stays persist-free: for
+    a deterministic relation, three light passes over narrow survivor
+    metadata beat pinning it for the session at 100 TB.
+
+    **Score type.** ``score_col`` must be numeric (int/float/decimal)
+    or numeric-castable-monotone (boolean, date, timestamp — probed
+    and bucketed through an order-preserving cast to double; equal
+    casts share a bucket and the in-bucket window still orders by
+    the true column, so the greedy prefix is exact). Other orderable
+    types (e.g. string scores) raise ``TypeError`` up front — the
+    previous behavior surfaced as an obscure engine error from the
+    quantile probe.
     """
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
+    field = df.schema[score_col]
+    if isinstance(field.dataType, T.NumericType):
+        probe = F.col(score_col)
+    elif isinstance(field.dataType, T.BooleanType):
+        probe = F.col(score_col).cast("double")
+    elif isinstance(field.dataType, (T.TimestampType, T.TimestampNTZType)):
+        probe = F.col(score_col).cast("double")
+    elif isinstance(field.dataType, T.DateType):
+        probe = F.col(score_col).cast("timestamp").cast("double")
+    else:
+        raise TypeError(
+            f"budget_select: score column {score_col!r} has type "
+            f"{field.dataType.simpleString()}; the quantile-bucketed "
+            "two-phase cumsum needs a numeric or monotone-castable "
+            "(boolean/date/timestamp) score — cast or rank the score "
+            "first (e.g. F.rank() over a deterministic order)"
+        )
+    if persist:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     order = [F.col(score_col).desc(), F.col(id_col).asc()]
     # boundaries: computed ONCE on the driver (GK sketch, one pass),
     # then frozen into the plan as literals — any approximate,
     # deterministic, monotone split is correct here; the quantiles
     # only balance the buckets
     qs = [i / num_partitions for i in range(1, num_partitions)]
-    bounds = sorted(set(df.approxQuantile(score_col, qs, 0.001)))
+    bounds = sorted(
+        set(df.select(probe.alias("_s")).approxQuantile("_s", qs, 0.001))
+    )
     nn = F.lit(0)
     for b in bounds:
-        nn = nn + F.when(F.col(score_col) < F.lit(b), 1).otherwise(0)
+        nn = nn + F.when(probe < F.lit(b), 1).otherwise(0)
     # desc order sorts nulls LAST, so null scores take the final
     # bucket (they also sort last inside it — window desc nulls-last)
     bkt = F.when(F.col(score_col).isNull(), F.lit(len(bounds))).otherwise(nn)
@@ -163,7 +206,27 @@ def budget_select(
                 for x in (F.lit(pid), F.lit(offsets[pid]))
             ]
         )
-        cum = F.col("_cum_in") + F.element_at(off, F.col("_bkt"))
+        # fail LOUDLY on a bucket the totals scan never saw (ADVICE
+        # r08): element_at returns null for a missing key, which
+        # would null out _cum and silently drop the bucket's rows —
+        # only a nondeterministic input can get here (see docstring)
+        cum = F.col("_cum_in") + F.coalesce(
+            F.element_at(off, F.col("_bkt")),
+            F.raise_error(
+                F.concat(
+                    F.lit("budget_select: bucket "),
+                    F.col("_bkt").cast("string"),
+                    F.lit(
+                        " is missing from the offset map — the input"
+                        " relation returned different rows across"
+                        " scans (nondeterministic upstream: rand()"
+                        " scores, unseeded sample(), fresh-uuid ids)."
+                        " Pass persist=True to pin one"
+                        " materialization."
+                    ),
+                )
+            ).cast("bigint"),
+        )
     else:  # empty input: no buckets observed, plan stays well-formed
         cum = F.col("_cum_in")
     return (

@@ -223,7 +223,7 @@ def rocksdb_state_store(spark):
             spark.conf.set(_PROVIDER_CONF, prev)
 
 
-def _make_processor(gap_us: int, timer_arm: str = "per-batch"):
+def _make_processor(gap_us: int):
     """Build the StatefulProcessor class lazily: importing
     ``pyspark.sql.streaming.stateful_processor`` is cheap, but doing
     it at module import would make this module unimportable on
@@ -231,25 +231,24 @@ def _make_processor(gap_us: int, timer_arm: str = "per-batch"):
     keep the import inside so ``ensure_tws_runtime``/fallback logic
     runs even when the API is absent.
 
-    ``timer_arm`` selects the timer-arming strategy (r08 A/B of the
-    ~1.5x TWS-vs-legacy constant factor, VERDICT r07 item 5):
-
-    - ``"per-batch"`` (default): re-arm on every batch that leaves
-      live intervals — one registerTimer RPC per touched key per
-      batch, stale earlier timers fire idempotently.
-    - ``"min-armed"``: a worker-local cache of each key's earliest
-      armed due time skips the RPC when an already-armed timer is
-      due at or before the new target (a later-due target is left to
-      the armed timer's idempotent fire-and-re-arm chain). The cache
-      is advisory only — lost on restart/repartition, in which case
-      the key re-arms once and correctness is unaffected.
-
-    r08 measured verdict (SCALING.md "TWS constant factor"): a
-    paired interleaved A/B at sf5 read a median min-armed/per-batch
-    ratio of 0.981 — NEUTRAL, like the r07 RPC-trim. The factor
-    lives in state-server serialization + RocksDB maintenance, and
-    is pinned (< 3x legacy) in test_tws.py. per-batch stays the
-    default for simplicity; min-armed remains selectable.
+    Timer arming is PER-BATCH: every batch that leaves live
+    intervals re-arms the key's timer — one registerTimer RPC per
+    touched key per batch; stale earlier timers fire idempotently
+    (they seal what the watermark allows and re-arm iff live
+    intervals remain). An alternative "min-armed" strategy — a
+    worker-local cache of each key's earliest armed due time,
+    skipping the RPC when an armed timer is already due no later —
+    was A/B-measured NEUTRAL at sf5 (paired interleaved median
+    0.981, SCALING.md "TWS constant factor"; the 1.5x TWS-vs-legacy
+    factor lives in state-server serialization + RocksDB
+    maintenance) and then REMOVED in r09: the cache is only safe
+    when LOST (key re-arms once), not when STALE-PRESENT — a
+    long-lived processor instance retaining an entry while the
+    key's timer is consumed on another worker (partition migration,
+    speculative task) would suppress registerTimer when the key
+    returns, leaving a session with live intervals and no further
+    input never timer-sealed (ADVICE r08). Measured-neutral + a
+    correctness hazard = deleted, not flagged.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -266,7 +265,6 @@ def _make_processor(gap_us: int, timer_arm: str = "per-batch"):
             self._ivs = handle.getListState(
                 "intervals", "start_us long, last_us long, n long, s double"
             )
-            self._armed: dict[int, int] = {}
 
         def _load(self) -> list[list]:
             # no exists() probe: get() on absent state already yields
@@ -303,16 +301,7 @@ def _make_processor(gap_us: int, timer_arm: str = "per-batch"):
                 # is bounded by the batches a key appeared in, so
                 # correctness and state size are unaffected
                 due_ms = max(due_ms, wm_us // 1000 + 1)
-                prior = self._armed.get(user_id)
-                if timer_arm == "per-batch" or prior is None or due_ms < prior:
-                    self._handle.registerTimer(due_ms)
-                    self._armed[user_id] = (
-                        due_ms if prior is None else min(prior, due_ms)
-                    )
-                # else: an armed timer due earlier will fire, seal
-                # what it can, and re-arm through this same path
-            else:
-                self._armed.pop(user_id, None)
+                self._handle.registerTimer(due_ms)
             if done:
                 yield pd.DataFrame(
                     {
@@ -342,10 +331,6 @@ def _make_processor(gap_us: int, timer_arm: str = "per-batch"):
             self, key, timerValues: "TimerValues", expiredTimerInfo
         ) -> Iterator[pd.DataFrame]:
             (user_id,) = key
-            # the armed timer just fired (was consumed): forget it so
-            # the seal step below re-arms instead of trusting a timer
-            # that no longer exists
-            self._armed.pop(user_id, None)
             wm_us = timerValues.getCurrentWatermarkInMs() * 1000
             yield from self._seal_and_emit(user_id, self._load(), wm_us)
 
@@ -356,7 +341,7 @@ def _make_processor(gap_us: int, timer_arm: str = "per-batch"):
 
 
 def stateful_sessionize_tws(
-    events: DataFrame, gap_minutes: float = 5.0, timer_arm: str = "per-batch"
+    events: DataFrame, gap_minutes: float = 5.0
 ) -> DataFrame:
     """Sessionize a *streaming* events relation via
     ``transformWithStateInPandas`` (Spark 4 state API).
@@ -374,7 +359,7 @@ def stateful_sessionize_tws(
         events.select("user_id", "ts", "value")
         .groupBy("user_id")
         .transformWithStateInPandas(
-            statefulProcessor=_make_processor(gap_us, timer_arm),
+            statefulProcessor=_make_processor(gap_us),
             outputStructType=SESSION_SCHEMA,
             outputMode="Append",
             timeMode="EventTime",

