@@ -10,8 +10,8 @@ blue/green swap stands in for Delta's ACID commit).
 
 Detection is import-based, not install-based: this environment has no
 delta-spark wheel and no PyPI route (``pip download delta-spark`` →
-"No matching distribution found"; DNS-level failure re-confirmed
-2026-08-15 in round 8 ("Name or service not known" on every retry) —
+"No matching distribution found"; re-confirmed 2026-08-15 in round 9
+(same "no versions" failure; ``import delta`` still absent) —
 retried once per round since 2026-08-13;
 installing is also out-of-bounds for this build), so the Delta branch
 cannot be exercised here. It is wired so that dropping delta-spark into the
