@@ -38,6 +38,21 @@ import tempfile
 import time
 
 
+def _empty_stage(sid: int) -> dict:
+    return {
+        "stage": sid,
+        "wall_ms": 0,
+        "cpu_ns": 0,
+        "run_ms": 0,
+        "gc_ms": 0,
+        "spill_mem": 0,
+        "spill_disk": 0,
+        "shuffle_write": 0,
+        "input_bytes": 0,
+        "tasks": 0,
+    }
+
+
 def _run_one(query: str, sf_dir: str, confs: list[str]) -> dict:
     """Child-process body: run the query once with eventLog on, parse."""
     sys.path.insert(
@@ -82,42 +97,53 @@ def _run_one(query: str, sf_dir: str, confs: list[str]) -> dict:
                         ev = json.loads(line)
                     except ValueError:
                         continue
+                    if ev.get("Event") == "SparkListenerStageCompleted":
+                        si = ev.get("Stage Info") or {}
+                        sid = si.get("Stage ID")
+                        sub, comp = si.get("Submission Time"), si.get(
+                            "Completion Time"
+                        )
+                        if sid is not None and sub and comp:
+                            s = stages.setdefault(sid, _empty_stage(sid))
+                            # stage wall: submission -> completion — the
+                            # number that separates "CPU-bound" from
+                            # "blocked on reads" (cold-IO windows show
+                            # wall >> cpu/tasks with zero spill)
+                            s["wall_ms"] = comp - sub
+                        continue
                     if ev.get("Event") != "SparkListenerTaskEnd":
                         continue
                     sid = ev.get("Stage ID")
                     m = ev.get("Task Metrics") or {}
                     sw = m.get("Shuffle Write Metrics") or {}
-                    s = stages.setdefault(
-                        sid,
-                        {
-                            "stage": sid,
-                            "cpu_ns": 0,
-                            "gc_ms": 0,
-                            "spill_mem": 0,
-                            "spill_disk": 0,
-                            "shuffle_write": 0,
-                            "tasks": 0,
-                        },
-                    )
+                    im = m.get("Input Metrics") or {}
+                    s = stages.setdefault(sid, _empty_stage(sid))
                     s["cpu_ns"] += m.get("Executor CPU Time", 0)
+                    s["run_ms"] += m.get("Executor Run Time", 0)
                     s["gc_ms"] += m.get("JVM GC Time", 0)
                     s["spill_mem"] += m.get("Memory Bytes Spilled", 0)
                     s["spill_disk"] += m.get("Disk Bytes Spilled", 0)
                     s["shuffle_write"] += sw.get("Shuffle Bytes Written", 0)
+                    s["input_bytes"] += im.get("Bytes Read", 0)
                     s["tasks"] += 1
         rows = [
             {
                 "stage": s["stage"],
+                "wall_sec": round(s["wall_ms"] / 1e3, 2),
                 "cpu_sec": round(s["cpu_ns"] / 1e9, 2),
+                "run_sec": round(s["run_ms"] / 1e3, 2),
                 "gc_sec": round(s["gc_ms"] / 1e3, 2),
                 "spill_mem_gb": round(s["spill_mem"] / 1e9, 3),
                 "spill_disk_gb": round(s["spill_disk"] / 1e9, 3),
                 "shuffle_write_gb": round(s["shuffle_write"] / 1e9, 3),
+                "input_mb": round(s["input_bytes"] / 1e6, 1),
                 "tasks": s["tasks"],
             }
             for s in stages.values()
         ]
-        rows.sort(key=lambda r: -r["cpu_sec"])
+        # sort by stage WALL, not cpu: the blocked-on-reads stage that
+        # owns a degraded window's latency can have near-zero CPU
+        rows.sort(key=lambda r: -max(r["wall_sec"], r["cpu_sec"] / 32))
         return {
             "query": query,
             "sf_dir": sf_dir,
