@@ -595,10 +595,21 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     materialize(queries["profiler_e2e"](spark, sf_dir))
     timings: dict[str, float] = {}
+    # BENCH_SUBSET=q1,q2 runs a named subset only — a fast end-to-end
+    # smoke of the FULL main() path (sentinel, brackets, detail file,
+    # stdout emit) without the ~4-minute 186-query loop; the r08
+    # emit crash happened precisely in the stretch a unit test of
+    # build_stdout_line alone cannot reach from a real run
+    subset = os.environ.get("BENCH_SUBSET")
+    bench_queries = (
+        [q.strip() for q in subset.split(",") if q.strip()]
+        if subset
+        else BENCH_QUERIES
+    )
     # min of two runs: a single pass is dominated by JIT/GC ordering
     # noise at this scale (0.5 s queries read as 10 s depending on
     # where a GC pause lands)
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         best = float("inf")
         # known-noisy entries (NOISY above) get a third run so their
         # recorded min is steady-state, not a GC/contention artifact —
@@ -644,22 +655,27 @@ def main() -> None:
          if re.fullmatch(r"BENCH_r\d+\.json", f)),
         key=lambda f: int(re.search(r"\d+", f).group()),
     )
-    if snaps:
-        driver_snapshot = snaps[-1]
+    # walk back from the newest snapshot until one actually carries
+    # query timings: a crashed driver bench (r08: rc 1, parsed null)
+    # must not blank the side-by-side comparison when an older intact
+    # snapshot exists
+    for cand in reversed(snaps):
         try:
-            with open(os.path.join(here, driver_snapshot)) as fh:
+            with open(os.path.join(here, cand)) as fh:
                 snap = json.load(fh) or {}
             # driver snapshots wrap the bench stdout line under
             # "parsed" (which may itself be truncated to the slowest
             # queries -- queries_omitted says how many were cut)
-            queries_driver = (
-                (snap.get("parsed") or snap).get("queries") or {}
-            )
+            found = (snap.get("parsed") or snap).get("queries") or {}
         except (OSError, ValueError, AttributeError):
-            queries_driver = {}
+            found = {}
+        if found:
+            driver_snapshot, queries_driver = cand, found
+            break
     detail = {
         "metric": "e2e_profile_sec",
-        "value": timings["profiler_e2e"],
+        "value": timings.get("profiler_e2e"),  # None under a subset
+        # smoke that skips the flagship; never a KeyError post-run
         "unit": "sec",
         "queries": timings,  # this fresh run (same dict as queries_fresh)
         "queries_fresh": timings,
