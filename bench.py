@@ -465,7 +465,7 @@ SCALING_EVIDENCE = {
         "profile_summary_approx": 0.722,
         "corpus_budget_select": -0.03
     },
-    "note": "r07 five-point table of record (15 curves incl. the transformWithStateInPandas sessionizer, measured head-to-head vs the legacy state API on identical noop-sink drains: ~1.5x constant factor, parallel curves, tails 0.817 vs 0.792 -- the RPC-count hypothesis was A/B-refuted, 40.5->41.7 s at sf5 after trimming 3 of ~7 per-key round-trips, so the factor is state-server serialization + RocksDB maintenance). The sweep found ONE super-linear segment and it was real: profiler_e2e e(5->10)=2.125 (21.0->91.5 s), root-caused via event-log stage metrics to the melt's per-task partial-agg hash map outgrowing its execution-memory share (stage CPU 319->1065 s, GC 13.8->36.4 s, spill 0->1 GB, shuffle output FLAT ~1 GB) and fixed structurally: ensure_parallelism(expansion=n_columns) sizes task count by source_bytes x expansion / 128 MB (floor cores, cap 64x cores) -- SCALING.md 'The profiler sf10 cliff'. The profiler row carries the post-fix measurements (probe_point, fresh process per point, same day; e(5->10)=0.97, sf10 1.85x faster); the owed in-harness re-measure LANDED in r08 with per-point brackets (healthy-start sweep: sf0.01 3.59 / sf0.1 4.04 / sf1 9.06 / sf10 58.6 s all bracket-clean, sf5 contaminated in 3 attempts and retaining probe provenance; pre-fix e(5->10)=2.125 cliff confirmed gone in-harness -- SCALING.md 'In-harness profiler re-measure: LANDED'). Negative tails (dedup_collapse, dedup_incremental, drift_ks) are candidate-volume effects of the shape-preserving fixture (constant near-dup rate), not measurement error. drift_ks caveat unchanged: the curve proves the distinct-not-rows shuffle shape, not the continuous-column worst case (quantize-first or binned profile_drift documented out)."
+    "note": "r07 five-point table of record (15 curves incl. the transformWithStateInPandas sessionizer, measured head-to-head vs the legacy state API on identical noop-sink drains: ~1.5x constant factor, parallel curves, tails 0.817 vs 0.792 -- the RPC-count hypothesis was A/B-refuted, 40.5->41.7 s at sf5 after trimming 3 of ~7 per-key round-trips, so the factor is state-server serialization + RocksDB maintenance). The sweep found ONE super-linear segment and it was real: profiler_e2e e(5->10)=2.125 (21.0->91.5 s), root-caused via event-log stage metrics to the melt's per-task partial-agg hash map outgrowing its execution-memory share (stage CPU 319->1065 s, GC 13.8->36.4 s, spill 0->1 GB, shuffle output FLAT ~1 GB) and fixed structurally: ensure_parallelism(expansion=n_columns) sizes task count by source_bytes x expansion / 128 MB (floor cores, cap 64x cores) -- SCALING.md 'The profiler sf10 cliff'. The profiler row carries the post-fix measurements (probe_point, fresh process per point, same day; e(5->10)=0.97, sf10 1.85x faster); the owed in-harness re-measure LANDED in r08 with per-point brackets (healthy-start sweep: sf0.01 3.59 / sf0.1 4.04 / sf1 9.06 / sf10 58.6 s all bracket-clean; pre-fix e(5->10)=2.125 cliff confirmed gone in-harness) and the last owed point CLOSED in r09: sf5 = 34.25 s bracket-clean in a healthy-start window (gated single-point re-measure), completing the in-harness curve at every point -- SCALING.md 'In-harness profiler sf5: CLOSED'. Negative tails (dedup_collapse, dedup_incremental, drift_ks) are candidate-volume effects of the shape-preserving fixture (constant near-dup rate), not measurement error. drift_ks caveat unchanged: the curve proves the distinct-not-rows shuffle shape, not the continuous-column worst case (quantize-first or binned profile_drift documented out)."
 }
 
 
@@ -753,6 +753,29 @@ def main() -> None:
             },
         },
         "attribution": {
+            "fresh_vs_fresh_r09_closing": (
+                "r09 closing (healthy-start window, brackets 4.87 -> "
+                "3.44 GB/s quick-reads; bracket_ok=false at 1.41x — "
+                "the FLATTEST of three same-day healthy-start "
+                "attempts, totals 221.1 / 209.3 / 268.9 s; adopted "
+                "per the start-grade + flattest-bracket rule) vs r08 "
+                "closing 70dff8d 223.7 s: 186 shared, median 0.981, "
+                "p25 0.908 / p75 1.069 — flat round-over-round. 6 "
+                "entries >1.3x slower (source_binaryfile 1.56x, "
+                "source_partitioned 1.36x, profile_drift 1.33x, "
+                "tpch_q15 / events_anomaly_rolling / skew_salted_agg "
+                "1.30x), all <=0.6 s absolute and DISJOINT from the "
+                "same-day attempt-3 outlier set (tpch_q20, "
+                "events_transitions, quantile_error_report, "
+                "profile_heavy_hitters) — window noise per the "
+                "noise_note rule; no plan changed for any. The two "
+                "operators changed this round are neutral-to-faster: "
+                "corpus_budget_select 0.93 -> 0.74 s (the numeric-"
+                "type guard + raise_error-armed offset lookup cost "
+                "nothing), events_stream_sessionize_tws 5.50 -> "
+                "5.41 s (min-armed strategy removed; per-batch was "
+                "already the default). profiler_e2e 4.34 -> 3.49 s."
+            ),
             "fresh_vs_fresh_r08_closing": (
                 "r08 closing (healthy-start window, cold 2.55 GB/s, "
                 "total 223.7 s) vs r07 closing b1a6ca4-lineage 220.2 s: "
