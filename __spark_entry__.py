@@ -633,6 +633,163 @@ FROM top t JOIN est e ON e.k = t.k
 """
 
 
+#: FD-discovery candidate pairs (orders): two holding (the key
+#: determines everything) and two violated (a customer has orders in
+#: several statuses; a status spans several priorities) — the mix the
+#: operator exists to tell apart.
+_FD_PAIRS = (
+    ("o_orderkey", "o_custkey"),
+    ("o_orderkey", "o_totalprice"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderstatus", "o_orderpriority"),
+)
+
+
+def q_profile_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery
+    (operators/dependencies.fd_candidates): for each candidate
+    (determinant → dependent) pair on orders, does the data satisfy
+    the FD? ONE aggregate pass computes every pair's
+    count(distinct det) / count(distinct det, dep) simultaneously
+    (the Expand the multi-distinct exact plan inserts is the
+    oracle-verifiable audit mode; approx=True is the Expand-free
+    100 TB path), then a stack melt emits one row per pair. The
+    schema-profiling question the reference's per-column profiler
+    (dbc cell@8.0:24-38) stops short of: relations BETWEEN columns."""
+    from lakehouse_tools_spark.operators.dependencies import fd_candidates
+
+    orders = load_table(_spark(spark), sf_dir, "orders")
+    return fd_candidates(orders, list(_FD_PAIRS))
+
+
+def _fd_oracle(pairs) -> str:
+    nd = ",\n       ".join(
+        f"count(DISTINCT {det}) AS nd{i},\n       "
+        f"count(DISTINCT CASE WHEN {det} IS NULL OR {dep} IS NULL "
+        f"THEN NULL ELSE ROW({det}, {dep}) END) AS np{i}"
+        for i, (det, dep) in enumerate(pairs)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{det}' AS determinant, '{dep}' AS dependent, "
+        f"CAST(nd{i} AS BIGINT) AS n_det, CAST(np{i} AS BIGINT) AS n_pair "
+        "FROM a"
+        for i, (det, dep) in enumerate(pairs)
+    )
+    return f"""
+WITH a AS (
+SELECT {nd}
+FROM orders
+), m AS (
+{rows}
+)
+SELECT determinant, dependent, n_det, n_pair,
+       n_det = n_pair AS fd_holds,
+       floor(CAST(n_det AS DOUBLE) / CAST(n_pair AS DOUBLE) * 1000000)
+         / 1000000 AS strength
+FROM m
+"""
+
+
+#: Benford digit extraction, ANSI form — MUST stay in lockstep with
+#: operators/quality.benford_report's string-typed extraction.
+_BENFORD_DIGIT_SQL = (
+    "substr(regexp_replace(CAST(CAST(l_extendedprice AS DECIMAL(38,6)) "
+    "AS VARCHAR), '[^1-9]', '', 'g'), 1, 1)"
+)
+
+_BENFORD_ORACLE = f"""
+WITH c AS (
+  SELECT CAST({_BENFORD_DIGIT_SQL} AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem
+  WHERE length({_BENFORD_DIGIT_SQL}) > 0
+  GROUP BY 1
+), t AS (SELECT sum(n) AS total FROM c),
+p AS (
+  SELECT digit, n,
+         floor(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) * 1000000)
+           / 1000000 AS observed_p,
+         floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000)
+           / 1000000 AS expected_p
+  FROM c CROSS JOIN t
+)
+SELECT digit, n, observed_p, expected_p,
+       floor(abs(observed_p - expected_p) * 1000000) / 1000000 AS abs_dev
+FROM p
+"""
+
+
+def q_profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (operators/quality.benford_report)
+    on lineitem.l_extendedprice: per-digit counts vs the log10(1+1/d)
+    expectation — the forensic data-quality check for fabricated or
+    truncated numerics. One projection + one 9-group aggregate with
+    map-side combine; the grand total joins back broadcast. The digit
+    comes from a decimal(38,6)-rendered string (exact in every
+    engine), not floor(log10(x)) (libm last-ulp territory)."""
+    from lakehouse_tools_spark.operators.quality import benford_report
+
+    li = load_table(_spark(spark), sf_dir, "lineitem")
+    return benford_report(li, "l_extendedprice")
+
+
+#: token alphabet + pattern for the sequence matcher: a purchase path
+#: is a view, any clicks/re-views, then a purchase — signups/errors
+#: in between break it.
+_PATTERN_TOKENS = {
+    "view": "v",
+    "click": "c",
+    "purchase": "p",
+    "signup": "s",
+    "error": "e",
+}
+_PATTERN_REGEX = "v[cv]*p"
+
+_PATTERN_CASE_SQL = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _PATTERN_TOKENS.items())
+    + " END"
+)
+
+_PATTERN_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id AS key,
+         CAST(count(*) AS BIGINT) AS n_events,
+         string_agg({_PATTERN_CASE_SQL}, '' ORDER BY ts, event_id) AS s
+  FROM events
+  GROUP BY user_id
+)
+SELECT key, n_events,
+       CAST(len(regexp_extract_all(s, '{_PATTERN_REGEX}')) AS BIGINT)
+         AS n_matches,
+       len(regexp_extract_all(s, '{_PATTERN_REGEX}')) > 0 AS matched
+FROM seq
+"""
+
+
+def q_events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence matching
+    (operators/sequences.pattern_match): per user, how many
+    view→clicks→purchase paths (regex ``v[cv]*p`` over the tokenized
+    event sequence, non-overlapping like AFTER MATCH SKIP PAST LAST
+    ROW)? Project-then-group: the single shuffle carries only
+    (user, ts, event_id, token); the sequence forms JVM-side via
+    sort_array(collect_list(struct)) and regexp_count — no window
+    sort, no Python. Per-key state = the key's sequence (pre-segment
+    with session_ids for unbounded keys)."""
+    from lakehouse_tools_spark.operators.sequences import pattern_match
+
+    ev = load_table(_spark(spark), sf_dir, "events")
+    return pattern_match(
+        ev,
+        "user_id",
+        "event_type",
+        ["ts", "event_id"],
+        _PATTERN_REGEX,
+        _PATTERN_TOKENS,
+    )
+
+
 #: GK-sketch rank-error contract: percentile_approx(accuracy=10000)
 #: guarantees rank error ≤ n/10000; the check brackets each approx
 #: quartile between the exact quantiles at p ± _QERR_EPS, with eps set
@@ -8327,16 +8484,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ADVICE r08 stale-_armed hazard fix, streaming/tws.py) --
     # required in-window by the freeze rule (tools/freeze_gate.py);
     # positions 3-45 are the FULL stale cohort the closing gate
-    # enumerates (2 r04 + 41 r05 rows); positions 46-50 pre-rotate
-    # the 5 cheapest r06 queries (closing-bench sf0.1 mins 0.26-0.41
-    # s) so the r10 wall shrinks 45 -> 40 (VERDICT r08 item #4).
-    # Done-bar after this window lands: no registered query's latest
-    # driver row is older than r06.
+    # enumerates (2 r04 + 41 r05 rows); positions 46-48 are the
+    # first-verification carriers for the three operators ADDED this
+    # round (fd_candidates, benford_report, pattern_match — required
+    # in-window by the freeze rule); positions 49-50 pre-rotate the 2
+    # cheapest r06 queries (closing-bench sf0.1 mins 0.26-0.33 s) so
+    # the r10 wall shrinks 45 -> 43. Done-bar after this window
+    # lands: no registered query's latest driver row is older than
+    # r06, and the three new queries have their first rows.
     #
     # r10 rotation plan (arithmetic, per VERDICT r08 item #4): the
-    # remaining 40 r06-latest queries below fit the 50-slot r10
-    # window with 10 spare slots for r10's changed-operator carriers
-    # and the first r07 pre-rotations -- no --allow-displaced needed.
+    # remaining 43 r06-latest queries below fit the 50-slot r10
+    # window with 7 spare slots for r10's changed-operator carriers
+    # -- no --allow-displaced needed.
     return {
         # -- changed-operator carriers (freeze rule)
         "corpus_budget_select": q_corpus_budget_select,
@@ -8386,17 +8546,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup_lsh": q_sim_neardup_lsh,
         "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
-        # -- r06 pre-rotation (cheapest 5, shrink the r10 wall)
+        # -- new-operator carriers (first verification, freeze rule)
+        "profile_fd": q_profile_fd,
+        "profile_benford": q_profile_benford,
+        "events_pattern": q_events_pattern,
+        # -- r06 pre-rotation (cheapest 2, shrink the r10 wall)
         "dedup_exact": q_dedup_exact,
         "setop_nations": q_setop_nations,
-        "tpch_q6": q_tpch_q6,
-        "events_funnel": q_events_funnel,
-        "tpch_q15": q_tpch_q15,
         # --- position 51+: outside the ~50-entry driver
         # snapshot window, stalest-first (r06 cohort, then r07,
         # then the displaced r08 window freshest-last), prior
         # relative order preserved within each round group
         # -- latest driver row r06
+        "tpch_q6": q_tpch_q6,
+        "events_funnel": q_events_funnel,
+        "tpch_q15": q_tpch_q15,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
@@ -8620,6 +8784,9 @@ def oracle_sql() -> dict[str, str]:
         "events_forward_fill": _EVENTS_FFILL_ORACLE,
         "events_dense_impute": _EVENTS_DENSE_IMPUTE_ORACLE,
         "profile_heavy_hitters": _HEAVY_HITTERS_ORACLE,
+        "profile_fd": _fd_oracle(_FD_PAIRS),
+        "profile_benford": _BENFORD_ORACLE,
+        "events_pattern": _PATTERN_ORACLE,
         "events_stream_upsert": _EVENTS_STREAM_UPSERT_ORACLE,
         "bloom_join_prune": _BLOOM_PRUNE_ORACLE,
         "text_repetition": _TEXT_REPETITION_ORACLE,

@@ -1,0 +1,105 @@
+"""Functional-dependency discovery: does A determine B?
+
+Schema-profiling extension of the reference's profiler surface
+(SURVEY §2 P-family; the reference's notebook profiles per-column
+value distributions — ``dbc cell@8.0:24-38`` — but never relations
+BETWEEN columns). FD candidates answer the questions a profiler user
+asks next: which columns are keys, which pairs are denormalized
+copies, which "id → attribute" contracts actually hold in the data.
+
+Definition used (standard, Metanome/TANE-style, restricted to the
+requested pairs): ``A → B`` holds iff no two rows agree on ``A`` but
+differ on ``B``; equivalently ``count(distinct A) == count(distinct
+A, B)``. Rows where A or B is NULL are excluded (ANSI multi-argument
+``COUNT(DISTINCT ...)`` semantics) — a NULL determinant determines
+nothing, and this keeps the check expressible identically in any SQL
+engine.
+
+Execution shape: ONE aggregate pass over the table computes every
+requested pair's two distinct counts simultaneously; a ``stack``
+projection over the single result row melts them to one row per pair.
+Nothing is collected; the output is |pairs| rows.
+
+Scale: exact mode's multiple ``COUNT(DISTINCT)``s make Catalyst plan
+an Expand (the scan's rows are replicated once per distinct-aggregate
+group before the partial aggregate) — exact and oracle-verifiable,
+but the 100 TB path is ``approx=True``: ``approx_count_distinct``
+HLL sketches are computed in a single pass with ordinary map-side
+partials and NO Expand, at the cost of ±rsd on the counts (so
+``fd_holds`` becomes a ratio screen, not a proof — the returned
+``strength`` is what to threshold; re-check survivors exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_tools_spark.functions.portable import floor6
+
+
+def fd_candidates(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+    approx: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """One row per (determinant, dependent) candidate pair.
+
+    Output: ``determinant, dependent, n_det, n_pair, fd_holds,
+    strength`` where ``n_det = count(distinct det)``, ``n_pair =
+    count(distinct det, dep)`` (NULL-excluding), ``fd_holds = (n_det
+    == n_pair)`` and ``strength = floor6(n_det / n_pair)`` — 1.0 for
+    a holding FD, sliding toward 0 as determinant groups split over
+    more dependent values.
+
+    ``approx=True`` swaps both counts for ``approx_count_distinct``
+    at relative standard deviation ``rsd`` (the 100 TB path — no
+    Expand, mergeable HLL partials); ``fd_holds`` then means "the
+    estimates agree" and should be read through ``strength``.
+    """
+    if not pairs:
+        raise ValueError("fd_candidates: pairs must be non-empty")
+
+    def _distinct(*cols: str) -> F.Column:
+        if approx:
+            # multi-arg approx: sketch the null-guarded struct; a
+            # struct is non-null even with null fields, so guard to
+            # match COUNT(DISTINCT a, b)'s null exclusion.
+            if len(cols) == 1:
+                return F.approx_count_distinct(cols[0], rsd)
+            guard = None
+            for c in cols:
+                cond = F.col(c).isNull()
+                guard = cond if guard is None else (guard | cond)
+            return F.approx_count_distinct(
+                F.when(~guard, F.struct(*[F.col(c) for c in cols])), rsd
+            )
+        return F.count_distinct(*[F.col(c) for c in cols])
+
+    aggs = []
+    for i, (det, dep) in enumerate(pairs):
+        aggs.append(_distinct(det).cast("long").alias(f"_nd{i}"))
+        aggs.append(_distinct(det, dep).cast("long").alias(f"_np{i}"))
+    one = df.agg(*aggs)
+
+    stack_args = ", ".join(
+        f"'{det}', '{dep}', _nd{i}, _np{i}"
+        for i, (det, dep) in enumerate(pairs)
+    )
+    melted = one.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS "
+            "(determinant, dependent, n_det, n_pair)"
+        )
+    )
+    return melted.select(
+        "determinant",
+        "dependent",
+        "n_det",
+        "n_pair",
+        (F.col("n_det") == F.col("n_pair")).alias("fd_holds"),
+        floor6(
+            F.col("n_det").cast("double") / F.col("n_pair").cast("double")
+        ).alias("strength"),
+    )

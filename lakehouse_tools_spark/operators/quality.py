@@ -32,6 +32,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from lakehouse_tools_spark.functions.portable import floor6
+
 CHECK_SCHEMA = T.StructType(
     [
         T.StructField("tableName", T.StringType()),
@@ -197,3 +199,70 @@ def quarantine(
         "_dq_reasons", "dq_reasons"
     )
     return good, bad
+
+
+def benford_report(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit distribution of ``col`` vs Benford's
+    law — the classic forensic screen for fabricated or truncated
+    numeric data (naturally-grown magnitudes follow ``P(d) =
+    log10(1 + 1/d)``; synthetic, capped, or copy-pasted columns
+    don't).
+
+    Output: one row per digit 1–9 — ``digit, n, observed_p,
+    expected_p, abs_dev`` (probabilities floor-truncated to 6
+    decimals; see ``functions.portable.floor6`` for why not round).
+    Zero/NULL values carry no leading digit and are excluded; signs
+    and decimal points are ignored.
+
+    Digit extraction is deliberately string-typed for cross-engine
+    determinism: the value is cast to ``decimal(38,6)`` (exact
+    round-to-nearest, no scientific notation in any engine), rendered
+    as text, every non-1-9 character stripped, first char kept. The
+    arithmetic alternative — ``floor(x / 10^floor(log10(x)))`` —
+    depends on the platform libm's last-ulp behaviour at powers of
+    ten; this one doesn't. ANSI equivalent:
+    ``substr(regexp_replace(cast(cast(x as decimal(38,6)) as
+    varchar), '[^1-9]', '', 'g'), 1, 1)``.
+
+    Execution shape: one projection + one 9-group aggregate; the
+    grand total joins back as a broadcast scalar. Shuffle carries at
+    most 9 rows per map partition (map-side combine), independent of
+    input volume — safe at any scale.
+    """
+    digit_s = F.substring(
+        F.regexp_replace(
+            F.col(col).cast("decimal(38,6)").cast("string"),
+            "[^1-9]",
+            "",
+        ),
+        1,
+        1,
+    )
+    counts = (
+        df.select(digit_s.alias("_d"))
+        .filter(F.length("_d") > 0)
+        .select(F.col("_d").cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    observed = F.col("n").cast("double") / F.col("_total").cast("double")
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            floor6(observed).alias("observed_p"),
+            floor6(expected).alias("expected_p"),
+        )
+        .select(
+            "digit",
+            "n",
+            "observed_p",
+            "expected_p",
+            floor6(
+                F.abs(F.col("observed_p") - F.col("expected_p"))
+            ).alias("abs_dev"),
+        )
+    )

@@ -101,3 +101,88 @@ def session_ids(
     return df.withColumn(
         out_col, F.sum(boundary).over(wrun).cast("long")
     )
+
+
+def pattern_match(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    order_cols: list[str],
+    pattern: str,
+    tokens: dict[str, str],
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: count regex ``pattern`` occurrences in
+    each key's ordered state sequence.
+
+    Each state is mapped to a single-character token via ``tokens``
+    (states absent from the map are dropped from the sequence — the
+    usual "define only the pattern alphabet" semantics), the key's
+    events are concatenated in ``order_cols`` order into one token
+    string, and ``pattern`` (an ordinary regex over the token
+    alphabet, e.g. ``v[cv]*p`` = "view, any clicks/re-views, then
+    purchase") is counted non-overlapping left-to-right — the same
+    scan order every MATCH_RECOGNIZE engine uses for ``AFTER MATCH
+    SKIP PAST LAST ROW``.
+
+    Output: ``(key, n_events, n_matches, matched)`` — one row per
+    key that has at least one tokenized event. ``order_cols`` must be
+    a deterministic total order within a key (include a unique
+    tiebreaker).
+
+    Execution shape: project to (key, order..., token) FIRST — the
+    single shuffle moves only those narrow rows — then ONE groupBy
+    building the per-key sequence with ``sort_array(collect_list(
+    struct(order..., token)))`` (partial-aggregated map-side), and a
+    JVM-side ``regexp_count`` on the joined string. No window sort,
+    no Python.
+
+    Scale contract: the per-key SEQUENCE is the operator's state —
+    identical to any sequence-pattern engine. Keys are assumed
+    human/session-scale (thousands of events, not billions); for
+    unbounded keys, pre-segment with :func:`session_ids` and group by
+    (key, session) so state stays bounded by the session, not the
+    key's lifetime.
+    """
+    tok = None
+    for state, t in tokens.items():
+        if len(t) != 1:
+            raise ValueError(f"token for {state!r} must be one char, got {t!r}")
+        branch = F.when(F.col(state_col) == F.lit(state), F.lit(t))
+        tok = branch if tok is None else tok.when(
+            F.col(state_col) == F.lit(state), F.lit(t)
+        )
+    slim = (
+        df.select(
+            F.col(key_col).alias("key"),
+            *[F.col(c) for c in order_cols],
+            tok.alias("_tok"),
+        )
+        .filter(F.col("_tok").isNotNull())
+    )
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(*[F.col(c) for c in order_cols], F.col("_tok"))
+                )
+            ),
+            lambda s: s["_tok"],
+        ),
+        "",
+    )
+    n_matches = F.regexp_count(F.col("_seq"), F.lit(pattern)).cast("long")
+    return (
+        slim.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            seq.alias("_seq"),
+        )
+        .select(
+            "key",
+            "n_events",
+            n_matches.alias("n_matches"),
+            (F.regexp_count(F.col("_seq"), F.lit(pattern)) > 0).alias(
+                "matched"
+            ),
+        )
+    )

@@ -373,3 +373,34 @@ def test_budget_select_no_persist_no_single_partition_window(spark):
     assert re.search(r"Window .*windowspecdefinition\(_bkt", p)
     # scan prunes to the two consumed columns
     assert re.search(r"ReadSchema: struct<doc_id:bigint,n_chars:bigint>", p)
+
+
+def test_benford_shuffle_is_digit_sized_and_total_broadcasts(spark):
+    # the 9-digit aggregate must partial-aggregate map-side (the
+    # shuffle carries <= 9 rows per map partition) and the grand
+    # total must come back as a BROADCAST nested loop over one row --
+    # never a sort-merge or a shuffled join, and never a second
+    # un-combined pass over the fact table.
+    plan = plan_of(E.queries()["profile_benford"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial" in plan.lower()
+    # ReadSchema pruned to the single profiled column
+    import re as _re
+
+    rs = _re.search(r"ReadSchema: (struct<[^\n]*)", plan).group(1)
+    assert "l_extendedprice" in rs and "l_orderkey" not in rs
+
+
+def test_pattern_match_single_exchange_projects_before_group(spark):
+    # ONE shuffle total (the groupBy), and the scan is pruned to the
+    # four columns the operator projects -- the sequence build must
+    # not window-sort (zero Window nodes) or drag unused event
+    # columns through the exchange.
+    plan = plan_of(E.queries()["events_pattern"](spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+    import re as _re
+
+    rs = _re.search(r"ReadSchema: (struct<[^\n]*)", plan).group(1)
+    assert "value" not in rs and "props" not in rs

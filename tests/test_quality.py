@@ -120,3 +120,53 @@ def test_quarantine_rejects_relation_rules(spark):
     df = spark.createDataFrame([Row(k=1)])
     with _pytest.raises(ValueError, match="row-level"):
         quarantine(df, [("unique", ["k"])])
+
+
+def test_benford_known_distribution(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.quality import benford_report
+
+    # 100 ones, 30 twos, 10 nines; zero/null/negative/sub-1 probe the
+    # digit extraction (sign and decimal point stripped, 0 excluded)
+    rows = (
+        [Row(x=1234.56)] * 100
+        + [Row(x=-0.002911)] * 30
+        + [Row(x=9.0)] * 10
+        + [Row(x=0.0), Row(x=None)]
+    )
+    out = {r.digit: r for r in benford_report(
+        spark.createDataFrame(rows), "x"
+    ).collect()}
+    assert set(out) == {1, 2, 9}
+    assert (out[1].n, out[2].n, out[9].n) == (100, 30, 10)
+    assert out[1].observed_p == math.floor(100 / 140 * 1e6) / 1e6
+    assert out[1].expected_p == math.floor(math.log10(2.0) * 1e6) / 1e6
+    for r in out.values():
+        assert r.abs_dev == math.floor(
+            abs(r.observed_p - r.expected_p) * 1e6
+        ) / 1e6
+
+
+def test_benford_matches_duckdb_extraction(spark, tables):
+    # the string-typed digit extraction must agree with the ANSI
+    # formulation the oracle uses, value for value
+    import duckdb
+
+    from lakehouse_tools_spark.operators.quality import benford_report
+
+    got = {
+        r.digit: r.n
+        for r in benford_report(tables["lineitem"], "l_extendedprice").collect()
+    }
+    want = dict(
+        duckdb.sql(
+            "SELECT CAST(substr(regexp_replace(CAST(CAST(l_extendedprice AS "
+            "DECIMAL(38,6)) AS VARCHAR), '[^1-9]', '', 'g'), 1, 1) AS INT) d, "
+            "count(*) FROM '/root/testdata/sf0.001/lineitem.parquet' "
+            "WHERE l_extendedprice <> 0 GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == want

@@ -50,3 +50,67 @@ def test_transitions_single_event_key_emits_nothing(spark):
         ).count()
         == 0
     )
+
+
+def test_pattern_match_counts_and_order(spark):
+    from lakehouse_tools_spark.operators.sequences import pattern_match
+
+    # user 1: v c c p v p  -> 'v[cv]*p' matches twice (non-overlapping)
+    # user 2: p v c       -> purchase before the view: no match
+    # user 3: x only      -> untokenized state drops; key disappears
+    rows = [
+        _ev(1, 0, "view", 1),
+        _ev(1, 1, "click", 2),
+        _ev(1, 2, "click", 3),
+        _ev(1, 3, "purchase", 4),
+        _ev(1, 4, "view", 5),
+        _ev(1, 5, "purchase", 6),
+        _ev(2, 0, "purchase", 7),
+        _ev(2, 1, "view", 8),
+        _ev(2, 2, "click", 9),
+        _ev(3, 0, "x", 10),
+    ]
+    tokens = {"view": "v", "click": "c", "purchase": "p"}
+    out = {
+        r.key: r
+        for r in pattern_match(
+            spark.createDataFrame(rows),
+            "user_id",
+            "event_type",
+            ["ts", "event_id"],
+            "v[cv]*p",
+            tokens,
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert (out[1].n_events, out[1].n_matches, out[1].matched) == (6, 2, True)
+    assert (out[2].n_events, out[2].n_matches, out[2].matched) == (3, 0, False)
+
+
+def test_pattern_match_tiebreaker_orders_equal_timestamps(spark):
+    from lakehouse_tools_spark.operators.sequences import pattern_match
+
+    # both events at the same minute: event_id must break the tie,
+    # making the sequence 'vp' (a match), never 'pv'
+    rows = [_ev(1, 0, "view", 1), _ev(1, 0, "purchase", 2)]
+    out = pattern_match(
+        spark.createDataFrame(rows),
+        "user_id",
+        "event_type",
+        ["ts", "event_id"],
+        "vp",
+        {"view": "v", "purchase": "p"},
+    ).collect()[0]
+    assert (out.n_matches, out.matched) == (1, True)
+
+
+def test_pattern_match_rejects_multichar_token(spark):
+    import pytest as _pytest
+
+    from lakehouse_tools_spark.operators.sequences import pattern_match
+
+    df = spark.createDataFrame([_ev(1, 0, "view", 1)])
+    with _pytest.raises(ValueError, match="one char"):
+        pattern_match(
+            df, "user_id", "event_type", ["ts", "event_id"], "v", {"view": "vv"}
+        )
