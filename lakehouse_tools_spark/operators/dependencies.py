@@ -36,6 +36,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lakehouse_tools_spark.functions.portable import floor6
+from lakehouse_tools_spark.sources.tables import ensure_parallelism
+
+#: distinct-map working-set bytes per PARQUET source byte. The
+#: partial distinct aggregate's hash map holds one JVM entry per
+#: (group, value) combo — dictionary/RLE-encoded key columns expand
+#: ~8× from parquet bytes to map-entry bytes, so byte-based task
+#: sizing must account for it or the per-task maps outgrow their
+#: execution-memory share at a fixed task count. Measured (sf10
+#: orders, 15 M rows, 240 MB parquet, healthy window): 32 tasks =
+#: 28.0 s wall / 9 effective cores (memory-manager stall), 128 tasks
+#: = 9.9 s, 256 = 7.3 s.
+_MAP_BYTES_PER_SOURCE_BYTE = 8.0
 
 
 def fd_candidates(
@@ -77,11 +89,28 @@ def fd_candidates(
             )
         return F.count_distinct(*[F.col(c) for c in cols])
 
+    # prune to the consumed columns, then spread size-aware: the
+    # Expand replicates every row once per distinct-aggregate group
+    # (2 × |pairs|), and each partial map entry costs
+    # _MAP_BYTES_PER_SOURCE_BYTE — at a bare core-count task floor
+    # the per-task maps outgrow their memory share on key-like
+    # determinants and the stage stalls on the memory manager
+    # (see the constant's measured A/B).
+    cols: list[str] = []
+    for det, dep in pairs:
+        for c in (det, dep):
+            if c not in cols:
+                cols.append(c)
+    spread = ensure_parallelism(
+        df.select(*cols),
+        expansion=2 * len(pairs) * _MAP_BYTES_PER_SOURCE_BYTE,
+    )
+
     aggs = []
     for i, (det, dep) in enumerate(pairs):
         aggs.append(_distinct(det).cast("long").alias(f"_nd{i}"))
         aggs.append(_distinct(det, dep).cast("long").alias(f"_np{i}"))
-    one = df.agg(*aggs)
+    one = spread.agg(*aggs)
 
     stack_args = ", ".join(
         f"'{det}', '{dep}', _nd{i}, _np{i}"
