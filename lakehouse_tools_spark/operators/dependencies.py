@@ -67,8 +67,14 @@ def fd_candidates(
 
     ``approx=True`` swaps both counts for ``approx_count_distinct``
     at relative standard deviation ``rsd`` (the 100 TB path — no
-    Expand, mergeable HLL partials); ``fd_holds`` then means "the
-    estimates agree" and should be read through ``strength``.
+    Expand, mergeable HLL partials). The two estimates come from
+    DIFFERENT sketches (det vs the (det, dep) struct), so even a
+    holding FD's estimates disagree within the error band —
+    ``fd_holds`` in approx mode is therefore a tolerance screen,
+    ``n_det >= n_pair × (1 − 3·rsd)``: no false dismissals of true
+    FDs beyond 3σ, while gross violations (the ones worth finding)
+    sit far outside the band. Treat approx ``fd_holds=True`` as
+    "candidate survives"; confirm survivors with one exact pass.
     """
     if not pairs:
         raise ValueError("fd_candidates: pairs must be non-empty")
@@ -122,12 +128,18 @@ def fd_candidates(
             "(determinant, dependent, n_det, n_pair)"
         )
     )
+    if approx:
+        holds = F.col("n_det").cast("double") >= (
+            F.col("n_pair").cast("double") * F.lit(1.0 - 3.0 * rsd)
+        )
+    else:
+        holds = F.col("n_det") == F.col("n_pair")
     return melted.select(
         "determinant",
         "dependent",
         "n_det",
         "n_pair",
-        (F.col("n_det") == F.col("n_pair")).alias("fd_holds"),
+        holds.alias("fd_holds"),
         floor6(
             F.col("n_det").cast("double") / F.col("n_pair").cast("double")
         ).alias("strength"),
