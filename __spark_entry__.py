@@ -663,8 +663,11 @@ def q_profile_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fd_oracle(pairs) -> str:
+    # rows with a NULL det or dep are excluded from BOTH counts —
+    # keep in lockstep with operators/dependencies.fd_candidates
     nd = ",\n       ".join(
-        f"count(DISTINCT {det}) AS nd{i},\n       "
+        f"count(DISTINCT CASE WHEN {dep} IS NULL THEN NULL "
+        f"ELSE {det} END) AS nd{i},\n       "
         f"count(DISTINCT CASE WHEN {det} IS NULL OR {dep} IS NULL "
         f"THEN NULL ELSE ROW({det}, {dep}) END) AS np{i}"
         for i, (det, dep) in enumerate(pairs)
@@ -684,8 +687,9 @@ FROM orders
 )
 SELECT determinant, dependent, n_det, n_pair,
        n_det = n_pair AS fd_holds,
-       floor(CAST(n_det AS DOUBLE) / CAST(n_pair AS DOUBLE) * 1000000)
-         / 1000000 AS strength
+       CASE WHEN n_pair = 0 THEN NULL ELSE
+         floor(CAST(n_det AS DOUBLE) / CAST(n_pair AS DOUBLE) * 1000000)
+           / 1000000 END AS strength
 FROM m
 """
 

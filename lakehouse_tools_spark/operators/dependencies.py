@@ -59,11 +59,15 @@ def fd_candidates(
     """One row per (determinant, dependent) candidate pair.
 
     Output: ``determinant, dependent, n_det, n_pair, fd_holds,
-    strength`` where ``n_det = count(distinct det)``, ``n_pair =
-    count(distinct det, dep)`` (NULL-excluding), ``fd_holds = (n_det
-    == n_pair)`` and ``strength = floor6(n_det / n_pair)`` — 1.0 for
-    a holding FD, sliding toward 0 as determinant groups split over
-    more dependent values.
+    strength``. Rows where det OR dep is NULL are excluded from BOTH
+    counts (a null on either side asserts nothing about the
+    dependency): ``n_det`` is the distinct determinants among
+    COMPLETE pairs, ``n_pair = count(distinct det, dep)``, so
+    ``n_det <= n_pair`` always, ``fd_holds = (n_det == n_pair)``
+    (vacuously true on zero complete pairs) and ``strength =
+    floor6(n_det / n_pair)`` — 1.0 for a holding FD, sliding toward
+    0 as determinant groups split over more dependent values, NULL
+    when no complete pair exists.
 
     ``approx=True`` swaps both counts for ``approx_count_distinct``
     at relative standard deviation ``rsd`` (the 100 TB path — no
@@ -79,21 +83,24 @@ def fd_candidates(
     if not pairs:
         raise ValueError("fd_candidates: pairs must be non-empty")
 
-    def _distinct(*cols: str) -> F.Column:
+    def _det_distinct(det: str, dep: str) -> F.Column:
+        # the determinant counts only where the pair is COMPLETE —
+        # a null dep row must not inflate n_det past n_pair
+        guarded = F.when(F.col(dep).isNotNull(), F.col(det))
         if approx:
-            # multi-arg approx: sketch the null-guarded struct; a
-            # struct is non-null even with null fields, so guard to
-            # match COUNT(DISTINCT a, b)'s null exclusion.
-            if len(cols) == 1:
-                return F.approx_count_distinct(cols[0], rsd)
-            guard = None
-            for c in cols:
-                cond = F.col(c).isNull()
-                guard = cond if guard is None else (guard | cond)
+            return F.approx_count_distinct(guarded, rsd)
+        return F.count_distinct(guarded)
+
+    def _pair_distinct(det: str, dep: str) -> F.Column:
+        if approx:
+            # sketch the null-guarded struct; a struct is non-null
+            # even with null fields, so guard to match
+            # COUNT(DISTINCT a, b)'s null exclusion.
+            complete = F.col(det).isNotNull() & F.col(dep).isNotNull()
             return F.approx_count_distinct(
-                F.when(~guard, F.struct(*[F.col(c) for c in cols])), rsd
+                F.when(complete, F.struct(F.col(det), F.col(dep))), rsd
             )
-        return F.count_distinct(*[F.col(c) for c in cols])
+        return F.count_distinct(F.col(det), F.col(dep))
 
     # prune to the consumed columns, then spread size-aware: the
     # Expand replicates every row once per distinct-aggregate group
@@ -114,8 +121,8 @@ def fd_candidates(
 
     aggs = []
     for i, (det, dep) in enumerate(pairs):
-        aggs.append(_distinct(det).cast("long").alias(f"_nd{i}"))
-        aggs.append(_distinct(det, dep).cast("long").alias(f"_np{i}"))
+        aggs.append(_det_distinct(det, dep).cast("long").alias(f"_nd{i}"))
+        aggs.append(_pair_distinct(det, dep).cast("long").alias(f"_np{i}"))
     one = spread.agg(*aggs)
 
     stack_args = ", ".join(
@@ -140,7 +147,11 @@ def fd_candidates(
         "n_det",
         "n_pair",
         holds.alias("fd_holds"),
-        floor6(
-            F.col("n_det").cast("double") / F.col("n_pair").cast("double")
+        F.when(
+            F.col("n_pair") > 0,
+            floor6(
+                F.col("n_det").cast("double")
+                / F.col("n_pair").cast("double")
+            ),
         ).alias("strength"),
     )
