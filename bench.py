@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "text_bpe",
     "layout_report",
     "quality_quarantine",
+    "profile_benford",
     "corpus_e2e",
     "source_evolved",
     "asof_nearest",
@@ -183,6 +184,7 @@ BENCH_QUERIES = [
     "events_interpolate",
     "events_dense_impute",
     "profile_heavy_hitters",
+    "profile_fd",
     "events_stream_upsert",
     "bloom_join_prune",
     "text_repetition",
@@ -196,6 +198,7 @@ BENCH_QUERIES = [
     "sim_quantize_report",
     "events_ewma",
     "events_transitions",
+    "events_pattern",
     "dedup_graph_triangles",
     "sim_covariance",
     "integrity_report",
