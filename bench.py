@@ -394,6 +394,13 @@ SCALING_EVIDENCE = {
             "sf1": 1.273,
             "sf5": 1.301,
             "sf10": 1.274
+        },
+        "profile_fd": {
+            "sf0.01": 1.017,
+            "sf0.1": 1.551,
+            "sf1": 2.593,
+            "sf5": 10.417,
+            "sf10": 10.143
         }
     },
     "exponent_sf0.01_to_sf0.1": {
@@ -412,7 +419,8 @@ SCALING_EVIDENCE = {
         "multimodal_features": -0.01,
         "corpus_span_dedup": 0.081,
         "profile_summary_approx": 0.156,
-        "corpus_budget_select": -0.043
+        "corpus_budget_select": -0.043,
+        "profile_fd": 0.183
     },
     "exponent_sf0.1_to_sf1": {
         "profiler_e2e": 0.218,
@@ -430,7 +438,8 @@ SCALING_EVIDENCE = {
         "multimodal_features": 0.071,
         "corpus_span_dedup": 0.125,
         "profile_summary_approx": 0.111,
-        "corpus_budget_select": 0.022
+        "corpus_budget_select": 0.022,
+        "profile_fd": 0.223
     },
     "exponent_sf1_to_sf5": {
         "profiler_e2e": 0.816,
@@ -448,7 +457,8 @@ SCALING_EVIDENCE = {
         "multimodal_features": 0.352,
         "corpus_span_dedup": 0.586,
         "profile_summary_approx": 0.72,
-        "corpus_budget_select": 0.014
+        "corpus_budget_select": 0.014,
+        "profile_fd": 0.864
     },
     "exponent_sf5_to_sf10": {
         "profiler_e2e": 0.974,
@@ -466,7 +476,8 @@ SCALING_EVIDENCE = {
         "multimodal_features": 0.55,
         "corpus_span_dedup": 0.886,
         "profile_summary_approx": 0.722,
-        "corpus_budget_select": -0.03
+        "corpus_budget_select": -0.03,
+        "profile_fd": -0.038
     },
     "note": "r07 five-point table of record (15 curves incl. the transformWithStateInPandas sessionizer, measured head-to-head vs the legacy state API on identical noop-sink drains: ~1.5x constant factor, parallel curves, tails 0.817 vs 0.792 -- the RPC-count hypothesis was A/B-refuted, 40.5->41.7 s at sf5 after trimming 3 of ~7 per-key round-trips, so the factor is state-server serialization + RocksDB maintenance). The sweep found ONE super-linear segment and it was real: profiler_e2e e(5->10)=2.125 (21.0->91.5 s), root-caused via event-log stage metrics to the melt's per-task partial-agg hash map outgrowing its execution-memory share (stage CPU 319->1065 s, GC 13.8->36.4 s, spill 0->1 GB, shuffle output FLAT ~1 GB) and fixed structurally: ensure_parallelism(expansion=n_columns) sizes task count by source_bytes x expansion / 128 MB (floor cores, cap 64x cores) -- SCALING.md 'The profiler sf10 cliff'. The profiler row carries the post-fix measurements (probe_point, fresh process per point, same day; e(5->10)=0.97, sf10 1.85x faster); the owed in-harness re-measure LANDED in r08 with per-point brackets (healthy-start sweep: sf0.01 3.59 / sf0.1 4.04 / sf1 9.06 / sf10 58.6 s all bracket-clean; pre-fix e(5->10)=2.125 cliff confirmed gone in-harness) and the last owed point CLOSED in r09: sf5 = 34.25 s bracket-clean in a healthy-start window (gated single-point re-measure), completing the in-harness curve at every point -- SCALING.md 'In-harness profiler sf5: CLOSED'. Negative tails (dedup_collapse, dedup_incremental, drift_ks) are candidate-volume effects of the shape-preserving fixture (constant near-dup rate), not measurement error. drift_ks caveat unchanged: the curve proves the distinct-not-rows shuffle shape, not the continuous-column worst case (quantize-first or binned profile_drift documented out)."
 }

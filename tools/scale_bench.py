@@ -60,6 +60,9 @@ FLAGSHIPS = [
     "dedup_incremental",
     "text_keywords",
     "pack_bins",
+    # multi-distinct FD discovery (Expand + partial distinct maps —
+    # the r09 expansion-sizing fix's regression watch)
+    "profile_fd",
     # stateful streaming (applyInPandasWithState sessionizer). Only
     # measurable in a shared session since run_to_memory releases
     # terminated drains (streams.resetTerminated) — before that the
