@@ -281,7 +281,7 @@ NOISY = {
 # tests can round-trip the stdout emit path over the REAL table
 # without running the 186-query loop (VERDICT r08 item 1).
 SCALING_EVIDENCE = {
-    "method": "tools/scale_bench.py 3 (r07 isolation methodology + r08 per-point sentinel brackets; the corpus_budget_select row is the r08-added 16th curve, measured healthy-start with all five points bracket-clean the round its algorithm changed; process-per-flagship, min-of-3 per point, spark.catalog.clearCache() between points, BOTH sessionizers through streaming noop sinks); points sf0.01/sf0.1 (driver fixtures) and sf1/sf5/sf10 (10x/50x/100x up-samples of sf0.1 via tools/scale_fixture.py -- keys id-shifted so cardinality scales, documents text word-salted per copy so the near-dup rate is scale-invariant). Since late r07 EVERY flagship runs the full five-point decade ladder, and the sweep runs tools/host_sentinel.py FIRST and embeds its grade: this table's sweep was graded healthy (cold sequential reads 1.661 GB/s, warm 5.062, cpu probe 1.32 s). A sweep whose sentinel is not healthy must not become the table of record -- r07 caught a degraded-I/O window (cold reads 0.03-0.14 GB/s, page cache reclaimed aggressively) that inflated scan-heavy points up to ~4x with 2-5x run variance; that first sweep was discarded, deliberately uncommitted. exponent = dlog10(t)/dlog10(data) per segment; 1.0 is linear-in-data.",
+    "method": "tools/scale_bench.py 3 (r07 isolation methodology + r08 per-point sentinel brackets; the corpus_budget_select row is the r08-added 16th curve, measured healthy-start with all five points bracket-clean the round its algorithm changed; the profile_fd row is the r09-added 17th curve and the events_stream_sessionize_tws row was re-measured r09 (all points bracket-clean, healthy start) the round its timer strategy changed; process-per-flagship, min-of-3 per point, spark.catalog.clearCache() between points, BOTH sessionizers through streaming noop sinks); points sf0.01/sf0.1 (driver fixtures) and sf1/sf5/sf10 (10x/50x/100x up-samples of sf0.1 via tools/scale_fixture.py -- keys id-shifted so cardinality scales, documents text word-salted per copy so the near-dup rate is scale-invariant). Since late r07 EVERY flagship runs the full five-point decade ladder, and the sweep runs tools/host_sentinel.py FIRST and embeds its grade: this table's sweep was graded healthy (cold sequential reads 1.661 GB/s, warm 5.062, cpu probe 1.32 s). A sweep whose sentinel is not healthy must not become the table of record -- r07 caught a degraded-I/O window (cold reads 0.03-0.14 GB/s, page cache reclaimed aggressively) that inflated scan-heavy points up to ~4x with 2-5x run variance; that first sweep was discarded, deliberately uncommitted. exponent = dlog10(t)/dlog10(data) per segment; 1.0 is linear-in-data.",
     "sec": {
         "profiler_e2e": {
             "sf0.01": 3.656,
@@ -347,11 +347,11 @@ SCALING_EVIDENCE = {
             "sf10": 42.715
         },
         "events_stream_sessionize_tws": {
-            "sf0.01": 4.83,
-            "sf0.1": 5.905,
-            "sf1": 15.874,
-            "sf5": 36.806,
-            "sf10": 64.837
+            "sf0.01": 5.729,
+            "sf0.1": 6.164,
+            "sf1": 10.974,
+            "sf5": 36.033,
+            "sf10": 60.403
         },
         "drift_ks": {
             "sf0.01": 1.785,
@@ -413,7 +413,7 @@ SCALING_EVIDENCE = {
         "text_keywords": -0.109,
         "pack_bins": -0.016,
         "events_stream_sessionize": -0.178,
-        "events_stream_sessionize_tws": 0.087,
+        "events_stream_sessionize_tws": 0.032,
         "drift_ks": -0.061,
         "profile_drift": -0.062,
         "multimodal_features": -0.01,
@@ -432,7 +432,7 @@ SCALING_EVIDENCE = {
         "text_keywords": 0.081,
         "pack_bins": 0.188,
         "events_stream_sessionize": 0.302,
-        "events_stream_sessionize_tws": 0.429,
+        "events_stream_sessionize_tws": 0.251,
         "drift_ks": 0.102,
         "profile_drift": 0.051,
         "multimodal_features": 0.071,
@@ -451,7 +451,7 @@ SCALING_EVIDENCE = {
         "text_keywords": 0.341,
         "pack_bins": 0.434,
         "events_stream_sessionize": 0.657,
-        "events_stream_sessionize_tws": 0.523,
+        "events_stream_sessionize_tws": 0.739,
         "drift_ks": 0.187,
         "profile_drift": 0.293,
         "multimodal_features": 0.352,
@@ -470,7 +470,7 @@ SCALING_EVIDENCE = {
         "text_keywords": 0.325,
         "pack_bins": 0.19,
         "events_stream_sessionize": 0.792,
-        "events_stream_sessionize_tws": 0.817,
+        "events_stream_sessionize_tws": 0.745,
         "drift_ks": -0.429,
         "profile_drift": 0.665,
         "multimodal_features": 0.55,
