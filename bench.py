@@ -955,7 +955,12 @@ def main() -> None:
             ),
         },
     }
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+    # a BENCH_SUBSET smoke must not clobber the adopted full-registry
+    # record — its detail goes to a side file (gitignored)
+    detail_name = (
+        "BENCH_DETAIL_SUBSET.json" if subset else "BENCH_DETAIL.json"
+    )
+    with open(os.path.join(here, detail_name), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print(build_stdout_line(detail, timings))
 
