@@ -695,10 +695,13 @@ FROM m
 
 
 #: Benford digit extraction, ANSI form — MUST stay in lockstep with
-#: operators/quality.benford_report's string-typed extraction.
+#: operators/quality.benford_report's string-typed extraction. The
+#: isnan/isinf guard mirrors Spark's try_cast (which NULLs NaN/inf);
+#: DuckDB's try_cast still hard-errors on NaN.
 _BENFORD_DIGIT_SQL = (
-    "substr(regexp_replace(CAST(CAST(l_extendedprice AS DECIMAL(38,6)) "
-    "AS VARCHAR), '[^1-9]', '', 'g'), 1, 1)"
+    "substr(regexp_replace(CAST(CASE WHEN isnan(l_extendedprice) OR "
+    "isinf(l_extendedprice) THEN NULL ELSE try_cast(l_extendedprice AS "
+    "DECIMAL(38,6)) END AS VARCHAR), '[^1-9]', '', 'g'), 1, 1)"
 )
 
 _BENFORD_ORACLE = f"""

@@ -220,9 +220,15 @@ def benford_report(df: DataFrame, col: str) -> DataFrame:
     as text, every non-1-9 character stripped, first char kept. The
     arithmetic alternative — ``floor(x / 10^floor(log10(x)))`` —
     depends on the platform libm's last-ulp behaviour at powers of
-    ten; this one doesn't. ANSI equivalent:
-    ``substr(regexp_replace(cast(cast(x as decimal(38,6)) as
-    varchar), '[^1-9]', '', 'g'), 1, 1)``.
+    ten; this one doesn't. The cast is a ``try_cast``: NaN, ±inf and
+    |x| beyond decimal(38,6)'s range (~1e32) go NULL and are
+    EXCLUDED from the distribution rather than failing the job under
+    ANSI mode — at real scale, count those separately with a
+    not_null/in_range rule. ANSI equivalent:
+    ``substr(regexp_replace(cast(try_cast(x as decimal(38,6)) as
+    varchar), '[^1-9]', '', 'g'), 1, 1)`` (engines whose try_cast
+    still rejects NaN/inf need an explicit isnan/isinf guard — the
+    DuckDB oracle carries one).
 
     Execution shape: one projection + one 9-group aggregate; the
     grand total joins back as a broadcast scalar. Shuffle carries at
@@ -231,7 +237,7 @@ def benford_report(df: DataFrame, col: str) -> DataFrame:
     """
     digit_s = F.substring(
         F.regexp_replace(
-            F.col(col).cast("decimal(38,6)").cast("string"),
+            F.col(col).try_cast("decimal(38,6)").cast("string"),
             "[^1-9]",
             "",
         ),

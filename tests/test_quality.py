@@ -170,3 +170,29 @@ def test_benford_matches_duckdb_extraction(spark, tables):
         ).fetchall()
     )
     assert got == want
+
+
+def test_benford_excludes_nonrepresentable_values(spark):
+    # NaN, +/-inf and |x| beyond decimal(38,6)'s range must be
+    # EXCLUDED (try_cast -> NULL), never crash the job under ANSI
+    # mode; representable rows still count and probabilities use the
+    # representable total only
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.quality import benford_report
+
+    rows = [
+        Row(x=1e33),
+        Row(x=-1e33),
+        Row(x=float("nan")),
+        Row(x=float("inf")),
+        Row(x=float("-inf")),
+        Row(x=1e31),   # fits: leading digit 1
+        Row(x=123.4),
+    ]
+    out = {r.digit: r for r in benford_report(
+        spark.createDataFrame(rows), "x"
+    ).collect()}
+    assert set(out) == {1}
+    assert out[1].n == 2
+    assert out[1].observed_p == 1.0
