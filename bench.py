@@ -273,7 +273,7 @@ NOISY = {
 }
 
 
-# Measured scale evidence: the 16-flagship five-point table of
+# Measured scale evidence: the 17-flagship five-point table of
 # record (sweep graded healthy by tools/host_sentinel.py; see
 # "method"/"note" and SCALING.md "Unified process-isolated curve
 # table" + "The profiler sf10 cliff"). Measured 2026-08-15
