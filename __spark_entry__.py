@@ -758,13 +758,24 @@ _PATTERN_CASE_SQL = (
     + " END"
 )
 
+#: The oracle mirrors the OPERATOR's row filter exactly (ADVICE r09):
+#: only tokenized events (the CASE maps the event type) with non-null
+#: order keys enter the sequence AND the n_events count — so the
+#: comparison holds for any fixture alphabet / null pattern, not just
+#: the current one where every event type happens to be tokenized.
 _PATTERN_ORACLE = f"""
-WITH seq AS (
-  SELECT user_id AS key,
-         CAST(count(*) AS BIGINT) AS n_events,
-         string_agg({_PATTERN_CASE_SQL}, '' ORDER BY ts, event_id) AS s
+WITH tok AS (
+  SELECT user_id AS key, ts, event_id, {_PATTERN_CASE_SQL} AS t
   FROM events
-  GROUP BY user_id
+  WHERE {_PATTERN_CASE_SQL} IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+seq AS (
+  SELECT key,
+         CAST(count(*) AS BIGINT) AS n_events,
+         string_agg(t, '' ORDER BY ts, event_id) AS s
+  FROM tok
+  GROUP BY key
 )
 SELECT key, n_events,
        CAST(len(regexp_extract_all(s, '{_PATTERN_REGEX}')) AS BIGINT)
@@ -6489,16 +6500,24 @@ ORDER BY pmi DESC, bigram ASC LIMIT 100
 def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training contract (ext/text.learn_bpe_merges +
     apply_bpe): learn 10 merge rules — ONE corpus-scale word-frequency
-    aggregate, then the merge loop on the vocabulary (the production
-    trainer architecture; looping over the VOCAB is the algorithm,
-    not a collect anti-pattern) — and encode the corpus with them.
+    aggregate collected under the default 64 Ki vocab cap, then the
+    merge loop on the capped vocabulary (the production trainer
+    architecture; looping over the VOCAB is the algorithm, not a
+    collect anti-pattern) — and encode the corpus with them. Encoding
+    is fully distributed since r10: the distinct-word relation is
+    encoded by an Arrow-batched mapInPandas carrying only the tiny
+    merge-rank table, then joined back to (doc, word) counts — no
+    driver-side vocabulary materialization anywhere in the plan.
     The merge loop itself is iterative and not SQL-expressible, so
     the contract pins what IS: the first merge must equal the
     corpus's most frequent adjacent character pair (SQL-computable),
     the merge table must contain n distinct rules, and the encoded
     token total must land between the word count (≥1 token/word) and
     the character total (merges only ever shrink). A broken trainer,
-    tiebreak, or encoder flips a field and fails the driver hash."""
+    tiebreak, or encoder flips a field and fails the driver hash.
+    The contract pins merge-table content and token bounds, not the
+    encode route — so the oracle is unchanged across the r10
+    de-weakening."""
     from lakehouse_tools_spark.ext.text import apply_bpe, learn_bpe_merges
 
     docs = load_table(_spark(spark), sf_dir, "documents")

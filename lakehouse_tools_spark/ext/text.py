@@ -448,12 +448,24 @@ def pmi_bigrams(
     return scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc()).limit(top)
 
 
+#: Default ``learn_bpe_merges`` vocabulary cap: the collected
+#: frequency table is the ONLY driver-side materialization in BPE
+#: training, and on an open-vocabulary web corpus distinct "words"
+#: (URLs, typos, unicode junk) run to 1e8–1e9 — an unbounded collect
+#: is a driver OOM. 64 Ki words ≈ a few MB on the driver, and head
+#: merges are stable under tail truncation (pinned in
+#: tests/test_text.py), so the cap changes nothing the merge table
+#: cares about. Pass ``max_vocab=None`` to opt OUT explicitly
+#: (eval-set-sized corpora only).
+DEFAULT_BPE_MAX_VOCAB = 65536
+
+
 def learn_bpe_merges(
     df: DataFrame,
     text_col: str,
     num_merges: int = 10,
     min_freq: int = 1,
-    max_vocab: int | None = None,
+    max_vocab: int | None = DEFAULT_BPE_MAX_VOCAB,
 ) -> list[tuple[str, str]]:
     """Byte-pair-encoding merge-rule learning — tokenizer training's
     core step: repeatedly merge the most frequent adjacent symbol
@@ -479,13 +491,17 @@ def learn_bpe_merges(
     ``min_freq`` (drop words seen fewer times — at web scale the
     hapax tail IS most of the distinct-word count) and ``max_vocab``
     (keep only the top-N words by (freq desc, word asc) — a
-    deterministic total order, so the cap itself is reproducible).
-    Driver memory is then O(min(distinct_words, max_vocab)) instead
-    of O(distinct_words); the defaults (1, None) preserve the exact
-    uncapped behavior. Capping only removes low-frequency tail words
-    from the table, so high-frequency pair counts — the ones that
-    decide early merges — are nearly unchanged: head merges are
-    stable under tail truncation (pinned in tests/test_text.py).
+    deterministic total order, so the cap itself is reproducible; the
+    orderBy+limit is a distributed top-N, never a full sort
+    materialization). Driver memory is O(min(distinct_words,
+    max_vocab)) and — since r10 — ``max_vocab`` DEFAULTS to
+    :data:`DEFAULT_BPE_MAX_VOCAB` so the bound holds without opt-in;
+    pass ``max_vocab=None`` to deliberately collect the full
+    vocabulary on corpora known to be small. Capping only removes
+    low-frequency tail words from the table, so high-frequency pair
+    counts — the ones that decide early merges — are nearly
+    unchanged: head merges are stable under tail truncation (pinned
+    in tests/test_text.py).
     """
     if min_freq < 1:
         raise ValueError(f"min_freq must be >= 1, got {min_freq}")
@@ -554,47 +570,67 @@ def apply_bpe(
     merges: list[tuple[str, str]],
 ) -> DataFrame:
     """Tokenize with a learned merge table: per-word symbol sequences
-    start as characters and apply the ranked merges in order —
-    pure-Python per row via a Pandas UDF would be the general form;
-    here encode cost is bounded by applying merges word-wise through
-    a broadcast word→tokens dictionary built ONCE on the driver from
-    the corpus vocabulary (encode-by-lookup, the trick fast BPE
-    encoders use: distinct words ≪ rows). Output:
+    start as characters and apply the ranked merges in order. Output:
     ``(doc_id, n_tokens)`` token counts under the learned tokenizer.
+
+    Encode-by-lookup, fully distributed (the trick fast BPE encoders
+    use — distinct words ≪ word occurrences — WITHOUT the naive
+    driver-side dictionary): the corpus's distinct-word RELATION is
+    encoded in place by an Arrow-batched ``mapInPandas`` whose only
+    closure state is the merge-rank table (``num_merges`` entries,
+    shipped once per task like a broadcast), then per-(doc, word)
+    occurrence counts join back to the encoded vocabulary on the word
+    key and reduce to per-doc token totals. Nothing corpus- or
+    vocabulary-sized ever reaches the driver — on an open-vocabulary
+    web corpus the distinct-word set alone is 1e8–1e9 rows, so the
+    pre-r10 ``distinct().collect()`` + ``create_map`` form was a
+    driver OOM at exactly the scale this engine targets.
+
+    Plan shape: explode → partial-aggregated (doc, word) counts (one
+    shuffle, carries distinct pairs, not occurrences) → distinct words
+    (reuses the same keys) → mapInPandas encode (pure per-batch,
+    bounded by one Arrow batch) → shuffle join on ``w`` (AQE handles
+    skewed common words; both sides are distinct-pair-sized) → one
+    final per-doc aggregate. Encoding is deterministic: the merge
+    loop is a pure function of (word, merges).
     """
-    vocab_rows = (
-        df.select(
-            F.explode(
-                F.split(normalize_text(F.col(text_col)), " ")
-            ).alias("w")
-        )
-        .filter(F.col("w") != "")
-        .distinct()
-        .collect()
-    )
-    rank = {p: i for i, p in enumerate(merges)}
+    rank = {tuple(p): i for i, p in enumerate(merges)}
 
-    def encode(word: str) -> int:
-        seq = list(word)
-        while len(seq) > 1:
-            pairs = [(rank.get((a, b)), i) for i, (a, b) in enumerate(zip(seq, seq[1:]))]
-            pairs = [(r, i) for r, i in pairs if r is not None]
-            if not pairs:
-                break
-            _, i = min(pairs)
-            seq[i : i + 2] = [seq[i] + seq[i + 1]]
-        return len(seq)
+    def _encode_batches(batches):
+        import pandas as pd
 
-    table = {r["w"]: encode(r["w"]) for r in vocab_rows}
-    mapping = F.create_map(
-        *[x for w, n in sorted(table.items()) for x in (F.lit(w), F.lit(n))]
-    )
-    words = df.select(
+        def encode(word: str) -> int:
+            seq = list(word)
+            while len(seq) > 1:
+                pairs = [
+                    (rank.get((a, b)), i)
+                    for i, (a, b) in enumerate(zip(seq, seq[1:]))
+                ]
+                pairs = [(r, i) for r, i in pairs if r is not None]
+                if not pairs:
+                    break
+                _, i = min(pairs)
+                seq[i : i + 2] = [seq[i] + seq[i + 1]]
+            return len(seq)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"w": pdf["w"], "_wt": [encode(w) for w in pdf["w"]]}
+            )
+
+    occurrences = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
     ).filter(F.col("w") != "")
-    return words.groupBy("doc_id").agg(
-        F.sum(mapping[F.col("w")]).cast("long").alias("n_tokens")
+    word_counts = occurrences.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    vocab = word_counts.select("w").distinct()
+    encoded = vocab.mapInPandas(_encode_batches, "w string, _wt long")
+    return (
+        word_counts.join(encoded, "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("_c") * F.col("_wt")).cast("long").alias("n_tokens"))
     )
 
 

@@ -102,22 +102,28 @@ def fd_candidates(
             )
         return F.count_distinct(F.col(det), F.col(dep))
 
-    # prune to the consumed columns, then spread size-aware: the
-    # Expand replicates every row once per distinct-aggregate group
-    # (2 × |pairs|), and each partial map entry costs
-    # _MAP_BYTES_PER_SOURCE_BYTE — at a bare core-count task floor
-    # the per-task maps outgrow their memory share on key-like
-    # determinants and the stage stalls on the memory manager
-    # (see the constant's measured A/B).
+    # prune to the consumed columns, then spread size-aware. In exact
+    # mode the Expand replicates every row once per distinct-aggregate
+    # group (2 × |pairs|) and each partial map entry costs
+    # _MAP_BYTES_PER_SOURCE_BYTE — at a bare core-count task floor the
+    # per-task maps outgrow their memory share on key-like
+    # determinants and the stage stalls on the memory manager (see the
+    # constant's measured A/B). approx mode plans NO Expand (HLL
+    # partials are fixed-size registers, mergeable map-side), so the
+    # replication multiplier must NOT apply there — sizing the 100 TB
+    # path's tasks as if the Expand existed over-partitions up to the
+    # 64×-cores cap and pays pure shuffle overhead (ADVICE r09).
     cols: list[str] = []
     for det, dep in pairs:
         for c in (det, dep):
             if c not in cols:
                 cols.append(c)
-    spread = ensure_parallelism(
-        df.select(*cols),
-        expansion=2 * len(pairs) * _MAP_BYTES_PER_SOURCE_BYTE,
+    expansion = (
+        _MAP_BYTES_PER_SOURCE_BYTE
+        if approx
+        else 2 * len(pairs) * _MAP_BYTES_PER_SOURCE_BYTE
     )
+    spread = ensure_parallelism(df.select(*cols), expansion=expansion)
 
     aggs = []
     for i, (det, dep) in enumerate(pairs):

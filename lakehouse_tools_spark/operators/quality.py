@@ -224,7 +224,16 @@ def benford_report(df: DataFrame, col: str) -> DataFrame:
     |x| beyond decimal(38,6)'s range (~1e32) go NULL and are
     EXCLUDED from the distribution rather than failing the job under
     ANSI mode — at real scale, count those separately with a
-    not_null/in_range rule. ANSI equivalent:
+    not_null/in_range rule. The fixed scale-6 also bounds the LOW
+    end: values with ``|x| < 5e-7`` render as ``0.000000`` (no
+    nonzero digit survives) and are excluded like zeros, and a value
+    within half an ulp of a scale-6 boundary takes the ROUNDED
+    leading digit (e.g. ``9.6e-7`` → ``0.000001`` → digit 1, not 9).
+    Columns living at micro magnitudes should be pre-scaled (Benford
+    is scale-invariant in aggregate, so multiply by a power of ten
+    first) — raising the decimal scale instead would reopen the
+    scientific-notation rendering divergence this cast exists to
+    close. ANSI equivalent:
     ``substr(regexp_replace(cast(try_cast(x as decimal(38,6)) as
     varchar), '[^1-9]', '', 'g'), 1, 1)`` (engines whose try_cast
     still rejects NaN/inf need an explicit isnan/isinf guard — the

@@ -127,7 +127,12 @@ def pattern_match(
     Output: ``(key, n_events, n_matches, matched)`` — one row per
     key that has at least one tokenized event. ``order_cols`` must be
     a deterministic total order within a key (include a unique
-    tiebreaker).
+    tiebreaker) and must be NON-NULL on every tokenized row: a row
+    with no position has no place in a total order, and engines
+    disagree on where NULL keys sort (Spark's ``sort_array`` puts
+    them FIRST, ANSI ``ORDER BY`` defaults LAST) — so rows with a
+    NULL order key are EXCLUDED from the sequence and from
+    ``n_events``, the same exclusion both engines then agree on.
 
     Execution shape: project to (key, order..., token) FIRST — the
     single shuffle moves only those narrow rows — then ONE groupBy
@@ -151,13 +156,16 @@ def pattern_match(
         tok = branch if tok is None else tok.when(
             F.col(state_col) == F.lit(state), F.lit(t)
         )
+    order_complete = F.lit(True)
+    for c in order_cols:
+        order_complete = order_complete & F.col(c).isNotNull()
     slim = (
         df.select(
             F.col(key_col).alias("key"),
             *[F.col(c) for c in order_cols],
             tok.alias("_tok"),
         )
-        .filter(F.col("_tok").isNotNull())
+        .filter(F.col("_tok").isNotNull() & order_complete)
     )
     seq = F.array_join(
         F.transform(

@@ -114,3 +114,32 @@ def test_pattern_match_rejects_multichar_token(spark):
         pattern_match(
             df, "user_id", "event_type", ["ts", "event_id"], "v", {"view": "vv"}
         )
+
+
+def test_pattern_match_null_order_key_excluded(spark):
+    """A tokenized row with a NULL order key is excluded from the
+    sequence AND from n_events (Spark sorts NULL struct fields first,
+    ANSI ORDER BY defaults last — exclusion is the one semantics both
+    engines agree on; see the docstring contract)."""
+    from lakehouse_tools_spark.operators.sequences import pattern_match
+
+    rows = [
+        _ev(1, 0, "view", 1),
+        _ev(1, 1, "purchase", 2),
+        # null ts: without the exclusion this 'p' would sort FIRST in
+        # Spark (sequence 'pvp', 1 match) but LAST in the oracle
+        # ('vpp', 1 match at a different position) — with it, both see 'vp'
+        Row(event_id=3, ts=None, user_id=1, event_type="purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id long, ts timestamp, user_id long, event_type string"
+    )
+    [out] = pattern_match(
+        df,
+        "user_id",
+        "event_type",
+        ["ts", "event_id"],
+        "v[cv]*p",
+        {"view": "v", "click": "c", "purchase": "p"},
+    ).collect()
+    assert (out.n_events, out.n_matches, out.matched) == (2, 1, True)
