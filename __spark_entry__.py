@@ -8501,89 +8501,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver correctness snapshot, which records the
-    # FIRST ~50 entries only. Round-9 window (VERDICT r08 item #2 +
-    # the scripted staleness floor in tools/closing_gate.py, floor
-    # r06 this round): positions 1-2 are the changed-operator
-    # carriers for the two operators touched this round
-    # (budget_select: ADVICE r08 determinism contract +
-    # non-numeric-score guard, ext/corpus.py; the TWS sessionizer:
-    # ADVICE r08 stale-_armed hazard fix, streaming/tws.py) --
-    # required in-window by the freeze rule (tools/freeze_gate.py);
-    # positions 3-45 are the FULL stale cohort the closing gate
-    # enumerates (2 r04 + 41 r05 rows); positions 46-48 are the
-    # first-verification carriers for the three operators ADDED this
-    # round (fd_candidates, benford_report, pattern_match — required
-    # in-window by the freeze rule); positions 49-50 pre-rotate the 2
-    # cheapest r06 queries (closing-bench sf0.1 mins 0.26-0.33 s) so
-    # the r10 wall shrinks 45 -> 43. Done-bar after this window
-    # lands: no registered query's latest driver row is older than
-    # r06, and the three new queries have their first rows.
+    # FIRST ~50 entries only. Round-10 window (VERDICT r09 items
+    # #1-#3 + the scripted staleness floor in tools/closing_gate.py,
+    # floor r07 this round): positions 1-4 are the changed-operator
+    # carriers for the four files touched this round (apply_bpe /
+    # learn_bpe_merges driver-collect de-weakening, ext/text.py;
+    # fd_candidates approx-mode task sizing, operators/dependencies
+    # .py; pattern_match null-order-key exclusion + oracle alphabet
+    # fix, operators/sequences.py; benford_report micro-magnitude
+    # caveat, operators/quality.py) -- required in-window by the
+    # freeze rule (tools/freeze_gate.py); positions 5-47 are the FULL
+    # 43-query r06 stale cohort the closing gate enumerates;
+    # positions 48-50 re-verify the error-report companions that are
+    # the correctness evidence for the three no-oracle queries
+    # (profile_quantiles / profile_summary_approx /
+    # profile_distinct_sketch), keeping every companion <=1 round
+    # old. 4 + 43 + 3 = 50: zero spare slots, so no r07 pre-rotation
+    # was possible this round (VERDICT r09 item #7). Done-bar after
+    # this window lands: no registered query's latest driver row is
+    # older than r07 and all three companions carry r10 rows.
     #
-    # r10 rotation plan (arithmetic, per VERDICT r08 item #4): the
-    # remaining 43 r06-latest queries below fit the 50-slot r10
-    # window with 7 spare slots for r10's changed-operator carriers
-    # -- no --allow-displaced needed.
+    # r11 rotation plan (arithmetic): after r10 the rows sit at r10
+    # (the 50 below), r07 (the 48-query cohort at position 51+), r08
+    # (44 queries), r09 (47 queries). r11's floor is r08, so the r11
+    # window MUST be the full 48-query r07 cohort plus at most 2
+    # changed-operator carriers — keep r11's operator changes to <=2
+    # files' worth of reachable queries (or use --allow-displaced
+    # with named justification). The r08 cohort (44) then fits r12's
+    # window with 6 spare slots.
     return {
         # -- changed-operator carriers (freeze rule)
-        "corpus_budget_select": q_corpus_budget_select,
-        "events_stream_sessionize_tws": q_events_stream_sessionize_tws,
-        # -- stale cohort: latest driver row r04
-        "profile_corr": q_profile_corr,
-        "profile_entropy": q_profile_entropy,
-        # -- stale cohort: latest driver row r05
-        "sim_pca": q_sim_pca,
-        "pca_error_report": q_pca_error_report,
-        "drift_ks": q_drift_ks,
-        "events_ewma": q_events_ewma,
-        "events_transitions": q_events_transitions,
-        "dedup_graph_triangles": q_dedup_graph_triangles,
-        "integrity_report": q_integrity_report,
-        "profile_clip": q_profile_clip,
-        "events_gap_fill": q_events_gap_fill,
-        "events_forward_fill": q_events_forward_fill,
-        "events_rolling": q_events_rolling,
-        "events_dense_impute": q_events_dense_impute,
-        "profile_heavy_hitters": q_profile_heavy_hitters,
-        "bloom_join_prune": q_bloom_join_prune,
-        "text_repetition": q_text_repetition,
-        "corpus_split": q_corpus_split,
-        "cdc_roundtrip": q_cdc_roundtrip,
-        "rollup_maintenance": q_rollup_maintenance,
-        "golden_records": q_golden_records,
-        "profile_histogram_eqdepth": q_profile_histogram_eqdepth,
-        "compaction_report": q_compaction_report,
-        "sim_hard_negatives": q_sim_hard_negatives,
-        "sim_quantize_report": q_sim_quantize_report,
-        "text_language": q_text_language,
-        "dedup_minhash_estimate": q_dedup_minhash_estimate,
-        "dedup_collapse": q_dedup_collapse,
-        "merge_upsert": q_merge_upsert,
-        "sim_topk": q_sim_topk,
-        "schema_information": q_schema_information,
-        "profile_summary": q_profile_summary,
-        "profile_summary_approx": q_profile_summary_approx,
-        "profile_quantiles": q_profile_quantiles,
-        "asof_join": q_asof_join,
-        "zorder_rowset": q_zorder_rowset,
-        "merge_full_sync": q_merge_full_sync,
-        "sim_ivf_kmeans": q_sim_ivf_kmeans,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ann_multiprobe": q_sim_ann_multiprobe,
-        "sim_neardup_lsh": q_sim_neardup_lsh,
-        "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
-        "dedup_clusters_lsh": q_dedup_clusters_lsh,
-        # -- new-operator carriers (first verification, freeze rule)
+        "text_bpe": q_text_bpe,
         "profile_fd": q_profile_fd,
-        "profile_benford": q_profile_benford,
         "events_pattern": q_events_pattern,
-        # -- r06 pre-rotation (cheapest 2, shrink the r10 wall)
-        "dedup_exact": q_dedup_exact,
-        "setop_nations": q_setop_nations,
-        # --- position 51+: outside the ~50-entry driver
-        # snapshot window, stalest-first (r06 cohort, then r07,
-        # then the displaced r08 window freshest-last), prior
-        # relative order preserved within each round group
-        # -- latest driver row r06
+        "profile_benford": q_profile_benford,
+        # -- stale cohort: latest driver row r06
         "tpch_q6": q_tpch_q6,
         "events_funnel": q_events_funnel,
         "tpch_q15": q_tpch_q15,
@@ -8627,6 +8579,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_watermark": q_events_stream_watermark,
         "events_stream_dedup": q_events_stream_dedup,
         "fuzzy_join": q_fuzzy_join,
+        # -- error-report companions for the no-oracle trio (VERDICT
+        # r09 item #3: keep them <=1 round behind their principals)
+        "quantile_error_report": q_quantile_error_report,
+        "summary_error_report": q_summary_error_report,
+        "sketch_error_report": q_sketch_error_report,
+        # --- position 51+: outside the ~50-entry driver snapshot
+        # window, stalest-first (r07 cohort, then the r08 remainder,
+        # then last round's r09 window freshest-last), prior relative
+        # order preserved within each round group
         # -- latest driver row r07
         "pack_bins": q_pack_bins,
         "dedup_incremental": q_dedup_incremental,
@@ -8696,8 +8657,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_distinct_sketch": q_profile_distinct_sketch,
         "catalog_show_tables": q_catalog_show_tables,
         "profile_nested": q_profile_nested,
-        "sketch_error_report": q_sketch_error_report,
-        "quantile_error_report": q_quantile_error_report,
         "pack_report": q_pack_report,
         "text_keywords": q_text_keywords,
         "text_bigrams": q_text_bigrams,
@@ -8711,8 +8670,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_evolve": q_merge_evolve,
         "schema_drift": q_schema_drift,
         "profile_quantiles_grouped": q_profile_quantiles_grouped,
-        "summary_error_report": q_summary_error_report,
-        "text_bpe": q_text_bpe,
         "layout_report": q_layout_report,
         "quality_quarantine": q_quality_quarantine,
         "source_evolved": q_source_evolved,
@@ -8725,6 +8682,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cross_contamination": q_sim_cross_contamination,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "events_interpolate": q_events_interpolate,
+        # -- latest driver row r09 (last round's window)
+        "corpus_budget_select": q_corpus_budget_select,
+        "events_stream_sessionize_tws": q_events_stream_sessionize_tws,
+        "profile_corr": q_profile_corr,
+        "profile_entropy": q_profile_entropy,
+        "sim_pca": q_sim_pca,
+        "pca_error_report": q_pca_error_report,
+        "drift_ks": q_drift_ks,
+        "events_ewma": q_events_ewma,
+        "events_transitions": q_events_transitions,
+        "dedup_graph_triangles": q_dedup_graph_triangles,
+        "integrity_report": q_integrity_report,
+        "profile_clip": q_profile_clip,
+        "events_gap_fill": q_events_gap_fill,
+        "events_forward_fill": q_events_forward_fill,
+        "events_rolling": q_events_rolling,
+        "events_dense_impute": q_events_dense_impute,
+        "profile_heavy_hitters": q_profile_heavy_hitters,
+        "bloom_join_prune": q_bloom_join_prune,
+        "text_repetition": q_text_repetition,
+        "corpus_split": q_corpus_split,
+        "cdc_roundtrip": q_cdc_roundtrip,
+        "rollup_maintenance": q_rollup_maintenance,
+        "golden_records": q_golden_records,
+        "profile_histogram_eqdepth": q_profile_histogram_eqdepth,
+        "compaction_report": q_compaction_report,
+        "sim_hard_negatives": q_sim_hard_negatives,
+        "sim_quantize_report": q_sim_quantize_report,
+        "text_language": q_text_language,
+        "dedup_minhash_estimate": q_dedup_minhash_estimate,
+        "dedup_collapse": q_dedup_collapse,
+        "merge_upsert": q_merge_upsert,
+        "sim_topk": q_sim_topk,
+        "schema_information": q_schema_information,
+        "profile_summary": q_profile_summary,
+        "profile_summary_approx": q_profile_summary_approx,
+        "profile_quantiles": q_profile_quantiles,
+        "asof_join": q_asof_join,
+        "zorder_rowset": q_zorder_rowset,
+        "merge_full_sync": q_merge_full_sync,
+        "sim_ivf_kmeans": q_sim_ivf_kmeans,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_multiprobe": q_sim_ann_multiprobe,
+        "sim_neardup_lsh": q_sim_neardup_lsh,
+        "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
+        "dedup_clusters_lsh": q_dedup_clusters_lsh,
+        "dedup_exact": q_dedup_exact,
+        "setop_nations": q_setop_nations,
     }
 
 
