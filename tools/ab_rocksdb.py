@@ -60,6 +60,13 @@ VARIANTS: dict[str, dict[str, str]] = {
         _PFX + "boundedMemoryUsage": "true",
         _PFX + "maxMemoryUsageMB": "8192",
     },
+    "combo": {
+        _PFX + "trackTotalNumberOfRows": "false",
+        _PFX + "writeBufferSizeMB": "128",
+        _PFX + "maxWriteBufferNumber": "4",
+        _PFX + "boundedMemoryUsage": "true",
+        _PFX + "maxMemoryUsageMB": "8192",
+    },
 }
 
 
