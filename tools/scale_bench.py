@@ -1,4 +1,5 @@
-"""Multi-point scaling measurement for the 15 flagship queries.
+"""Multi-point scaling measurement for the flagship queries (18 as
+of r10; one curve per family with a 100 TB claim).
 
 Runs each flagship at sf0.01 and sf0.1 (driver fixtures), then sf1
 (10x up-sample built by tools/scale_fixture.py), sf5, and sf10 —
@@ -92,6 +93,13 @@ FLAGSHIPS = [
     # buckets (ext/corpus.budget_select); 16th curve added the round
     # the algorithm changed
     "corpus_budget_select",
+    # BPE train + encode (ext/text.learn_bpe_merges + apply_bpe) —
+    # 18th curve added r10, the round the encode route changed from a
+    # driver-side vocab dictionary to the distributed
+    # mapInPandas-over-distinct-words + join-back plan (the
+    # budget_select precedent: re-measure/first-measure the flagship
+    # the round its algorithm changes)
+    "text_bpe",
 ]
 POINTS = [
     ("sf0.01", "/root/testdata/sf0.01"),
