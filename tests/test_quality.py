@@ -196,3 +196,25 @@ def test_benford_excludes_nonrepresentable_values(spark):
     assert set(out) == {1}
     assert out[1].n == 2
     assert out[1].observed_p == 1.0
+
+
+def test_benford_micro_magnitude_caveat_is_exact(spark):
+    """Pin the documented scale-6 low-end behavior (ADVICE r09 /
+    docstring caveat): |x| < 5e-7 renders as 0.000000 and is EXCLUDED
+    like a zero; a value within half an ulp of a scale-6 boundary
+    takes the ROUNDED leading digit (9.6e-7 -> 0.000001 -> digit 1)."""
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.operators.quality import benford_report
+
+    rows = [
+        Row(x=4.9e-7),   # rounds to 0.000000 -> excluded
+        Row(x=-4.9e-7),  # sign ignored, still excluded
+        Row(x=9.6e-7),   # rounds to 0.000001 -> digit 1 (not 9)
+        Row(x=2.4e-6),   # rounds to 0.000002 -> digit 2
+        Row(x=3.0),      # ordinary value -> digit 3
+    ]
+    out = {r.digit: r.n for r in benford_report(
+        spark.createDataFrame(rows), "x"
+    ).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}

@@ -353,3 +353,48 @@ def test_learn_bpe_default_cap_is_real_and_nonbinding_on_small_corpora(spark):
     ) == text_mod.learn_bpe_merges(
         df, "text", num_merges=3, max_vocab=None
     )
+
+
+def test_apply_bpe_property_random_corpora_and_merges(spark):
+    """Property: for arbitrary corpora and arbitrary merge tables, the
+    distributed encode (distinct words -> mapInPandas -> join-back ->
+    per-doc sum) equals the per-document pure-Python reference. The
+    reference encodes each document directly, so this exercises the
+    relational plumbing (explode/normalize, distinct, join keys,
+    count multiplication) independently of the per-word merge loop."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = st.text(alphabet="ab", min_size=1, max_size=5)
+    docs_strategy = st.lists(
+        st.lists(words, min_size=1, max_size=6), min_size=1, max_size=5
+    )
+    symbols = st.text(alphabet="ab", min_size=1, max_size=2)
+    merges_strategy = st.lists(
+        st.tuples(symbols, symbols), min_size=0, max_size=4
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(docs=docs_strategy, merges=merges_strategy)
+    def check(docs, merges):
+        merges = list(dict.fromkeys(merges))  # ranked, first occurrence wins
+        rows = [
+            Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(docs)
+        ]
+        got = {
+            r.doc_id: r.n_tokens
+            for r in text_mod.apply_bpe(
+                spark.createDataFrame(rows), "text", "doc_id", merges
+            ).collect()
+        }
+        want = {
+            i: sum(_bpe_encode_ref(w, merges) for w in ws)
+            for i, ws in enumerate(docs)
+        }
+        assert got == want
+
+    check()
