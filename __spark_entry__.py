@@ -6543,6 +6543,13 @@ def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The oracle's vocab CTE mirrors the operator's default 64 Ki cap
+#: (ext/text.DEFAULT_BPE_MAX_VOCAB, same (freq DESC, w ASC) total
+#: order) so the pinned first-merge contract holds BY CONSTRUCTION
+#: even on a corpus whose distinct-word count exceeds the cap —
+#: without the LIMIT the contract would silently depend on the cap
+#: never binding (today's fixtures keep it non-binding, but the cap
+#: exists precisely for corpora where it wouldn't be).
 _TEXT_BPE_ORACLE = f"""
 WITH words AS (
   SELECT w FROM (
@@ -6550,7 +6557,10 @@ WITH words AS (
     FROM documents
   ) WHERE w <> ''
 ),
-vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY w),
+vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY w
+  ORDER BY freq DESC, w ASC LIMIT 65536
+),
 pairs AS (
   SELECT substring(w, u.i, 1) AS a, substring(w, u.i + 1, 1) AS b,
          sum(freq) AS c

@@ -109,19 +109,21 @@ def fd_candidates(
     # per-task maps outgrow their memory share on key-like
     # determinants and the stage stalls on the memory manager (see the
     # constant's measured A/B). approx mode plans NO Expand (HLL
-    # partials are fixed-size registers, mergeable map-side), so the
-    # replication multiplier must NOT apply there — sizing the 100 TB
-    # path's tasks as if the Expand existed over-partitions up to the
-    # 64×-cores cap and pays pure shuffle overhead (ADVICE r09).
+    # partials are fixed-size registers, mergeable map-side) and its
+    # per-task working set does not accumulate per distinct value at
+    # all — rows stream into 2x|pairs| fixed-size sketches — so
+    # NEITHER multiplier applies there: expansion stays 1.0 and the
+    # guard only provides the core-count floor (ADVICE r09; sizing
+    # the 100 TB path's tasks as if the exact-mode maps existed
+    # over-partitions up to the 64x-cores cap for pure scheduling
+    # overhead).
     cols: list[str] = []
     for det, dep in pairs:
         for c in (det, dep):
             if c not in cols:
                 cols.append(c)
     expansion = (
-        _MAP_BYTES_PER_SOURCE_BYTE
-        if approx
-        else 2 * len(pairs) * _MAP_BYTES_PER_SOURCE_BYTE
+        1.0 if approx else 2 * len(pairs) * _MAP_BYTES_PER_SOURCE_BYTE
     )
     spread = ensure_parallelism(df.select(*cols), expansion=expansion)
 

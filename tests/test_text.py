@@ -321,9 +321,11 @@ def test_apply_bpe_wide_vocab_matches_reference(spark):
     import random
 
     rng = random.Random(7)
+    # 6^5 = 7776 candidate words; the slice keeps the advertised 2,000
     vocab = [
-        "".join(p) for p in itertools.product("abcdef", repeat=4)
+        "".join(p) for p in itertools.product("abcdef", repeat=5)
     ][:2000]
+    assert len(vocab) == 2000
     docs = [
         Row(doc_id=d, text=" ".join(rng.choices(vocab, k=120)))
         for d in range(40)
