@@ -404,3 +404,40 @@ def test_pattern_match_single_exchange_projects_before_group(spark):
 
     rs = _re.search(r"ReadSchema: (struct<[^\n]*)", plan).group(1)
     assert "value" not in rs and "props" not in rs
+
+
+def test_apply_bpe_encodes_distributed_no_driver_dictionary(spark):
+    """Pin the r10 de-weakening of the BPE encode route: the plan must
+    carry a MapInPandas node (the distributed vocab encode) and a join
+    back to per-(doc, word) counts — and must NOT embed a data-derived
+    word->tokens map literal (the removed driver-side create_map form,
+    whose size grew with the corpus's distinct-word count)."""
+    from lakehouse_tools_spark.ext.text import apply_bpe
+    from lakehouse_tools_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(apply_bpe(docs, "text", "doc_id", [("a", "b")]))
+    assert "MapInPandas" in plan
+    assert "Join" in plan
+    # the old shape folded the whole vocabulary into one projection
+    # literal; any map literal in the new plan would resurrect it
+    assert "map_from_arrays" not in plan and "map(keys:" not in plan
+
+
+def test_fd_approx_plans_no_expand(spark, tables):
+    """approx=True is the documented 100 TB path BECAUSE it avoids the
+    exact mode's Expand row replication (HLL partials are fixed-size,
+    mergeable map-side) — pin that the plan really has no Expand and
+    still runs one scan, no joins."""
+    from lakehouse_tools_spark.operators.dependencies import fd_candidates
+
+    plan = plan_of(
+        fd_candidates(
+            tables["orders"],
+            [("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus")],
+            approx=True,
+        )
+    )
+    assert "Expand" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
