@@ -100,6 +100,13 @@ FLAGSHIPS = [
     # budget_select precedent: re-measure/first-measure the flagship
     # the round its algorithm changes)
     "text_bpe",
+    # the two r09-added operators that never got first curves
+    # (profile_fd got its own on addition): pattern_match's claim is
+    # ONE narrow exchange carrying (key, order, token) rows;
+    # benford_report's is a shuffle of <=9 rows per map partition —
+    # both claims are exactly what the decade ladder exists to verify
+    "events_pattern",
+    "profile_benford",
 ]
 POINTS = [
     ("sf0.01", "/root/testdata/sf0.01"),
