@@ -68,11 +68,14 @@ def test_fd_matches_set_arithmetic(spark, rows):
 
 
 # events: (key, ts, state) with deliberately colliding timestamps;
-# event_id (the list index) is the tiebreaker
+# event_id (the list index) is the tiebreaker. ts may be NULL — the
+# r10 contract excludes null order keys from the sequence AND the
+# count (Spark sorts them first, ANSI last; exclusion is the one
+# semantics both engines share), so the reference below drops them.
 EV_ROWS = st.lists(
     st.tuples(
         st.integers(0, 2),
-        st.integers(0, 3),
+        st.one_of(st.none(), st.integers(0, 3)),
         st.sampled_from(["v", "c", "p", "z"]),  # z is untokenized
     ),
     min_size=1,
@@ -99,13 +102,18 @@ def test_pattern_match_agrees_with_cpython_re(spark, rows, pattern):
             {"v": "v", "c": "c", "p": "p"},
         ).collect()
     }
-    # independent reference: explicit sort + re.findall
+    # independent reference: drop null order keys, explicit sort,
+    # re.findall
     want = {}
-    for k in {k for k, _, _, s in data if s != "z"}:
+    for k in {k for k, ts, _, s in data if s != "z" and ts is not None}:
         seq = "".join(
             s
             for _, ts, i, s in sorted(
-                (r for r in data if r[0] == k and r[3] != "z"),
+                (
+                    r
+                    for r in data
+                    if r[0] == k and r[3] != "z" and r[1] is not None
+                ),
                 key=lambda r: (r[1], r[2]),
             )
         )
