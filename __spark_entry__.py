@@ -8538,7 +8538,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # changed-operator carriers — keep r11's operator changes to <=2
     # files' worth of reachable queries (or use --allow-displaced
     # with named justification). The r08 cohort (44) then fits r12's
-    # window with 6 spare slots.
+    # window with 6 spare slots. The whole r07 cohort was pre-verified
+    # against its oracles at sf0.01 in r10 (0 failures), so the r11
+    # rotation carries no drift risk. VERDICT r09 item 6's two growth
+    # candidates (a MinHash cluster-dedup precision/recall report
+    # extending dedup_minhash_estimate; a tokenizer
+    # throughput/fertility report on apply_bpe) had NO window slots in
+    # r10 (4+43+3 = 50 exactly); if r11 takes them, their 2
+    # first-verification carriers consume r11's only spare slots, so
+    # r11 must then freeze every existing operator file.
     return {
         # -- changed-operator carriers (freeze rule)
         "text_bpe": q_text_bpe,
