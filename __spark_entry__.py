@@ -8511,102 +8511,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver correctness snapshot, which records the
-    # FIRST ~50 entries only. Round-10 window (VERDICT r09 items
-    # #1-#3 + the scripted staleness floor in tools/closing_gate.py,
-    # floor r07 this round): positions 1-4 are the changed-operator
-    # carriers for the four files touched this round (apply_bpe /
-    # learn_bpe_merges driver-collect de-weakening, ext/text.py;
-    # fd_candidates approx-mode task sizing, operators/dependencies
-    # .py; pattern_match null-order-key exclusion + oracle alphabet
-    # fix, operators/sequences.py; benford_report micro-magnitude
-    # caveat, operators/quality.py) -- required in-window by the
-    # freeze rule (tools/freeze_gate.py); positions 5-47 are the FULL
-    # 43-query r06 stale cohort the closing gate enumerates;
-    # positions 48-50 re-verify the error-report companions that are
-    # the correctness evidence for the three no-oracle queries
-    # (profile_quantiles / profile_summary_approx /
-    # profile_distinct_sketch), keeping every companion <=1 round
-    # old. 4 + 43 + 3 = 50: zero spare slots, so no r07 pre-rotation
-    # was possible this round (VERDICT r09 item #7). Done-bar after
-    # this window lands: no registered query's latest driver row is
-    # older than r07 and all three companions carry r10 rows.
+    # FIRST ~50 entries only. Round-11 window (VERDICT r10 items #1,
+    # #2, #5 + the scripted staleness floor in tools/closing_gate.py,
+    # floor r08 this round): positions 1-48 are the FULL 48-query r07
+    # stale cohort the closing gate enumerates (pre-verified against
+    # its oracles at sf0.01 in r10 with 0 failures, so the rotation
+    # carries no drift risk); position 49 refreshes pca_error_report
+    # (the no-oracle companion for sim_pca, sitting at r09 — legal at
+    # floor r08 but illegal at r12's floor r09; refreshing it HERE
+    # keeps all four companions <=2 rounds old through r12 without
+    # costing an r12 slot, VERDICT r10 item #5); position 50
+    # pre-rotates sim_recall_report from the r08 cohort — it trims
+    # r12's mandatory load to 43 AND satisfies the freeze gate's
+    # standing constraint on rotation rounds: freeze_gate's
+    # best-effort name resolution links the 8 q_sim_* functions that
+    # bind a LOCAL variable named ``queries`` to this def, so any
+    # round that edits queries() (every rotation round) must carry
+    # one of those 8 in-window. 48 + 1 + 1 = 50: zero
+    # spare slots, so r11 is a rotation+hardening round — its only
+    # package-source changes are freeze-gate-safe by construction
+    # (session.py gains a NEW def no registered query reaches;
+    # backend.py's Delta note is re-dated, no reachable query;
+    # bench.py and tools/ are outside the gate's scope). Done-bar
+    # after this window lands: no registered query's latest driver
+    # row is older than r08 and pca_error_report carries an r11 row.
     #
-    # r11 rotation plan (arithmetic): after r10 the rows sit at r10
-    # (the 50 below), r07 (the 48-query cohort at position 51+), r08
-    # (44 queries), r09 (47 queries). r11's floor is r08, so the r11
-    # window MUST be the full 48-query r07 cohort plus at most 2
-    # changed-operator carriers — keep r11's operator changes to <=2
-    # files' worth of reachable queries (or use --allow-displaced
-    # with named justification). The r08 cohort (44) then fits r12's
-    # window with 6 spare slots. The whole r07 cohort was pre-verified
-    # against its oracles at sf0.01 in r10 (0 failures), so the r11
-    # rotation carries no drift risk. VERDICT r09 item 6's two growth
-    # candidates (a MinHash cluster-dedup precision/recall report
-    # extending dedup_minhash_estimate; a tokenizer
-    # throughput/fertility report on apply_bpe) had NO window slots in
-    # r10 (4+43+3 = 50 exactly); if r11 takes them, their 2
-    # first-verification carriers consume r11's only spare slots, so
-    # r11 must then freeze every existing operator file.
+    # r12 rotation plan (arithmetic): after r11 the rows sit at r11
+    # (the 50 below), r08 (the 43-query remainder at position 51+),
+    # r09 (46 queries), r10 (50 queries). r12's floor is r09, so the
+    # r12 window MUST contain the 43-query r08 remainder; the 7 spare
+    # slots take (a) the two growth candidates deferred from r10
+    # (a MinHash cluster-dedup precision/recall report extending
+    # dedup_minhash_estimate; a tokenizer throughput/fertility report
+    # on the now-distributed apply_bpe) whose first-verification
+    # carriers cost 2 slots and whose operator files (ext/dedup.py,
+    # ext/text.py) then need NO extra carriers because the new
+    # queries themselves are the carriers, (b) one of the 8 q_sim_*
+    # freeze-gate carriers for r12's own queries() edit (none remain
+    # in the r08 remainder now that sim_recall_report rotated here —
+    # cheapest is whichever sim_* the round touches anyway), and
+    # (c) up to 4 changed-operator carriers for whatever else r12
+    # touches. 43 + 2 + 1 = 46 <= 50 holds; the three no-oracle
+    # error-report companions (r10 rows) stay legal through r13's
+    # floor r10 and rotate there.
     return {
-        # -- changed-operator carriers (freeze rule)
-        "text_bpe": q_text_bpe,
-        "profile_fd": q_profile_fd,
-        "events_pattern": q_events_pattern,
-        "profile_benford": q_profile_benford,
-        # -- stale cohort: latest driver row r06
-        "tpch_q6": q_tpch_q6,
-        "events_funnel": q_events_funnel,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "topk_customers": q_topk_customers,
-        "window_rank": q_window_rank,
-        "window_ranking_suite": q_window_ranking_suite,
-        "sql_passthrough": q_sql_passthrough,
-        "rollup_pricing": q_rollup_pricing,
-        "quality_check": q_quality_check,
-        "skew_salted_agg": q_skew_salted_agg,
-        "skew_salted_join": q_skew_salted_join,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_lsh_pairs": q_dedup_lsh_pairs,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_winnow": q_dedup_winnow,
-        "events_retention": q_events_retention,
-        "sim_topk_pandas": q_sim_topk_pandas,
-        "corpus_dedup_e2e": q_corpus_dedup_e2e,
-        "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
-        "dedup_clusters": q_dedup_clusters,
-        "semantic_dedup": q_semantic_dedup,
-        "sim_ivf": q_sim_ivf,
-        "sim_neardup": q_sim_neardup,
-        "events_stream_join": q_events_stream_join,
-        "events_stream_watermark": q_events_stream_watermark,
-        "events_stream_dedup": q_events_stream_dedup,
-        "fuzzy_join": q_fuzzy_join,
-        # -- error-report companions for the no-oracle trio (VERDICT
-        # r09 item #3: keep them <=1 round behind their principals)
-        "quantile_error_report": q_quantile_error_report,
-        "summary_error_report": q_summary_error_report,
-        "sketch_error_report": q_sketch_error_report,
-        # --- position 51+: outside the ~50-entry driver snapshot
-        # window, stalest-first (r07 cohort, then the r08 remainder,
-        # then last round's r09 window freshest-last), prior relative
-        # order preserved within each round group
-        # -- latest driver row r07
+        # -- r07 stale cohort: the closing gate's enumerated list,
+        # prior relative order preserved
         "pack_bins": q_pack_bins,
         "dedup_incremental": q_dedup_incremental,
         "source_overlap": q_source_overlap,
@@ -8655,7 +8605,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact": q_text_redact,
         "text_tokens": q_text_tokens,
         "text_vocabulary": q_text_vocabulary,
-        # -- latest driver row r08 (last round's window)
+        # -- no-oracle companion refresh (VERDICT r10 item #5)
+        "pca_error_report": q_pca_error_report,
+        # -- r08-cohort pre-rotation (trims r12; freeze-gate carrier
+        # for this round's queries() edit)
+        "sim_recall_report": q_sim_recall_report,
+        # --- position 51+: outside the ~50-entry driver snapshot
+        # window, stalest-first (r08 remainder, then r09 minus the
+        # companion refreshed above, then the r10 window
+        # freshest-last), prior relative order preserved within each
+        # round group
+        # -- latest driver row r08
         "source_python_datasource": q_source_python_datasource,
         "profiler_e2e": q_profiler_e2e,
         "profile_intended": q_profile_intended,
@@ -8663,7 +8623,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_histogram": q_profile_histogram,
         "profile_topk": q_profile_topk,
         "profiler_incremental": q_profiler_incremental,
-        "sim_recall_report": q_sim_recall_report,
         "neardup_recall_report": q_neardup_recall_report,
         "corpus_e2e": q_corpus_e2e,
         "graph_pagerank": q_graph_pagerank,
@@ -8700,13 +8659,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cross_contamination": q_sim_cross_contamination,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "events_interpolate": q_events_interpolate,
-        # -- latest driver row r09 (last round's window)
+        # -- latest driver row r09
         "corpus_budget_select": q_corpus_budget_select,
         "events_stream_sessionize_tws": q_events_stream_sessionize_tws,
         "profile_corr": q_profile_corr,
         "profile_entropy": q_profile_entropy,
         "sim_pca": q_sim_pca,
-        "pca_error_report": q_pca_error_report,
         "drift_ks": q_drift_ks,
         "events_ewma": q_events_ewma,
         "events_transitions": q_events_transitions,
@@ -8748,6 +8706,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "dedup_exact": q_dedup_exact,
         "setop_nations": q_setop_nations,
+        # -- latest driver row r10 (last round's window)
+        "text_bpe": q_text_bpe,
+        "profile_fd": q_profile_fd,
+        "events_pattern": q_events_pattern,
+        "profile_benford": q_profile_benford,
+        "tpch_q6": q_tpch_q6,
+        "events_funnel": q_events_funnel,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "topk_customers": q_topk_customers,
+        "window_rank": q_window_rank,
+        "window_ranking_suite": q_window_ranking_suite,
+        "sql_passthrough": q_sql_passthrough,
+        "rollup_pricing": q_rollup_pricing,
+        "quality_check": q_quality_check,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_winnow": q_dedup_winnow,
+        "events_retention": q_events_retention,
+        "sim_topk_pandas": q_sim_topk_pandas,
+        "corpus_dedup_e2e": q_corpus_dedup_e2e,
+        "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
+        "dedup_clusters": q_dedup_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "sim_ivf": q_sim_ivf,
+        "sim_neardup": q_sim_neardup,
+        "events_stream_join": q_events_stream_join,
+        "events_stream_watermark": q_events_stream_watermark,
+        "events_stream_dedup": q_events_stream_dedup,
+        "fuzzy_join": q_fuzzy_join,
+        "quantile_error_report": q_quantile_error_report,
+        "summary_error_report": q_summary_error_report,
+        "sketch_error_report": q_sketch_error_report,
     }
 
 

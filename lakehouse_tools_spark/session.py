@@ -50,6 +50,58 @@ DEFAULT_CONFS: dict[str, str] = {
 }
 
 
+def streaming_state_confs(
+    budget_mb: int = 8192,
+    track_rows: bool = False,
+    rocksdb_provider: bool = True,
+) -> dict[str, str]:
+    """Bounded-memory RocksDB state-store confs for sustained
+    Structured Streaming jobs — pass to ``get_session(extra_confs=
+    streaming_state_confs(...))`` or apply with ``spark.conf.set``
+    (they are runtime-settable, read at query start).
+
+    Measured, not guessed: the r10 conf A/B on the sf10 TWS
+    sessionizer drain (``tools/ab_rocksdb.py``; SCALING.md "RocksDB
+    state-store conf A/B") found the steady-state FLOOR is
+    conf-insensitive (0.94x paired, under the pre-registered 20%
+    adoption bar — hence NOT an engine default and the flagship
+    curves keep defaults for comparability), but the bounded-memory
+    confs collapse the drain churn from a 2.1x spread (63.5-132.5 s
+    across six default-conf drains) to 1.19x (59.4-70.7 s) AND hit
+    the floor on the FIRST drain. A production deployment running
+    sustained stateful streams should want exactly that: first-drain
+    latency, run-to-run stability, and a hard per-executor memory
+    budget instead of unbounded block-cache growth.
+
+    :param budget_mb: per-executor RocksDB memory cap
+        (``maxMemoryUsageMB`` — write buffers + block cache across
+        ALL state-store instances on the executor). Size it to
+        executor memory minus Spark's own fraction; 8192 matches the
+        measured A/B on the 128 GiB test host.
+    :param track_rows: keep ``numTotalStateRows`` metrics (each
+        put/delete pays an extra lookup; the A/B's ``notrack``
+        variant). Off by default — turn on only if dashboards
+        consume the metric.
+    :param rocksdb_provider: also pin
+        ``spark.sql.streaming.stateStore.providerClass`` to the
+        RocksDB provider (the rocksdb.* confs are ignored under the
+        default HDFS-backed provider; transformWithState requires
+        RocksDB anyway — see streaming/tws.py).
+    """
+    pfx = "spark.sql.streaming.stateStore.rocksdb."
+    confs = {
+        pfx + "boundedMemoryUsage": "true",
+        pfx + "maxMemoryUsageMB": str(int(budget_mb)),
+        pfx + "trackTotalNumberOfRows": "true" if track_rows else "false",
+    }
+    if rocksdb_provider:
+        confs["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    return confs
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime confs to an existing session.
 

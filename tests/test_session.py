@@ -1,0 +1,61 @@
+"""Session conf-map tests: the bounded-memory RocksDB streaming
+preset (VERDICT r10 item 3 — the r10 A/B's production note wired as
+tested code, SCALING.md "RocksDB state-store conf A/B")."""
+
+from __future__ import annotations
+
+from lakehouse_tools_spark.session import get_session, streaming_state_confs
+
+_PFX = "spark.sql.streaming.stateStore.rocksdb."
+_PROVIDER = "spark.sql.streaming.stateStore.providerClass"
+
+
+def test_preset_shape_defaults():
+    confs = streaming_state_confs()
+    assert confs[_PFX + "boundedMemoryUsage"] == "true"
+    assert confs[_PFX + "maxMemoryUsageMB"] == "8192"
+    # metrics tracking off by default: the A/B's `notrack` variant —
+    # each put/delete otherwise pays an extra lookup
+    assert confs[_PFX + "trackTotalNumberOfRows"] == "false"
+    assert confs[_PROVIDER].endswith("RocksDBStateStoreProvider")
+
+
+def test_preset_parameterization():
+    confs = streaming_state_confs(
+        budget_mb=4096, track_rows=True, rocksdb_provider=False
+    )
+    assert confs[_PFX + "maxMemoryUsageMB"] == "4096"
+    assert confs[_PFX + "trackTotalNumberOfRows"] == "true"
+    assert _PROVIDER not in confs
+    # budget coerces to an integral MB string (no "4096.0")
+    assert streaming_state_confs(budget_mb=4096.0)[
+        _PFX + "maxMemoryUsageMB"
+    ] == "4096"
+
+
+def test_preset_lands_on_session(spark):
+    """The VERDICT-prescribed route — ``get_session(extra_confs=
+    streaming_state_confs(...))`` — must land every conf on the live
+    session (they are runtime SQL confs, so getOrCreate applies them
+    to an existing session too)."""
+    preset = streaming_state_confs(budget_mb=2048)
+    before = {}
+    for key in preset:
+        try:
+            before[key] = spark.conf.get(key)
+        except Exception:
+            before[key] = None
+    try:
+        got = get_session(
+            app_name="lakehouse_tools_spark_tests", extra_confs=preset
+        )
+        for key, value in preset.items():
+            assert got.conf.get(key) == value, key
+    finally:
+        # don't leak the provider pin / memory cap into other
+        # streaming tests that assume session defaults
+        for key, old in before.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
