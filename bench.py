@@ -585,16 +585,10 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-    # grade the host window first (tools/host_sentinel.py): r07 caught
-    # a degraded-I/O window (cold reads 0.03-0.14 GB/s vs 1.2 healthy)
-    # that inflates scan-heavy timings with 2-5x run variance; the
-    # grade rides in BENCH_DETAIL so round-over-round comparisons can
-    # exclude contaminated benches instead of mis-attributing swings
-    host_sentinel: dict = {}
+def probe_host_sentinel() -> dict:
+    """One full host_sentinel probe in a subprocess (fresh page-cache
+    semantics for the cold-read axis); returns the grade dict, or an
+    ``{"error": ...}`` dict — never raises."""
     try:
         import subprocess
 
@@ -611,9 +605,69 @@ def main() -> None:
             text=True,
             timeout=300,
         )
-        host_sentinel = json.loads(proc.stdout.strip().splitlines()[-1])
+        return json.loads(proc.stdout.strip().splitlines()[-1])
     except Exception as exc:  # advisory, never fatal
-        host_sentinel = {"error": str(exc)}
+        return {"error": str(exc)}
+
+
+def gated_host_sentinel() -> tuple[dict, list, bool]:
+    """Probe the host window, RETRYING until it grades healthy
+    (VERDICT r10 item 4): two consecutive driver snapshots (r09, r10)
+    ran ``degraded-io`` and produced 4-5x phantom regressions that
+    each cost a manual adjudication — the snapshot path now waits for
+    a healthy window the same way tools/curve_retry_loop.sh gates the
+    flagship curves, instead of measuring through the bad window and
+    hoping the label is enough.
+
+    Bounded: at most ``BENCH_SENTINEL_RETRIES`` extra probes (default
+    6) spaced ``BENCH_SENTINEL_WAIT_SEC`` apart (default 120 — the
+    documented windows shift on minutes, not seconds). On exhaustion
+    the bench PROCEEDS in the degraded window with an explicit
+    ``sentinel_retries_exhausted`` label so a round never loses its
+    snapshot outright. Under ``BENCH_SUBSET`` (the fast smoke path)
+    retries default to 0 — a smoke verifies plumbing, not timings.
+
+    Returns ``(final_grade_dict, [grade_str per attempt], exhausted)``.
+    """
+    default_retries = "0" if os.environ.get("BENCH_SUBSET") else "6"
+    retries = int(os.environ.get("BENCH_SENTINEL_RETRIES", default_retries))
+    wait_sec = float(os.environ.get("BENCH_SENTINEL_WAIT_SEC", "120"))
+    grades: list = []
+    host_sentinel: dict = {}
+    for attempt in range(retries + 1):
+        host_sentinel = probe_host_sentinel()
+        grade = host_sentinel.get("grade") or host_sentinel.get("error")
+        grades.append(grade)
+        if grade == "healthy":
+            return host_sentinel, grades, False
+        # a probe ERROR is not a window problem retrying can fix
+        # (missing fixture, broken tool) — label and proceed
+        if "grade" not in host_sentinel:
+            return host_sentinel, grades, False
+        if attempt < retries:
+            print(
+                f"# sentinel {grade}; retry {attempt + 1}/{retries} "
+                f"in {wait_sec:.0f}s",
+                file=sys.stderr,
+            )
+            time.sleep(wait_sec)
+    return host_sentinel, grades, True
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    # gate the timed loop on a healthy host window (tools/
+    # host_sentinel.py): r07 caught a degraded-I/O window (cold reads
+    # 0.03-0.14 GB/s vs 1.2 healthy) that inflates scan-heavy timings
+    # with 2-5x run variance; the grade rides in BENCH_DETAIL so
+    # round-over-round comparisons can exclude contaminated benches
+    # instead of mis-attributing swings, and since r11 the snapshot
+    # WAITS (bounded) for a healthy window instead of only labeling
+    host_sentinel, sentinel_attempts, sentinel_exhausted = (
+        gated_host_sentinel()
+    )
     # per-BENCH bracketing (VERDICT r07 item 1): the start sentinel
     # cannot see a window shift mid-bench (the r07 driver snapshot
     # landed 1.26x above the same-day closing bench with BOTH start
@@ -733,6 +787,13 @@ def main() -> None:
         "n_queries": len(timings),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "host_sentinel": host_sentinel,
+        # the start-gate's retry evidence (VERDICT r10 item 4): one
+        # grade string per probe; exhausted=true means the timed loop
+        # ran in a non-healthy window after all retries — treat every
+        # apparent regression in this snapshot as host-attributable
+        # until reproduced in a healthy window
+        "sentinel_attempts": sentinel_attempts,
+        "sentinel_retries_exhausted": sentinel_exhausted,
         "bracket_pre": bracket_pre,
         "bracket_post": bracket_post,
         "bracket_ok": bracket_ok,

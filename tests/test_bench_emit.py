@@ -149,3 +149,74 @@ def test_sentinel_probe_failure_still_parses():
     detail["host_sentinel"] = {"error": "probe timeout"}
     out = json.loads(bench.build_stdout_line(detail, timings))
     assert out["sentinel_grade"] == "probe timeout"
+
+
+def test_gated_sentinel_retries_until_healthy(monkeypatch):
+    """VERDICT r10 item 4: the snapshot path must WAIT for a healthy
+    window (bounded retries), not just label a degraded one."""
+    grades = iter(
+        [{"grade": "degraded-io"}, {"grade": "marginal-io"}, {"grade": "healthy"}]
+    )
+    monkeypatch.setattr(bench, "probe_host_sentinel", lambda: next(grades))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setenv("BENCH_SENTINEL_RETRIES", "6")
+    monkeypatch.setenv("BENCH_SENTINEL_WAIT_SEC", "0")
+    monkeypatch.delenv("BENCH_SUBSET", raising=False)
+    final, attempts, exhausted = bench.gated_host_sentinel()
+    assert final["grade"] == "healthy"
+    assert attempts == ["degraded-io", "marginal-io", "healthy"]
+    assert exhausted is False
+
+
+def test_gated_sentinel_exhaustion_labels_and_proceeds(monkeypatch):
+    """After N non-healthy probes the bench proceeds but the snapshot
+    carries the explicit exhausted label."""
+    monkeypatch.setattr(
+        bench, "probe_host_sentinel", lambda: {"grade": "degraded-io"}
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setenv("BENCH_SENTINEL_RETRIES", "2")
+    monkeypatch.setenv("BENCH_SENTINEL_WAIT_SEC", "0")
+    monkeypatch.delenv("BENCH_SUBSET", raising=False)
+    final, attempts, exhausted = bench.gated_host_sentinel()
+    assert final["grade"] == "degraded-io"
+    assert attempts == ["degraded-io"] * 3
+    assert exhausted is True
+
+
+def test_gated_sentinel_probe_error_does_not_retry(monkeypatch):
+    """A probe ERROR (broken tool, missing fixture) is not a window
+    problem retrying can fix — label it and proceed immediately."""
+    calls = []
+    monkeypatch.setattr(
+        bench,
+        "probe_host_sentinel",
+        lambda: calls.append(1) or {"error": "probe timeout"},
+    )
+    monkeypatch.setenv("BENCH_SENTINEL_RETRIES", "5")
+    monkeypatch.delenv("BENCH_SUBSET", raising=False)
+    final, attempts, exhausted = bench.gated_host_sentinel()
+    assert final == {"error": "probe timeout"}
+    assert len(calls) == 1 and exhausted is False
+
+
+def test_gated_sentinel_subset_defaults_to_no_retry(monkeypatch):
+    """BENCH_SUBSET is the fast plumbing smoke — it must not sit in a
+    retry loop waiting for measurement-grade I/O."""
+    monkeypatch.setattr(
+        bench, "probe_host_sentinel", lambda: {"grade": "degraded-io"}
+    )
+    monkeypatch.setenv("BENCH_SUBSET", "tpch_q6")
+    monkeypatch.delenv("BENCH_SENTINEL_RETRIES", raising=False)
+    final, attempts, exhausted = bench.gated_host_sentinel()
+    assert attempts == ["degraded-io"] and exhausted is True
+
+
+def test_retry_evidence_survives_into_stdout_line():
+    timings = {"profiler_e2e": 4.3}
+    detail = _detail(timings, bench.SCALING_EVIDENCE)
+    detail["sentinel_attempts"] = ["degraded-io", "healthy"]
+    detail["sentinel_retries_exhausted"] = False
+    out = json.loads(bench.build_stdout_line(detail, timings))
+    assert out["sentinel_attempts"] == ["degraded-io", "healthy"]
+    assert out["sentinel_retries_exhausted"] is False

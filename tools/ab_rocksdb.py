@@ -119,15 +119,22 @@ def main() -> None:
                 "all_runs": times,
                 "confs": confs,
                 "bracket_clean": clean,
-                "attempts": attempt,
-                "pre": pre,
-                "post": post,
+                # one bracket entry PER measurement that contributes
+                # to the min (ADVICE r10): the end-of-session base
+                # re-measure must not overwrite the first base run's
+                # sentinel evidence — the published record shows a
+                # bracket pair for every run in all_runs
+                "brackets": [
+                    {"attempts": attempt, "clean": clean,
+                     "pre": pre, "post": post}
+                ],
             }
             if name in out:  # the end-of-session base re-measure
                 prior = out[name]
                 rec["all_runs"] = prior["all_runs"] + times
                 rec["sec"] = min(prior["sec"], rec["sec"])
                 rec["bracket_clean"] = prior["bracket_clean"] and clean
+                rec["brackets"] = prior["brackets"] + rec["brackets"]
             out[name] = rec
             print(
                 f"# {name}: min {out[name]['sec']}s of "
