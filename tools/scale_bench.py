@@ -107,6 +107,14 @@ FLAGSHIPS = [
     # both claims are exactly what the decade ladder exists to verify
     "events_pattern",
     "profile_benford",
+    # 21st curve (r11): the most expensive driver-bench query without
+    # one — the full leakage-safe corpus split (LSH near-dup pairs ->
+    # connected components -> component-atomic train/val/test
+    # assignment in ONE query). Its 100 TB claim is that every join
+    # is bucketed and the iterative CC jobs carry linear payloads;
+    # the decade ladder is what verifies that claim instead of
+    # restating it
+    "corpus_split_leakage_safe",
 ]
 POINTS = [
     ("sf0.01", "/root/testdata/sf0.01"),
