@@ -273,7 +273,7 @@ NOISY = {
 }
 
 
-# Measured scale evidence: the 21-flagship five-point table of
+# Measured scale evidence: the 22-flagship five-point table of
 # record (sweep graded healthy by tools/host_sentinel.py; see
 # "method"/"note" and SCALING.md "Unified process-isolated curve
 # table" + "The profiler sf10 cliff"). Measured 2026-08-15
@@ -281,7 +281,7 @@ NOISY = {
 # tests can round-trip the stdout emit path over the REAL table
 # without running the 186-query loop (VERDICT r08 item 1).
 SCALING_EVIDENCE = {
-    "method": "tools/scale_bench.py 3 (r07 isolation methodology + r08 per-point sentinel brackets; the corpus_budget_select row is the r08-added 16th curve, measured healthy-start with all five points bracket-clean the round its algorithm changed; the profile_fd row is the r09-added 17th curve and the events_stream_sessionize_tws and corpus_budget_select rows were re-measured r09 (all points bracket-clean, healthy starts) the round their algorithms changed (timer strategy; ADVICE determinism guards); the text_bpe row is the r10-added 18th curve, first-measured (healthy start, cold 2.26 GB/s, all five points bracket-clean) the round its encode route changed from a driver-side vocab dictionary to the distributed mapInPandas-over-distinct-words + join-back plan; the events_pattern and profile_benford rows are the r10-added 19th/20th curves (healthy starts, cold 2.60/2.52 GB/s, all points bracket-clean) — first curves for the two r09 operators that had none; the corpus_split_leakage_safe row is the r11-added 21st curve (healthy start, cold 2.0 GB/s, all five points bracket-clean, first gated attempt) — the most expensive driver-bench query that had no curve: LSH near-dup pairs -> exact-Jaccard verify -> contraction connected components -> cluster-keyed md5-interval split in ONE query; its negative sf5->sf10 segment (-0.813) is the same candidate-volume fixture effect documented for dedup_collapse (word-salted copies keep the near-dup RATE constant but not the candidate-pair count), not measurement error; process-per-flagship, min-of-3 per point, spark.catalog.clearCache() between points, BOTH sessionizers through streaming noop sinks); points sf0.01/sf0.1 (driver fixtures) and sf1/sf5/sf10 (10x/50x/100x up-samples of sf0.1 via tools/scale_fixture.py -- keys id-shifted so cardinality scales, documents text word-salted per copy so the near-dup rate is scale-invariant). Since late r07 EVERY flagship runs the full five-point decade ladder, and the sweep runs tools/host_sentinel.py FIRST and embeds its grade: this table's sweep was graded healthy (cold sequential reads 1.661 GB/s, warm 5.062, cpu probe 1.32 s). A sweep whose sentinel is not healthy must not become the table of record -- r07 caught a degraded-I/O window (cold reads 0.03-0.14 GB/s, page cache reclaimed aggressively) that inflated scan-heavy points up to ~4x with 2-5x run variance; that first sweep was discarded, deliberately uncommitted. exponent = dlog10(t)/dlog10(data) per segment; 1.0 is linear-in-data.",
+    "method": "tools/scale_bench.py 3 (r07 isolation methodology + r08 per-point sentinel brackets; the corpus_budget_select row is the r08-added 16th curve, measured healthy-start with all five points bracket-clean the round its algorithm changed; the profile_fd row is the r09-added 17th curve and the events_stream_sessionize_tws and corpus_budget_select rows were re-measured r09 (all points bracket-clean, healthy starts) the round their algorithms changed (timer strategy; ADVICE determinism guards); the text_bpe row is the r10-added 18th curve, first-measured (healthy start, cold 2.26 GB/s, all five points bracket-clean) the round its encode route changed from a driver-side vocab dictionary to the distributed mapInPandas-over-distinct-words + join-back plan; the events_pattern and profile_benford rows are the r10-added 19th/20th curves (healthy starts, cold 2.60/2.52 GB/s, all points bracket-clean) — first curves for the two r09 operators that had none; the corpus_split_leakage_safe row is the r11-added 21st curve (healthy start, cold 2.0 GB/s, all five points bracket-clean, first gated attempt) — the most expensive driver-bench query that had no curve: LSH near-dup pairs -> exact-Jaccard verify -> contraction connected components -> cluster-keyed md5-interval split in ONE query; its negative sf5->sf10 segment (-0.813) is the same candidate-volume fixture effect documented for dedup_collapse (word-salted copies keep the near-dup RATE constant but not the candidate-pair count), not measurement error; the sim_ivf_kmeans row is the r11-added 22nd curve (healthy start, second gated attempt after an sf1 bracket contamination, all five points bracket-clean) — the second ANN scale path: two spherical-k-means Lloyd iterations (broadcast k x dim centroid state, map-side partial sums) + nprobe=2 cell-probed top-k; flat through sf1 (job-scheduling floor), tail 0.308 = the assignment scan itself; process-per-flagship, min-of-3 per point, spark.catalog.clearCache() between points, BOTH sessionizers through streaming noop sinks); points sf0.01/sf0.1 (driver fixtures) and sf1/sf5/sf10 (10x/50x/100x up-samples of sf0.1 via tools/scale_fixture.py -- keys id-shifted so cardinality scales, documents text word-salted per copy so the near-dup rate is scale-invariant). Since late r07 EVERY flagship runs the full five-point decade ladder, and the sweep runs tools/host_sentinel.py FIRST and embeds its grade: this table's sweep was graded healthy (cold sequential reads 1.661 GB/s, warm 5.062, cpu probe 1.32 s). A sweep whose sentinel is not healthy must not become the table of record -- r07 caught a degraded-I/O window (cold reads 0.03-0.14 GB/s, page cache reclaimed aggressively) that inflated scan-heavy points up to ~4x with 2-5x run variance; that first sweep was discarded, deliberately uncommitted. exponent = dlog10(t)/dlog10(data) per segment; 1.0 is linear-in-data.",
     "sec": {
         "profiler_e2e": {
             "sf0.01": 3.656,
@@ -429,6 +429,13 @@ SCALING_EVIDENCE = {
             "sf1": 5.471,
             "sf5": 13.238,
             "sf10": 7.537
+        },
+        "sim_ivf_kmeans": {
+            "sf0.01": 2.385,
+            "sf0.1": 3.072,
+            "sf1": 3.032,
+            "sf5": 9.042,
+            "sf10": 11.196
         }
     },
     "exponent_sf0.01_to_sf0.1": {
@@ -452,7 +459,8 @@ SCALING_EVIDENCE = {
         "text_bpe": -0.043,
         "events_pattern": -0.023,
         "profile_benford": 0.241,
-        "corpus_split_leakage_safe": -0.039
+        "corpus_split_leakage_safe": -0.039,
+        "sim_ivf_kmeans": 0.11
     },
     "exponent_sf0.1_to_sf1": {
         "profiler_e2e": 0.218,
@@ -475,7 +483,8 @@ SCALING_EVIDENCE = {
         "text_bpe": 0.14,
         "events_pattern": 0.002,
         "profile_benford": 0.06,
-        "corpus_split_leakage_safe": 0.223
+        "corpus_split_leakage_safe": 0.223,
+        "sim_ivf_kmeans": -0.006
     },
     "exponent_sf1_to_sf5": {
         "profiler_e2e": 0.816,
@@ -498,7 +507,8 @@ SCALING_EVIDENCE = {
         "text_bpe": 0.568,
         "events_pattern": 0.444,
         "profile_benford": 0.833,
-        "corpus_split_leakage_safe": 0.549
+        "corpus_split_leakage_safe": 0.549,
+        "sim_ivf_kmeans": 0.679
     },
     "exponent_sf5_to_sf10": {
         "profiler_e2e": 0.974,
@@ -521,7 +531,8 @@ SCALING_EVIDENCE = {
         "text_bpe": 0.67,
         "events_pattern": 0.738,
         "profile_benford": 0.73,
-        "corpus_split_leakage_safe": -0.813
+        "corpus_split_leakage_safe": -0.813,
+        "sim_ivf_kmeans": 0.308
     },
     "note": "r07 five-point table of record (15 curves incl. the transformWithStateInPandas sessionizer, measured head-to-head vs the legacy state API on identical noop-sink drains: ~1.5x constant factor, parallel curves, tails 0.817 vs 0.792 -- the RPC-count hypothesis was A/B-refuted, 40.5->41.7 s at sf5 after trimming 3 of ~7 per-key round-trips, so the factor is state-server serialization + RocksDB maintenance). The sweep found ONE super-linear segment and it was real: profiler_e2e e(5->10)=2.125 (21.0->91.5 s), root-caused via event-log stage metrics to the melt's per-task partial-agg hash map outgrowing its execution-memory share (stage CPU 319->1065 s, GC 13.8->36.4 s, spill 0->1 GB, shuffle output FLAT ~1 GB) and fixed structurally: ensure_parallelism(expansion=n_columns) sizes task count by source_bytes x expansion / 128 MB (floor cores, cap 64x cores) -- SCALING.md 'The profiler sf10 cliff'. The profiler row carries the post-fix measurements (probe_point, fresh process per point, same day; e(5->10)=0.97, sf10 1.85x faster); the owed in-harness re-measure LANDED in r08 with per-point brackets (healthy-start sweep: sf0.01 3.59 / sf0.1 4.04 / sf1 9.06 / sf10 58.6 s all bracket-clean; pre-fix e(5->10)=2.125 cliff confirmed gone in-harness) and the last owed point CLOSED in r09: sf5 = 34.25 s bracket-clean in a healthy-start window (gated single-point re-measure), completing the in-harness curve at every point -- SCALING.md 'In-harness profiler sf5: CLOSED'. Negative tails (dedup_collapse, dedup_incremental, drift_ks) are candidate-volume effects of the shape-preserving fixture (constant near-dup rate), not measurement error. drift_ks caveat unchanged: the curve proves the distinct-not-rows shuffle shape, not the continuous-column worst case (quantize-first or binned profile_drift documented out)."
 }

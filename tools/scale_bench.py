@@ -115,6 +115,15 @@ FLAGSHIPS = [
     # the decade ladder is what verifies that claim instead of
     # restating it
     "corpus_split_leakage_safe",
+    # 22nd curve (r11): the SECOND ANN scale path. sim_ann_lsh's
+    # curve covers the hyperplane-LSH route; this one prices the
+    # production IVF layout end-to-end — spherical-k-means centroid
+    # refinement (two Lloyd iterations: k x dim broadcast state,
+    # map-side partial sums) + nprobe=2 cell-probed top-k. Its 100 TB
+    # claim is that train+probe cost scales with data x k, never
+    # data x data: assignment is a broadcast-centroid projection and
+    # the probe join is cell-bucketed
+    "sim_ivf_kmeans",
 ]
 POINTS = [
     ("sf0.01", "/root/testdata/sf0.01"),
