@@ -8553,7 +8553,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (c) up to 4 changed-operator carriers for whatever else r12
     # touches. 43 + 2 + 1 = 46 <= 50 holds; the three no-oracle
     # error-report companions (r10 rows) stay legal through r13's
-    # floor r10 and rotate there.
+    # floor r10 and rotate there. Drift insurance: ALL 189 registered
+    # queries were re-verified against their DuckDB oracles at sf0.01
+    # in r11 with 0 failures (tools/check_oracles.py, four cohort
+    # runs: the 50-query window, the 43-query r08 remainder, the
+    # 46-query r09 group, the 50-query r10 group) — so the r12 and
+    # r13 rotations both start from a whole-registry green baseline.
     return {
         # -- r07 stale cohort: the closing gate's enumerated list,
         # prior relative order preserved
