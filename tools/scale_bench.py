@@ -124,6 +124,24 @@ FLAGSHIPS = [
     # data x data: assignment is a broadcast-centroid projection and
     # the probe join is cell-bucketed
     "sim_ivf_kmeans",
+    # 23rd/24th flagships, REGISTERED r11 with first measurement
+    # OWED (r12): the as-of (point-in-time) join — the custom
+    # operator family with no curve; claim: one hash shuffle on the
+    # key + window sorts, so it scales like a sort of the event
+    # volume, never like a join enumeration — and edit-distance
+    # entity resolution via q-gram blocking
+    # (ext/fuzzy.edit_distance_join); claim: gram equi-join + exact
+    # residual, never a cartesian — candidate volume grows with the
+    # gram-collision rate, not n^2 (the documented _bruteforce path
+    # is eval-only and NOT what this measures). r11's closing hours
+    # sat in a persistent degraded-io window (sentinel logs: >40 min
+    # of degraded/marginal probes after the full-suite run), so both
+    # gated curve attempts exhausted without a healthy start; per the
+    # healthy-window-only rule neither was measured through the bad
+    # window. Neither has a SCALING_EVIDENCE row yet — run
+    # tools/curve_retry_loop.sh for each in r12 and add the rows.
+    "asof_join",
+    "fuzzy_join",
 ]
 POINTS = [
     ("sf0.01", "/root/testdata/sf0.01"),
