@@ -632,7 +632,7 @@ def probe_host_sentinel() -> dict:
         return {"error": str(exc)}
 
 
-def gated_host_sentinel() -> tuple[dict, list, bool]:
+def gated_host_sentinel() -> tuple[dict, list, bool, int]:
     """Probe the host window, RETRYING until it grades healthy
     (VERDICT r10 item 4): two consecutive driver snapshots (r09, r10)
     ran ``degraded-io`` and produced 4-5x phantom regressions that
@@ -649,11 +649,34 @@ def gated_host_sentinel() -> tuple[dict, list, bool]:
     snapshot outright. Under ``BENCH_SUBSET`` (the fast smoke path)
     retries default to 0 — a smoke verifies plumbing, not timings.
 
-    Returns ``(final_grade_dict, [grade_str per attempt], exhausted)``.
+    Returns ``(final_grade_dict, [grade_str per attempt], exhausted,
+    retry_budget)`` — the budget rides in the snapshot so downstream
+    adjudication can tell a retries=0-by-design smoke (BENCH_SUBSET)
+    from a genuinely exhausted measurement gate.
     """
     default_retries = "0" if os.environ.get("BENCH_SUBSET") else "6"
-    retries = int(os.environ.get("BENCH_SENTINEL_RETRIES", default_retries))
-    wait_sec = float(os.environ.get("BENCH_SENTINEL_WAIT_SEC", "120"))
+    # env parsing degrades to the defaults instead of aborting: the
+    # sentinel is advisory (probe errors elsewhere are caught), so a
+    # malformed env var must not kill the bench before measurement
+    try:
+        retries = int(os.environ.get("BENCH_SENTINEL_RETRIES", default_retries))
+    except ValueError:
+        print(
+            "# bad BENCH_SENTINEL_RETRIES "
+            f"{os.environ.get('BENCH_SENTINEL_RETRIES')!r}; "
+            f"using default {default_retries}",
+            file=sys.stderr,
+        )
+        retries = int(default_retries)
+    try:
+        wait_sec = float(os.environ.get("BENCH_SENTINEL_WAIT_SEC", "120"))
+    except ValueError:
+        print(
+            "# bad BENCH_SENTINEL_WAIT_SEC "
+            f"{os.environ.get('BENCH_SENTINEL_WAIT_SEC')!r}; using 120",
+            file=sys.stderr,
+        )
+        wait_sec = 120.0
     grades: list = []
     host_sentinel: dict = {}
     for attempt in range(retries + 1):
@@ -661,11 +684,11 @@ def gated_host_sentinel() -> tuple[dict, list, bool]:
         grade = host_sentinel.get("grade") or host_sentinel.get("error")
         grades.append(grade)
         if grade == "healthy":
-            return host_sentinel, grades, False
+            return host_sentinel, grades, False, retries
         # a probe ERROR is not a window problem retrying can fix
         # (missing fixture, broken tool) — label and proceed
         if "grade" not in host_sentinel:
-            return host_sentinel, grades, False
+            return host_sentinel, grades, False, retries
         if attempt < retries:
             print(
                 f"# sentinel {grade}; retry {attempt + 1}/{retries} "
@@ -673,7 +696,7 @@ def gated_host_sentinel() -> tuple[dict, list, bool]:
                 file=sys.stderr,
             )
             time.sleep(wait_sec)
-    return host_sentinel, grades, True
+    return host_sentinel, grades, True, retries
 
 
 def main() -> None:
@@ -687,7 +710,7 @@ def main() -> None:
     # round-over-round comparisons can exclude contaminated benches
     # instead of mis-attributing swings, and since r11 the snapshot
     # WAITS (bounded) for a healthy window instead of only labeling
-    host_sentinel, sentinel_attempts, sentinel_exhausted = (
+    host_sentinel, sentinel_attempts, sentinel_exhausted, sentinel_budget = (
         gated_host_sentinel()
     )
     # per-BENCH bracketing (VERDICT r07 item 1): the start sentinel
@@ -816,6 +839,7 @@ def main() -> None:
         # until reproduced in a healthy window
         "sentinel_attempts": sentinel_attempts,
         "sentinel_retries_exhausted": sentinel_exhausted,
+        "sentinel_retry_budget": sentinel_budget,
         "bracket_pre": bracket_pre,
         "bracket_post": bracket_post,
         "bracket_ok": bracket_ok,

@@ -101,6 +101,7 @@ def main() -> None:
         for k, v in confs.items():
             spark.conf.set(k, v)
         try:
+            attempt_brackets = []
             for attempt in (1, 2):
                 pre = HS.probe_quick()
                 best, times = float("inf"), []
@@ -112,6 +113,16 @@ def main() -> None:
                     best = min(best, dt)
                 post = HS.probe_quick()
                 clean = HS.brackets_agree(pre, post)
+                # every attempt's probes ride in the record (ADVICE
+                # r11): a dirty first bracket forces a retry whose
+                # runs replace the dirty ones, but its sentinel
+                # evidence must still be published — otherwise
+                # attempts=2 with a single bracket pair under-reports
+                # what the harness saw within this measurement block
+                attempt_brackets.append(
+                    {"attempt": attempt, "clean": clean,
+                     "runs": list(times), "pre": pre, "post": post}
+                )
                 if clean:
                     break
             rec = {
@@ -119,15 +130,12 @@ def main() -> None:
                 "all_runs": times,
                 "confs": confs,
                 "bracket_clean": clean,
-                # one bracket entry PER measurement that contributes
-                # to the min (ADVICE r10): the end-of-session base
-                # re-measure must not overwrite the first base run's
-                # sentinel evidence — the published record shows a
-                # bracket pair for every run in all_runs
-                "brackets": [
-                    {"attempts": attempt, "clean": clean,
-                     "pre": pre, "post": post}
-                ],
+                # one bracket entry PER attempt, dirty retries
+                # included (ADVICE r10 + r11): the end-of-session
+                # base re-measure must not overwrite the first base
+                # run's sentinel evidence, and a dirty first attempt
+                # must not vanish behind its clean retry
+                "brackets": attempt_brackets,
             }
             if name in out:  # the end-of-session base re-measure
                 prior = out[name]
