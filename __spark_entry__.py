@@ -3890,6 +3890,131 @@ FROM est e JOIN ex ON e.doc_id = ex.doc_id AND e.doc_id2 = ex.doc_id2
 )
 
 
+def q_dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash cluster-dedup precision/recall, measured not assumed
+    (ext/dedup.cluster_dedup_report — the r12 growth candidate
+    extending ``dedup_minhash_estimate`` from per-pair estimator
+    error to the DECISION level): at each threshold the sketch-only
+    predicted duplicate set (LSH candidates with signature agreement
+    >= t) is scored against the exact shingle-Jaccard truth set, as
+    pairs (precision/recall) and as clusters (tree-contraction
+    connected components over both graphs: cluster counts and how
+    many docs a collapse would drop). The oracle replays signatures,
+    candidates, both pair sets, and BOTH transitive closures
+    (recursive CTEs) hash-exactly. The predicted side is the
+    production bucketed path; the exact side is the audit baseline,
+    sample-bounded at web scale like the other recall reports."""
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return X_dedup.cluster_dedup_report(
+        docs, "text", "doc_id", thresholds=(0.25, 0.5, 0.75)
+    )
+
+
+def _cluster_report_oracle(thresholds: tuple[float, ...]) -> str:
+    """Build the dedup_cluster_report oracle: the minhash/candidate/
+    est CTEs from the estimator oracle, the exact-Jaccard truth
+    relation, and per-(side, threshold) recursive-CTE transitive
+    closures for the cluster counts."""
+    tmin = min(thresholds)
+    cc, rows = [], []
+    for i, t in enumerate(thresholds):
+        for side, col in (("p", "est"), ("t", "jac")):
+            cc.append(f"""
+e_{side}{i} AS (
+  SELECT doc_id AS a, doc_id2 AS b FROM scored WHERE {col} >= {t}
+),
+sym_{side}{i} AS (
+  SELECT a, b FROM e_{side}{i} UNION SELECT b, a FROM e_{side}{i}
+),
+reach_{side}{i} AS (
+  SELECT DISTINCT a AS v, a AS u FROM sym_{side}{i}
+  UNION
+  SELECT r.v, s.b AS u FROM reach_{side}{i} r JOIN sym_{side}{i} s ON s.a = r.u
+),
+comp_{side}{i} AS (
+  SELECT v, min(u) AS lbl FROM reach_{side}{i} GROUP BY v
+),
+cs_{side}{i} AS (
+  SELECT count(DISTINCT lbl) AS n_clusters, count(*) AS n_dup FROM comp_{side}{i}
+)""")
+        rows.append(f"""
+SELECT CAST({t} AS DOUBLE) AS threshold,
+  (SELECT count(*) FROM scored WHERE est >= {t}) AS n_pred_pairs,
+  (SELECT count(*) FROM scored WHERE jac >= {t}) AS n_true_pairs,
+  (SELECT count(*) FROM scored WHERE est >= {t} AND jac >= {t}) AS n_hit_pairs,
+  CASE WHEN (SELECT count(*) FROM scored WHERE est >= {t}) = 0 THEN 1.0
+       ELSE floor((SELECT count(*) FROM scored WHERE est >= {t} AND jac >= {t})
+                  / CAST((SELECT count(*) FROM scored WHERE est >= {t}) AS DOUBLE)
+                  * 1000000) / 1000000
+  END AS pair_precision,
+  CASE WHEN (SELECT count(*) FROM scored WHERE jac >= {t}) = 0 THEN 1.0
+       ELSE floor((SELECT count(*) FROM scored WHERE est >= {t} AND jac >= {t})
+                  / CAST((SELECT count(*) FROM scored WHERE jac >= {t}) AS DOUBLE)
+                  * 1000000) / 1000000
+  END AS pair_recall,
+  (SELECT coalesce(max(n_clusters), 0) FROM cs_p{i}) AS n_pred_clusters,
+  (SELECT coalesce(max(n_dup - n_clusters), 0) FROM cs_p{i}) AS n_pred_collapsed,
+  (SELECT coalesce(max(n_clusters), 0) FROM cs_t{i}) AS n_true_clusters,
+  (SELECT coalesce(max(n_dup - n_clusters), 0) FROM cs_t{i}) AS n_true_collapsed
+""")
+    return (
+        "WITH RECURSIVE "
+        + _MINHASH_CTE
+        + """,
+bnd AS (
+  SELECT doc_id, CAST(hash_id // 2 AS INT) AS band,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS bucket
+  FROM m GROUP BY doc_id, CAST(hash_id // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b2.doc_id AS doc_id2
+  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                        AND a.doc_id < b2.doc_id
+),
+est AS (
+  SELECT c.doc_id, c.doc_id2,
+         sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / 8.0 AS e
+  FROM cand c
+  JOIN m ma ON ma.doc_id = c.doc_id
+  JOIN m mb ON mb.doc_id = c.doc_id2 AND mb.hash_id = ma.hash_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS doc_id, s2.doc_id AS doc_id2, count(*) AS n_inter
+  FROM sh s1 JOIN sh s2 ON s2.shingle = s1.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+),
+tru AS (
+  SELECT doc_id, doc_id2, jaccard FROM (
+    SELECT i.doc_id, i.doc_id2,
+           floor(i.n_inter / CAST(a.sz + b.sz - i.n_inter AS DOUBLE)
+                 * 1000000) / 1000000 AS jaccard
+    FROM inter i
+    JOIN sizes a ON i.doc_id = a.doc_id
+    JOIN sizes b ON i.doc_id2 = b.doc_id
+  ) WHERE jaccard >= """
+        + str(tmin)
+        + """
+),
+scored AS (
+  SELECT coalesce(e.doc_id, t.doc_id) AS doc_id,
+         coalesce(e.doc_id2, t.doc_id2) AS doc_id2,
+         coalesce(e.e, -1.0) AS est,
+         coalesce(t.jaccard, 0.0) AS jac
+  FROM est e FULL OUTER JOIN tru t
+    ON e.doc_id = t.doc_id AND e.doc_id2 = t.doc_id2
+),"""
+        + ",".join(cc)
+        + "\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY threshold"
+    )
+
+
+_DEDUP_CLUSTER_REPORT_ORACLE = _cluster_report_oracle((0.25, 0.5, 0.75))
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-overlap matrix (ext/corpus.source_overlap):
     distinct-shingle Jaccard + both containments per source pair —
@@ -6574,6 +6699,115 @@ FROM best
 """
 
 
+#: Fixed merge table for the fertility report. Chosen so that (a)
+#: sequential rank-order application == the iterative lowest-rank
+#: encode (no rule's product equals a LATER rule's operand, so later
+#: merges can never create earlier-rule pairs), which is what lets a
+#: chain of per-rule list folds replicate the encode exactly in SQL;
+#: (b) the pairs are high-frequency English digraphs, so the report
+#: exercises real merging on the fixture corpus. Property-tested
+#: against the iterative reference on adversarial words
+#: (tests/test_text.py).
+_BPE_REPORT_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"),
+    ("e", "r"), ("r", "e"), ("a", "t"), ("e", "s"), ("o", "r"),
+]
+
+
+def q_text_bpe_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report (ext/text.bpe_fertility_report —
+    the r12 growth candidate on the r10-distributed encode): given a
+    FIXED merge table (the standard eval setting: a trained tokenizer
+    measured on a corpus), the EXACT corpus token total under the
+    iterative BPE encode plus the derived fertility metrics
+    (tokens/word, chars/token, tokens/doc, whole-word rate) and
+    vocabulary-usage counts. Unlike ``text_bpe`` (which pins bounds
+    because its merges are corpus-learned and training is not
+    SQL-expressible), the fixed table makes the FULL encode
+    oracle-exact: the oracle re-encodes every distinct word with one
+    left-to-right list fold per merge rule — equivalent to the
+    iterative lowest-rank encode for this table by construction (see
+    ``_BPE_REPORT_MERGES``). Throughput is measured in the scale
+    harness, never hashed."""
+    from lakehouse_tools_spark.ext.text import bpe_fertility_report
+
+    docs = load_table(_spark(spark), sf_dir, "documents")
+    return bpe_fertility_report(docs, "text", "doc_id", _BPE_REPORT_MERGES)
+
+
+def _bpe_report_oracle(merges: list[tuple[str, str]]) -> str:
+    """DuckDB twin of the fixed-table BPE encode: chars -> one
+    ``list_reduce`` fold per merge rule over the chr(31)-separated
+    token string (tokens never contain the separator), then
+    vocabulary-level aggregation weighted by word counts."""
+    sep = "chr(31)"
+    folds = []
+    prev = "s0"
+    for idx, (a, b) in enumerate(merges, start=1):
+        cur = f"s{idx}"
+        folds.append(f"""
+e{idx} AS (
+  SELECT w, c, list_reduce(string_split({prev}, {sep}),
+    (acc, x) -> CASE WHEN (acc = '{a}' OR ends_with(acc, {sep} || '{a}'))
+                      AND x = '{b}'
+                     THEN acc || '{b}'
+                     ELSE acc || {sep} || x END) AS {cur}
+  FROM e{idx - 1}
+)""")
+        prev = cur
+    norm = _NORM_SQL.format(c="text")
+    return f"""
+WITH words AS (
+  SELECT w FROM (
+    SELECT unnest(string_split({norm}, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w),
+e0 AS (
+  SELECT w, c,
+         array_to_string(list_transform(generate_series(1, length(w)),
+                                        i -> substring(w, i, 1)), {sep}) AS s0
+  FROM wc
+),{",".join(folds)}
+,
+fin AS (
+  SELECT w, c, string_split({prev}, {sep}) AS toks FROM e{len(merges)}
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct_words,
+         CAST(sum(length(w) * c) AS BIGINT) AS n_chars,
+         CAST(sum(len(toks) * c) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN len(toks) = 1 THEN c ELSE 0 END) AS BIGINT)
+           AS n_single
+  FROM fin
+),
+dt AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+  FROM (SELECT unnest(toks) AS tok FROM fin)
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT nd.n_docs, tot.n_words, tot.n_distinct_words, tot.n_chars,
+       tot.n_tokens, dt.n_distinct_tokens,
+       CASE WHEN tot.n_words > 0
+            THEN floor(tot.n_tokens / CAST(tot.n_words AS DOUBLE)
+                       * 1000000) / 1000000 END AS fertility,
+       CASE WHEN tot.n_tokens > 0
+            THEN floor(tot.n_chars / CAST(tot.n_tokens AS DOUBLE)
+                       * 1000000) / 1000000 END AS chars_per_token,
+       CASE WHEN nd.n_docs > 0
+            THEN floor(tot.n_tokens / CAST(nd.n_docs AS DOUBLE)
+                       * 1000000) / 1000000 END AS tokens_per_doc,
+       CASE WHEN tot.n_words > 0
+            THEN floor(tot.n_single / CAST(tot.n_words AS DOUBLE)
+                       * 1000000) / 1000000 END AS whole_word_rate
+FROM tot, dt, nd
+"""
+
+
+_TEXT_BPE_REPORT_ORACLE = _bpe_report_oracle(_BPE_REPORT_MERGES)
+
+
 def q_text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary table: top-200 words by document frequency
     and total count (deterministic tiebreak) — the frequency table a
@@ -8511,116 +8745,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver correctness snapshot, which records the
-    # FIRST ~50 entries only. Round-11 window (VERDICT r10 items #1,
-    # #2, #5 + the scripted staleness floor in tools/closing_gate.py,
-    # floor r08 this round): positions 1-48 are the FULL 48-query r07
-    # stale cohort the closing gate enumerates (pre-verified against
-    # its oracles at sf0.01 in r10 with 0 failures, so the rotation
-    # carries no drift risk); position 49 refreshes pca_error_report
-    # (the no-oracle companion for sim_pca, sitting at r09 — legal at
-    # floor r08 but illegal at r12's floor r09; refreshing it HERE
-    # keeps all four companions <=2 rounds old through r12 without
-    # costing an r12 slot, VERDICT r10 item #5); position 50
-    # pre-rotates sim_recall_report from the r08 cohort — it trims
-    # r12's mandatory load to 43 AND satisfies the freeze gate's
-    # standing constraint on rotation rounds: freeze_gate's
-    # best-effort name resolution links the 8 q_sim_* functions that
-    # bind a LOCAL variable named ``queries`` to this def, so any
-    # round that edits queries() (every rotation round) must carry
-    # one of those 8 in-window. 48 + 1 + 1 = 50: zero
-    # spare slots, so r11 is a rotation+hardening round — its only
-    # package-source changes are freeze-gate-safe by construction
-    # (session.py gains a NEW def no registered query reaches;
-    # backend.py's Delta note is re-dated, no reachable query;
-    # bench.py and tools/ are outside the gate's scope). Done-bar
-    # after this window lands: no registered query's latest driver
-    # row is older than r08 and pca_error_report carries an r11 row.
+    # FIRST ~50 entries only. Round-12 window (VERDICT r10 item #2 +
+    # the scripted staleness floor in tools/closing_gate.py, floor
+    # r09 this round): positions 1-43 are the FULL 43-query r08
+    # stale cohort the closing gate enumerates (whole-registry
+    # re-verified against its oracles at sf0.01 in r11 with 0
+    # failures, so the rotation carries no drift risk); positions
+    # 44-45 are the two r12 growth candidates scheduled by the r11
+    # plan comment — ``dedup_cluster_report`` (carrier for the new
+    # ext/dedup.cluster_dedup_report) and ``text_bpe_report``
+    # (carrier for the new ext/text.bpe_fertility_report) — whose
+    # first driver verification lands here, and whose presence makes
+    # the round's two touched operator files freeze-gate-clean by
+    # construction; positions 46-48 pre-rotate three of the eight
+    # q_sim_* freeze-gate carriers (sim_ann_lsh, sim_ann_multiprobe,
+    # sim_ivf_kmeans — all r09 rows, so they satisfy THIS round's
+    # queries()-edit constraint AND trim r13's mandatory load);
+    # positions 49-50 pre-rotate the two cheapest remaining r09 rows
+    # (corpus_split 0.18 s, events_rolling 0.29 s in the r11 healthy
+    # record). 43 + 2 + 3 + 2 = 50: zero spare slots. Done-bar after
+    # this window lands: no registered query's latest driver row is
+    # older than r09, and both growth candidates carry r12 rows.
     #
-    # r12 rotation plan (arithmetic): after r11 the rows sit at r11
-    # (the 50 below), r08 (the 43-query remainder at position 51+),
-    # r09 (46 queries), r10 (50 queries). r12's floor is r09, so the
-    # r12 window MUST contain the 43-query r08 remainder; the 7 spare
-    # slots take (a) the two growth candidates deferred from r10
-    # (a MinHash cluster-dedup precision/recall report extending
-    # dedup_minhash_estimate; a tokenizer throughput/fertility report
-    # on the now-distributed apply_bpe) whose first-verification
-    # carriers cost 2 slots and whose operator files (ext/dedup.py,
-    # ext/text.py) then need NO extra carriers because the new
-    # queries themselves are the carriers, (b) one of the 8 q_sim_*
-    # freeze-gate carriers for r12's own queries() edit (none remain
-    # in the r08 remainder now that sim_recall_report rotated here —
-    # cheapest is whichever sim_* the round touches anyway), and
-    # (c) up to 4 changed-operator carriers for whatever else r12
-    # touches. 43 + 2 + 1 = 46 <= 50 holds; the three no-oracle
-    # error-report companions (r10 rows) stay legal through r13's
-    # floor r10 and rotate there. Drift insurance: ALL 189 registered
-    # queries were re-verified against their DuckDB oracles at sf0.01
-    # in r11 with 0 failures (tools/check_oracles.py, four cohort
-    # runs: the 50-query window, the 43-query r08 remainder, the
-    # 46-query r09 group, the 50-query r10 group) — so the r12 and
-    # r13 rotations both start from a whole-registry green baseline.
+    # r13 rotation plan (arithmetic): after r12 the rows sit at r12
+    # (the 50 below), r09 (the 41-query remainder at position 51+),
+    # r10 (50), r11 (50). r13's floor is r10, so the r13 window MUST
+    # contain the 41-query r09 remainder plus the three no-oracle
+    # error-report companions sitting at r10 (quantile/summary/
+    # sketch_error_report — evidence rows for the approx trio);
+    # 41 + 3 = 44 <= 50 leaves 6 spare slots. The freeze-gate
+    # carrier for r13's own queries() edit is free: the r09
+    # remainder already contains sim_topk and sim_hard_negatives —
+    # two of the eight carriers rotate in with the mandatory load.
+    # pca_error_report carries an r11 row
+    # and stays legal through r13 (floor r10) — slot it into r14
+    # alongside the r10 cohort rotation.
     return {
-        # -- r07 stale cohort: the closing gate's enumerated list,
+        # -- r08 stale cohort: the closing gate's enumerated list,
         # prior relative order preserved
-        "pack_bins": q_pack_bins,
-        "dedup_incremental": q_dedup_incremental,
-        "source_overlap": q_source_overlap,
-        "sim_covariance": q_sim_covariance,
-        "events_stream_sessionize": q_events_stream_sessionize,
-        "sql_pipe_passthrough": q_sql_pipe_passthrough,
-        "events_json_variant": q_events_json_variant,
-        "events_stream_outer_join": q_events_stream_outer_join,
-        "events_stream_upsert": q_events_stream_upsert,
-        "events_stream_profile": q_events_stream_profile,
-        "corpus_span_dedup": q_corpus_span_dedup,
-        "multimodal_features": q_multimodal_features,
-        "table_versions": q_table_versions,
-        "asof_tolerance": q_asof_tolerance,
-        "catalog_stats": q_catalog_stats,
-        "cdc_apply": q_cdc_apply,
-        "cdc_merge_into": q_cdc_merge_into,
-        "chunk_chars": q_chunk_chars,
-        "chunk_tokens": q_chunk_tokens,
-        "corpus_decontaminate": q_corpus_decontaminate,
-        "corpus_mixture": q_corpus_mixture,
-        "corpus_prepare": q_corpus_prepare,
-        "cube_pricing": q_cube_pricing,
-        "events_json": q_events_json,
-        "events_lag_lead": q_events_lag_lead,
-        "events_pivot": q_events_pivot,
-        "events_range_join": q_events_range_join,
-        "events_sessionize": q_events_sessionize,
-        "events_sliding": q_events_sliding,
-        "events_tumbling": q_events_tumbling,
-        "events_unpivot": q_events_unpivot,
-        "multimodal_decode": q_multimodal_decode,
-        "pack_chunks": q_pack_chunks,
-        "profile_drift": q_profile_drift,
-        "profile_quantiles_exact": q_profile_quantiles_exact,
-        "sample_balanced": q_sample_balanced,
-        "sample_stratified": q_sample_stratified,
-        "scd2_customers": q_scd2_customers,
-        "snapshot_diff": q_snapshot_diff,
-        "source_binaryfile": q_source_binaryfile,
-        "source_csv_roundtrip": q_source_csv_roundtrip,
-        "source_json_roundtrip": q_source_json_roundtrip,
-        "source_orc_roundtrip": q_source_orc_roundtrip,
-        "text_fingerprints": q_text_fingerprints,
-        "text_quality": q_text_quality,
-        "text_redact": q_text_redact,
-        "text_tokens": q_text_tokens,
-        "text_vocabulary": q_text_vocabulary,
-        # -- no-oracle companion refresh (VERDICT r10 item #5)
-        "pca_error_report": q_pca_error_report,
-        # -- r08-cohort pre-rotation (trims r12; freeze-gate carrier
-        # for this round's queries() edit)
-        "sim_recall_report": q_sim_recall_report,
-        # --- position 51+: outside the ~50-entry driver snapshot
-        # window, stalest-first (r08 remainder, then r09 minus the
-        # companion refreshed above, then the r10 window
-        # freshest-last), prior relative order preserved within each
-        # round group
-        # -- latest driver row r08
         "source_python_datasource": q_source_python_datasource,
         "profiler_e2e": q_profiler_e2e,
         "profile_intended": q_profile_intended,
@@ -8664,6 +8826,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cross_contamination": q_sim_cross_contamination,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "events_interpolate": q_events_interpolate,
+        # -- r12 growth candidates (VERDICT r10 item #2): first
+        # driver verification + freeze-gate carriers for the two
+        # operator files this round touches
+        "dedup_cluster_report": q_dedup_cluster_report,
+        "text_bpe_report": q_text_bpe_report,
+        # -- r09 pre-rotation: three q_sim_* freeze-gate carriers
+        # for this round's queries() edit, then the two cheapest
+        # remaining r09 rows — all five trim r13's mandatory load
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_multiprobe": q_sim_ann_multiprobe,
+        "sim_ivf_kmeans": q_sim_ivf_kmeans,
+        "corpus_split": q_corpus_split,
+        "events_rolling": q_events_rolling,
+        # --- position 51+: outside the ~50-entry driver snapshot
+        # window, stalest-first (r09 remainder, then the r10 cohort,
+        # then the r11 window freshest-last), prior relative order
+        # preserved within each round group
         # -- latest driver row r09
         "corpus_budget_select": q_corpus_budget_select,
         "events_stream_sessionize_tws": q_events_stream_sessionize_tws,
@@ -8678,12 +8857,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_clip": q_profile_clip,
         "events_gap_fill": q_events_gap_fill,
         "events_forward_fill": q_events_forward_fill,
-        "events_rolling": q_events_rolling,
         "events_dense_impute": q_events_dense_impute,
         "profile_heavy_hitters": q_profile_heavy_hitters,
         "bloom_join_prune": q_bloom_join_prune,
         "text_repetition": q_text_repetition,
-        "corpus_split": q_corpus_split,
         "cdc_roundtrip": q_cdc_roundtrip,
         "rollup_maintenance": q_rollup_maintenance,
         "golden_records": q_golden_records,
@@ -8703,15 +8880,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "zorder_rowset": q_zorder_rowset,
         "merge_full_sync": q_merge_full_sync,
-        "sim_ivf_kmeans": q_sim_ivf_kmeans,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ann_multiprobe": q_sim_ann_multiprobe,
         "sim_neardup_lsh": q_sim_neardup_lsh,
         "sim_neardup_multiprobe": q_sim_neardup_multiprobe,
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "dedup_exact": q_dedup_exact,
         "setop_nations": q_setop_nations,
-        # -- latest driver row r10 (last round's window)
+        # -- latest driver row r10
         "text_bpe": q_text_bpe,
         "profile_fd": q_profile_fd,
         "events_pattern": q_events_pattern,
@@ -8762,6 +8936,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_error_report": q_quantile_error_report,
         "summary_error_report": q_summary_error_report,
         "sketch_error_report": q_sketch_error_report,
+        # -- latest driver row r11
+        "pack_bins": q_pack_bins,
+        "dedup_incremental": q_dedup_incremental,
+        "source_overlap": q_source_overlap,
+        "sim_covariance": q_sim_covariance,
+        "events_stream_sessionize": q_events_stream_sessionize,
+        "sql_pipe_passthrough": q_sql_pipe_passthrough,
+        "events_json_variant": q_events_json_variant,
+        "events_stream_outer_join": q_events_stream_outer_join,
+        "events_stream_upsert": q_events_stream_upsert,
+        "events_stream_profile": q_events_stream_profile,
+        "corpus_span_dedup": q_corpus_span_dedup,
+        "multimodal_features": q_multimodal_features,
+        "table_versions": q_table_versions,
+        "asof_tolerance": q_asof_tolerance,
+        "catalog_stats": q_catalog_stats,
+        "cdc_apply": q_cdc_apply,
+        "cdc_merge_into": q_cdc_merge_into,
+        "chunk_chars": q_chunk_chars,
+        "chunk_tokens": q_chunk_tokens,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_mixture": q_corpus_mixture,
+        "corpus_prepare": q_corpus_prepare,
+        "cube_pricing": q_cube_pricing,
+        "events_json": q_events_json,
+        "events_lag_lead": q_events_lag_lead,
+        "events_pivot": q_events_pivot,
+        "events_range_join": q_events_range_join,
+        "events_sessionize": q_events_sessionize,
+        "events_sliding": q_events_sliding,
+        "events_tumbling": q_events_tumbling,
+        "events_unpivot": q_events_unpivot,
+        "multimodal_decode": q_multimodal_decode,
+        "pack_chunks": q_pack_chunks,
+        "profile_drift": q_profile_drift,
+        "profile_quantiles_exact": q_profile_quantiles_exact,
+        "sample_balanced": q_sample_balanced,
+        "sample_stratified": q_sample_stratified,
+        "scd2_customers": q_scd2_customers,
+        "snapshot_diff": q_snapshot_diff,
+        "source_binaryfile": q_source_binaryfile,
+        "source_csv_roundtrip": q_source_csv_roundtrip,
+        "source_json_roundtrip": q_source_json_roundtrip,
+        "source_orc_roundtrip": q_source_orc_roundtrip,
+        "text_fingerprints": q_text_fingerprints,
+        "text_quality": q_text_quality,
+        "text_redact": q_text_redact,
+        "text_tokens": q_text_tokens,
+        "text_vocabulary": q_text_vocabulary,
+        "pca_error_report": q_pca_error_report,
+        "sim_recall_report": q_sim_recall_report,
     }
 
 
@@ -8794,6 +9019,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_quantiles_grouped": _QUANT_GROUPED_ORACLE,
         "summary_error_report": _summary_error_oracle(),
         "text_bpe": _TEXT_BPE_ORACLE,
+        "text_bpe_report": _TEXT_BPE_REPORT_ORACLE,
         "layout_report": _LAYOUT_REPORT_ORACLE,
         "quality_quarantine": _QUARANTINE_ORACLE,
         "corpus_e2e": _corpus_e2e_oracle(),
@@ -8956,6 +9182,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _dedup_incremental_oracle(),
         "source_overlap": _SOURCE_OVERLAP_ORACLE,
         "dedup_minhash_estimate": _DEDUP_MINHASH_EST_ORACLE,
+        "dedup_cluster_report": _DEDUP_CLUSTER_REPORT_ORACLE,
         "dedup_collapse": _DEDUP_COLLAPSE_ORACLE,
         "corpus_dedup_e2e": _corpus_dedup_e2e_oracle(),
         "corpus_span_dedup": _CORPUS_SPAN_DEDUP_ORACLE,

@@ -831,3 +831,214 @@ def span_dedup(
             ),
         )
     )
+
+
+def cluster_dedup_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    thresholds: tuple[float, ...] = (0.25, 0.5, 0.75),
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    k: int = 3,
+    persist: bool = True,
+) -> DataFrame:
+    """Precision/recall audit of MinHash-LSH cluster dedup against
+    exact shingle Jaccard — one row per threshold, measuring what the
+    production near-dup pipeline would actually keep and drop.
+
+    Extends the per-pair estimator audit (the ``dedup_minhash_
+    estimate`` contract) to the DECISION level: at each threshold t
+    the predicted duplicate set is {LSH candidate pairs whose
+    signature-agreement estimate >= t} — the pure sketch decision,
+    cheap enough to run without touching shingle sets again — and the
+    truth set is {pairs with exact shingle Jaccard >= t}. The report
+    carries pair precision/recall AND the cluster-level consequence:
+    connected components over each pair graph (tree-contraction
+    union-find) give the number of duplicate clusters and how many
+    documents a collapse pass would drop (``n_docs - n_clusters``),
+    predicted vs true.
+
+    Scale shape: the predicted side is the production path — banded
+    equi-join candidates, signature-agreement scoring, no all-pairs
+    anywhere. The truth side joins all pairs sharing >=1 shingle (the
+    exact audit baseline, quadratic in per-shingle doc frequency) —
+    run it on an audit sample at web scale, exactly like the recall
+    reports (``sim_recall_report`` / ``neardup_recall_report``)
+    restrict their ground truth. Vacuous ratios are defined as 1.0
+    (no predicted pairs -> precision 1; no true pairs -> recall 1) so
+    the row stays total.
+
+    CACHE OWNERSHIP: with ``persist=True`` the shingle relation, the
+    wide signatures, the scored pair relation, and the per-tag
+    cluster stats are cached (MEMORY_AND_DISK) because every
+    threshold row re-consumes them; same session-lifetime contract
+    as :func:`jaccard_pairs`.
+    """
+    from lakehouse_tools_spark.ext.graph import connected_components_contract
+
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    sh = word_shingles(df, text_col, id_col, k)
+    if persist:
+        sh = sh.persist()
+    wide = minhash_wide_from_shingles(sh, num_hashes)
+    if persist:
+        wide = wide.persist()
+    cand = lsh_candidate_pairs_wide(wide, bands, rows_per_band)
+    agree = sum(
+        (F.col(f"a._h{i}") == F.col(f"b._h{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    est = (
+        cand.join(wide.alias("a"), cand["doc_id"] == F.col("a.doc_id"))
+        .join(wide.alias("b"), cand["doc_id2"] == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("doc_id2"),
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("est"),
+        )
+    )
+    tmin = min(thresholds)
+    # truth pairs below every reported threshold are never counted on
+    # either side of a comparison, so the exact relation is built
+    # once, pre-filtered at min(thresholds)
+    tru = jaccard_pairs(sh, threshold=tmin, persist=persist).select(
+        "doc_id", "doc_id2", "jaccard"
+    )
+    scored = (
+        est.join(tru, ["doc_id", "doc_id2"], "full")
+        .select(
+            "doc_id",
+            "doc_id2",
+            # non-candidate pairs were never scored by the sketch:
+            # est=-1 keeps them below every threshold
+            F.coalesce(F.col("est"), F.lit(-1.0)).alias("est"),
+            # candidate pairs below tmin (or sharing no shingle at
+            # all) are true-negatives at every reported threshold
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+        )
+    )
+    if persist:
+        scored = scored.persist()
+
+    # ONE tree-contraction run covers every (side, threshold) graph:
+    # the contraction's cost at audit scale is its fixed level
+    # overhead (log-P mapInPandas passes), not edge volume, so six
+    # tiny per-threshold CC jobs cost ~6x one. Tagging each node with
+    # (side, threshold-index) keeps the graphs disjoint inside a
+    # single run; components can never span tags.
+    tagged = []
+    for i, t in enumerate(thresholds):
+        for side, col in (("p", "est"), ("t", "jaccard")):
+            tag = F.lit(f"{side}|{i}|")
+            tagged.append(
+                scored.filter(F.col(col) >= F.lit(float(t))).select(
+                    F.concat(tag, F.col("doc_id").cast("string")).alias(
+                        "src"
+                    ),
+                    F.concat(tag, F.col("doc_id2").cast("string")).alias(
+                        "dst"
+                    ),
+                )
+            )
+    edges_all = tagged[0]
+    for e in tagged[1:]:
+        edges_all = edges_all.unionByName(e)
+    nodes_all = (
+        edges_all.select(F.col("src").alias("_n"))
+        .unionByName(edges_all.select(F.col("dst").alias("_n")))
+        .distinct()
+    )
+    comp = connected_components_contract(
+        edges_all, nodes_all, src_col="src", dst_col="dst", id_col="_n"
+    )
+    # every tagged node is edge-incident, so every component has >=2
+    # members: cluster counts need no size filter
+    stats = (
+        comp.select(
+            F.split(F.col("_n"), "\\|", 3).alias("_parts"), "cluster_id"
+        )
+        .select(
+            F.col("_parts")[0].alias("_side"),
+            F.col("_parts")[1].cast("int").alias("_ti"),
+            "cluster_id",
+        )
+        .groupBy("_side", "_ti")
+        .agg(
+            F.count_distinct("cluster_id").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_dup_docs"),
+        )
+    )
+    if persist:
+        stats = stats.persist()
+
+    rows = []
+    for i, t in enumerate(thresholds):
+        counts = scored.agg(
+            F.sum((F.col("est") >= F.lit(float(t))).cast("long")).alias("_np"),
+            F.sum(
+                (F.col("jaccard") >= F.lit(float(t))).cast("long")
+            ).alias("_nt"),
+            F.sum(
+                (
+                    (F.col("est") >= F.lit(float(t)))
+                    & (F.col("jaccard") >= F.lit(float(t)))
+                ).cast("long")
+            ).alias("_nh"),
+        )
+        # global agg over the (possibly empty) per-tag stats row keeps
+        # the threshold row total even when a side has no edges
+        pc = stats.filter(
+            (F.col("_side") == "p") & (F.col("_ti") == i)
+        ).agg(
+            F.max("n_clusters").alias("_pc"),
+            F.max("n_dup_docs").alias("_pd"),
+        )
+        tc = stats.filter(
+            (F.col("_side") == "t") & (F.col("_ti") == i)
+        ).agg(
+            F.max("n_clusters").alias("_tc"),
+            F.max("n_dup_docs").alias("_td"),
+        )
+        rows.append(
+            counts.crossJoin(pc)
+            .crossJoin(tc)
+            .select(
+                F.lit(float(t)).alias("threshold"),
+                F.coalesce(F.col("_np"), F.lit(0)).alias("n_pred_pairs"),
+                F.coalesce(F.col("_nt"), F.lit(0)).alias("n_true_pairs"),
+                F.coalesce(F.col("_nh"), F.lit(0)).alias("n_hit_pairs"),
+                F.when(F.coalesce(F.col("_np"), F.lit(0)) == 0, F.lit(1.0))
+                .otherwise(
+                    floor6(
+                        F.coalesce(F.col("_nh"), F.lit(0)).cast("double")
+                        / F.col("_np")
+                    )
+                )
+                .alias("pair_precision"),
+                F.when(F.coalesce(F.col("_nt"), F.lit(0)) == 0, F.lit(1.0))
+                .otherwise(
+                    floor6(
+                        F.coalesce(F.col("_nh"), F.lit(0)).cast("double")
+                        / F.col("_nt")
+                    )
+                )
+                .alias("pair_recall"),
+                F.coalesce(F.col("_pc"), F.lit(0)).alias("n_pred_clusters"),
+                (
+                    F.coalesce(F.col("_pd"), F.lit(0))
+                    - F.coalesce(F.col("_pc"), F.lit(0))
+                ).alias("n_pred_collapsed"),
+                F.coalesce(F.col("_tc"), F.lit(0)).alias("n_true_clusters"),
+                (
+                    F.coalesce(F.col("_td"), F.lit(0))
+                    - F.coalesce(F.col("_tc"), F.lit(0))
+                ).alias("n_true_collapsed"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("threshold")

@@ -711,3 +711,114 @@ def repetition_signals(
             "top_trigram_frac"
         ),
     )
+
+
+def bpe_fertility_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Corpus fertility report for a FIXED BPE merge table — the
+    standard tokenizer-evaluation pass: given an already-trained
+    tokenizer, measure how it segments a corpus. One row:
+
+    - ``n_docs`` / ``n_words`` / ``n_distinct_words`` / ``n_chars``
+      — corpus volume under the normalized whitespace tokenization
+      every text operator here shares;
+    - ``n_tokens`` — EXACT total BPE tokens under ``merges`` (the
+      iterative lowest-rank-leftmost encode, same semantics as
+      :func:`apply_bpe`);
+    - ``n_distinct_tokens`` — vocabulary actually used;
+    - ``fertility`` (tokens/word — the headline tokenizer metric),
+      ``chars_per_token`` (compression), ``tokens_per_doc``, and
+      ``whole_word_rate`` (fraction of word occurrences that encode
+      to a single token), all floor-truncated to 6 decimals.
+
+    Throughput (the other half of a tokenizer eval) is a measurement,
+    not a query result — it rides in the scale-curve harness, never
+    in hashed output.
+
+    Scale shape (same as :func:`apply_bpe`, by construction): the
+    only corpus-sized pass is explode → (word, count) aggregate with
+    map-side combine; encode runs over the DISTINCT-word relation via
+    Arrow-batched ``mapInPandas`` whose closure state is just the
+    merge table; every downstream aggregate is vocabulary-sized.
+    Nothing corpus- or vocabulary-sized reaches the driver.
+    """
+    rank = {tuple(p): i for i, p in enumerate(merges)}
+
+    def _encode_batches(batches):
+        import pandas as pd
+
+        def encode(word: str) -> list[str]:
+            seq = list(word)
+            while len(seq) > 1:
+                pairs = [
+                    (rank.get((a, b)), i)
+                    for i, (a, b) in enumerate(zip(seq, seq[1:]))
+                ]
+                pairs = [(r, i) for r, i in pairs if r is not None]
+                if not pairs:
+                    break
+                _, i = min(pairs)
+                seq[i : i + 2] = [seq[i] + seq[i + 1]]
+            return seq
+
+        for pdf in batches:
+            encs = [encode(w) for w in pdf["w"]]
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "_wt": [len(e) for e in encs],
+                    "_toks": encs,
+                }
+            )
+
+    occurrences = df.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    word_counts = occurrences.groupBy("w").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    encoded = word_counts.select("w").mapInPandas(
+        _encode_batches, "w string, _wt long, _toks array<string>"
+    )
+    joined = word_counts.join(encoded, "w")
+    totals = joined.agg(
+        F.sum("_c").cast("long").alias("_n_words"),
+        F.count(F.lit(1)).cast("long").alias("_n_distinct_words"),
+        F.sum(F.length("w") * F.col("_c")).cast("long").alias("_n_chars"),
+        F.sum(F.col("_wt") * F.col("_c")).cast("long").alias("_n_tokens"),
+        F.sum(
+            F.when(F.col("_wt") == 1, F.col("_c")).otherwise(F.lit(0))
+        ).cast("long").alias("_n_single"),
+    )
+    distinct_tokens = (
+        joined.select(F.explode("_toks").alias("_tok"))
+        .agg(F.count_distinct("_tok").cast("long").alias("_n_distinct_tokens"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("long").alias("_n_docs"))
+    nz = lambda num, den: F.when(  # noqa: E731 — local ratio guard
+        den > 0, floor6(num.cast("double") / den)
+    )
+    return (
+        totals.crossJoin(distinct_tokens)
+        .crossJoin(n_docs)
+        .select(
+            F.col("_n_docs").alias("n_docs"),
+            F.col("_n_words").alias("n_words"),
+            F.col("_n_distinct_words").alias("n_distinct_words"),
+            F.col("_n_chars").alias("n_chars"),
+            F.col("_n_tokens").alias("n_tokens"),
+            F.col("_n_distinct_tokens").alias("n_distinct_tokens"),
+            nz(F.col("_n_tokens"), F.col("_n_words")).alias("fertility"),
+            nz(F.col("_n_chars"), F.col("_n_tokens")).alias(
+                "chars_per_token"
+            ),
+            nz(F.col("_n_tokens"), F.col("_n_docs")).alias("tokens_per_doc"),
+            nz(F.col("_n_single"), F.col("_n_words")).alias(
+                "whole_word_rate"
+            ),
+        )
+    )

@@ -534,3 +534,77 @@ def test_quantized_covariance_strict_width_rejects_ragged(spark):
     )
     res = quantized_covariance(ok, "embedding", dims=(0, 1), strict_width=True)
     assert res.count() == 3
+
+
+# ---------------------------------------------------------- cluster report
+
+
+def test_cluster_dedup_report_hand_case(spark):
+    from lakehouse_tools_spark.ext.dedup import cluster_dedup_report
+
+    rows = cluster_dedup_report(
+        docs(spark), "text", "doc_id", thresholds=(0.25, 0.8)
+    ).collect()
+    assert [r.threshold for r in rows] == [0.25, 0.8]
+    for r in rows:
+        # hit set is an intersection; ratios are totals in [0, 1]
+        assert r.n_hit_pairs <= min(r.n_pred_pairs, r.n_true_pairs)
+        assert 0.0 <= r.pair_precision <= 1.0
+        assert 0.0 <= r.pair_recall <= 1.0
+        # every clustered doc is edge-incident, so each cluster has
+        # >=2 members: collapsed = dup_docs - clusters >= clusters
+        # would be too strong, but collapsed >= n_clusters holds for
+        # pair-graphs where every component has >=1 collapsible doc
+        assert r.n_pred_collapsed >= 0 and r.n_true_collapsed >= 0
+    lo, hi = rows[0], rows[1]
+    # docs 1+2 are exact dups (jaccard 1.0); doc 3 differs from both
+    # in ONE of 7 shingles (jaccard 6/8 = 0.75 exactly), so the 0.25
+    # truth set is {12, 13, 23} and the 0.8 truth set is {12} only
+    assert lo.n_true_pairs == 3 and hi.n_true_pairs == 1
+    assert lo.n_true_clusters == 1 and lo.n_true_collapsed == 2
+    assert hi.n_true_clusters == 1 and hi.n_true_collapsed == 1
+    # the exact pair (1, 2) agrees on every minhash: predicted and
+    # hit at every threshold -> recall of the 0.8 row is exactly 1
+    assert hi.n_hit_pairs >= 1 and hi.pair_recall == 1.0
+
+
+def test_cluster_dedup_report_monotone_thresholds(spark):
+    from lakehouse_tools_spark.ext.dedup import cluster_dedup_report
+
+    rows = cluster_dedup_report(
+        docs(spark), "text", "doc_id", thresholds=(0.2, 0.5, 0.8)
+    ).collect()
+    preds = [r.n_pred_pairs for r in rows]
+    trues = [r.n_true_pairs for r in rows]
+    assert preds == sorted(preds, reverse=True)
+    assert trues == sorted(trues, reverse=True)
+
+
+def test_cluster_dedup_report_no_dups_is_vacuous(spark):
+    from pyspark.sql import Row as R
+
+    from lakehouse_tools_spark.ext.dedup import cluster_dedup_report
+
+    df = spark.createDataFrame(
+        [
+            R(doc_id=1, text="alpha beta gamma delta epsilon"),
+            R(doc_id=2, text="zeta eta theta iota kappa"),
+        ]
+    )
+    rows = cluster_dedup_report(
+        df, "text", "doc_id", thresholds=(0.5,)
+    ).collect()
+    (r,) = rows
+    assert r.n_true_pairs == 0 and r.n_pred_pairs == 0
+    assert r.pair_precision == 1.0 and r.pair_recall == 1.0
+    assert r.n_pred_clusters == 0 and r.n_true_clusters == 0
+    assert r.n_pred_collapsed == 0 and r.n_true_collapsed == 0
+
+
+def test_cluster_dedup_report_empty_thresholds_rejected(spark):
+    import pytest
+
+    from lakehouse_tools_spark.ext.dedup import cluster_dedup_report
+
+    with pytest.raises(ValueError):
+        cluster_dedup_report(docs(spark), "text", "doc_id", thresholds=())

@@ -400,3 +400,107 @@ def test_apply_bpe_property_random_corpora_and_merges(spark):
         assert got == want
 
     check()
+
+
+# ------------------------------------------------------- fertility report
+
+#: The fixed merge table the registered fertility report uses
+#: (mirrors __spark_entry__._BPE_REPORT_MERGES — duplicated here so
+#: the package test has no dependency on the driver contract file).
+_FERTILITY_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"),
+    ("e", "r"), ("r", "e"), ("a", "t"), ("e", "s"), ("o", "r"),
+]
+
+
+def test_bpe_fertility_report_hand_computed(spark):
+    """'the then in' + 'the': words the(x2)/then/in; encodes under
+    the fixed table: the->[the], then->[the,n], in->[in]."""
+    from lakehouse_tools_spark.ext.text import bpe_fertility_report
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="the then in"), Row(doc_id=2, text="the")]
+    )
+    [r] = bpe_fertility_report(
+        df, "text", "doc_id", _FERTILITY_MERGES
+    ).collect()
+    assert r.n_docs == 2
+    assert r.n_words == 4
+    assert r.n_distinct_words == 3
+    assert r.n_chars == 3 + 4 + 2 + 3
+    # the=1 token (x2), then=2, in=1 -> 5 tokens
+    assert r.n_tokens == 5
+    # distinct tokens used: the, n, in
+    assert r.n_distinct_tokens == 3
+    assert r.fertility == 1.25
+    assert r.whole_word_rate == 0.75  # 3 of 4 occurrences one-token
+    assert r.tokens_per_doc == 2.5
+
+
+def test_bpe_fertility_report_matches_apply_bpe_totals(spark):
+    """The report's corpus token total must equal apply_bpe's per-doc
+    totals summed — same encode semantics, two independent plans."""
+    from lakehouse_tools_spark.ext.text import (
+        apply_bpe,
+        bpe_fertility_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the rat sat on the other thin mat"),
+            Row(doc_id=2, text="another anthem in the north"),
+            Row(doc_id=3, text="tttt hhhh thethe ananan"),
+        ]
+    )
+    [r] = bpe_fertility_report(
+        df, "text", "doc_id", _FERTILITY_MERGES
+    ).collect()
+    per_doc = apply_bpe(df, "text", "doc_id", _FERTILITY_MERGES)
+    total = sum(x.n_tokens for x in per_doc.collect())
+    assert r.n_tokens == total
+    assert r.n_words == 8 + 5 + 4
+
+
+def test_bpe_fertility_report_sequential_equals_iterative(spark):
+    """The oracle replays the encode as one global left-to-right pass
+    per merge rule IN RANK ORDER; for the fixed table (no rule's
+    product is a later rule's operand) that must equal the iterative
+    lowest-rank encode on adversarial words."""
+    from lakehouse_tools_spark.ext.text import bpe_fertility_report
+
+    words = [
+        "th", "the", "ththe", "thethe", "atat", "eses", "ananan",
+        "tthhee", "ttthhheee", "ininin", "thethethe", "ratther",
+        "northerneses", "inonator",
+    ]
+
+    def seq_encode(word: str) -> int:
+        toks = list(word)
+        for a, b in _FERTILITY_MERGES:
+            out: list[str] = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            toks = out
+        return len(toks)
+
+    df = spark.createDataFrame([Row(doc_id=1, text=" ".join(words))])
+    [r] = bpe_fertility_report(
+        df, "text", "doc_id", _FERTILITY_MERGES
+    ).collect()
+    want = sum(seq_encode(w) for w in words)
+    iterative = sum(_bpe_encode_ref(w, _FERTILITY_MERGES) for w in words)
+    assert want == iterative  # table property: the two routes agree
+    assert r.n_tokens == want
+
+
+def test_bpe_fertility_report_empty_merges_chars(spark):
+    from lakehouse_tools_spark.ext.text import bpe_fertility_report
+
+    df = spark.createDataFrame([Row(doc_id=1, text="ab cde")])
+    [r] = bpe_fertility_report(df, "text", "doc_id", []).collect()
+    assert r.n_tokens == r.n_chars == 5
+    assert r.whole_word_rate == 0.0
+    assert r.chars_per_token == 1.0
