@@ -217,6 +217,8 @@ BENCH_QUERIES = [
     "sql_pipe_passthrough",
     "events_json_variant",
     "source_python_datasource",
+    "dedup_cluster_report",
+    "text_bpe_report",
 ]
 
 #: Queries whose single-session timings are known to swing >1.3x with

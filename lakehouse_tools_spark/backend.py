@@ -10,7 +10,7 @@ blue/green swap stands in for Delta's ACID commit).
 
 Detection is import-based, not install-based: this environment has no
 delta-spark wheel and no PyPI route (``pip download delta-spark`` →
-"No matching distribution found"; re-confirmed 2026-08-16 in round 11
+"No matching distribution found"; re-confirmed 2026-08-16 in round 12
 (DNS resolution to the index fails outright on every retry of
 ``pip download delta-spark``; ``import delta`` still absent) —
 retried once per round since 2026-08-13;
