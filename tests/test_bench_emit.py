@@ -162,10 +162,11 @@ def test_gated_sentinel_retries_until_healthy(monkeypatch):
     monkeypatch.setenv("BENCH_SENTINEL_RETRIES", "6")
     monkeypatch.setenv("BENCH_SENTINEL_WAIT_SEC", "0")
     monkeypatch.delenv("BENCH_SUBSET", raising=False)
-    final, attempts, exhausted = bench.gated_host_sentinel()
+    final, attempts, exhausted, budget = bench.gated_host_sentinel()
     assert final["grade"] == "healthy"
     assert attempts == ["degraded-io", "marginal-io", "healthy"]
     assert exhausted is False
+    assert budget == 6
 
 
 def test_gated_sentinel_exhaustion_labels_and_proceeds(monkeypatch):
@@ -178,10 +179,11 @@ def test_gated_sentinel_exhaustion_labels_and_proceeds(monkeypatch):
     monkeypatch.setenv("BENCH_SENTINEL_RETRIES", "2")
     monkeypatch.setenv("BENCH_SENTINEL_WAIT_SEC", "0")
     monkeypatch.delenv("BENCH_SUBSET", raising=False)
-    final, attempts, exhausted = bench.gated_host_sentinel()
+    final, attempts, exhausted, budget = bench.gated_host_sentinel()
     assert final["grade"] == "degraded-io"
     assert attempts == ["degraded-io"] * 3
     assert exhausted is True
+    assert budget == 2
 
 
 def test_gated_sentinel_probe_error_does_not_retry(monkeypatch):
@@ -195,7 +197,7 @@ def test_gated_sentinel_probe_error_does_not_retry(monkeypatch):
     )
     monkeypatch.setenv("BENCH_SENTINEL_RETRIES", "5")
     monkeypatch.delenv("BENCH_SUBSET", raising=False)
-    final, attempts, exhausted = bench.gated_host_sentinel()
+    final, attempts, exhausted, budget = bench.gated_host_sentinel()
     assert final == {"error": "probe timeout"}
     assert len(calls) == 1 and exhausted is False
 
@@ -208,8 +210,11 @@ def test_gated_sentinel_subset_defaults_to_no_retry(monkeypatch):
     )
     monkeypatch.setenv("BENCH_SUBSET", "tpch_q6")
     monkeypatch.delenv("BENCH_SENTINEL_RETRIES", raising=False)
-    final, attempts, exhausted = bench.gated_host_sentinel()
+    final, attempts, exhausted, budget = bench.gated_host_sentinel()
     assert attempts == ["degraded-io"] and exhausted is True
+    # the retries=0-by-design budget is what downstream adjudication
+    # reads to tell a smoke from an exhausted measurement gate
+    assert budget == 0
 
 
 def test_retry_evidence_survives_into_stdout_line():
@@ -220,3 +225,16 @@ def test_retry_evidence_survives_into_stdout_line():
     out = json.loads(bench.build_stdout_line(detail, timings))
     assert out["sentinel_attempts"] == ["degraded-io", "healthy"]
     assert out["sentinel_retries_exhausted"] is False
+
+
+def test_gated_sentinel_bad_env_falls_back_to_defaults(monkeypatch):
+    """ADVICE r11: malformed retry/wait env vars must degrade to the
+    defaults (the sentinel is advisory), never abort the bench."""
+    monkeypatch.setattr(
+        bench, "probe_host_sentinel", lambda: {"grade": "healthy"}
+    )
+    monkeypatch.setenv("BENCH_SENTINEL_RETRIES", "bogus")
+    monkeypatch.setenv("BENCH_SENTINEL_WAIT_SEC", "not-a-float")
+    monkeypatch.delenv("BENCH_SUBSET", raising=False)
+    final, attempts, exhausted, budget = bench.gated_host_sentinel()
+    assert final["grade"] == "healthy" and budget == 6

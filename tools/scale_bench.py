@@ -142,6 +142,18 @@ FLAGSHIPS = [
     # tools/curve_retry_loop.sh for each in r12 and add the rows.
     "asof_join",
     "fuzzy_join",
+    # 25th flagship (r12, registered the round its operator landed):
+    # the MinHash cluster-dedup precision/recall report
+    # (ext/dedup.cluster_dedup_report). Two distinct scale claims in
+    # one curve: the PREDICTED side is the production bucketed path
+    # (banded equi-join candidates + signature agreement, no
+    # all-pairs anywhere) and the TRUTH side is the exact audit
+    # baseline whose cost is sum over shingles of df^2 — linear on
+    # this shape-preserving fixture (per-shingle doc frequency is
+    # capped at 25 at every sf: measured 12.7M pair-join rows at
+    # sf1, 126.6M at sf10), sample-bounded in production. The tagged
+    # single-run CC covers all six (side, threshold) graphs.
+    "dedup_cluster_report",
 ]
 POINTS = [
     ("sf0.01", "/root/testdata/sf0.01"),
