@@ -8761,19 +8761,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_sim_* freeze-gate carriers (sim_ann_lsh, sim_ann_multiprobe,
     # sim_ivf_kmeans — all r09 rows, so they satisfy THIS round's
     # queries()-edit constraint AND trim r13's mandatory load);
-    # positions 49-50 pre-rotate the two cheapest remaining r09 rows
-    # (corpus_split 0.18 s, events_rolling 0.29 s in the r11 healthy
-    # record). 43 + 2 + 3 + 2 = 50: zero spare slots. Done-bar after
-    # this window lands: no registered query's latest driver row is
-    # older than r09, and both growth candidates carry r12 rows.
+    # position 49 pre-rotates the cheapest remaining r09 row
+    # (corpus_split, 0.18 s in the r11 healthy record); position 50
+    # carries fuzzy_join (r10 row, refreshed EARLY on purpose): the
+    # r12 sweep caught its q-gram blocking degenerating on the sf10
+    # supplier fixture, edit_distance_join was redesigned around
+    # dedup-first deletion-neighborhood blocking, and a changed
+    # operator must have its carrier in-window (freeze gate) plus a
+    # fresh driver row vouching for the post-rewrite semantics.
+    # 43 + 2 + 3 + 1 + 1 = 50: zero spare slots. Done-bar after this
+    # window lands: no registered query's latest driver row is older
+    # than r09, both growth candidates carry r12 rows, and
+    # fuzzy_join's row postdates the rewrite.
     #
     # r13 rotation plan (arithmetic): after r12 the rows sit at r12
-    # (the 50 below), r09 (the 41-query remainder at position 51+),
-    # r10 (50), r11 (50). r13's floor is r10, so the r13 window MUST
-    # contain the 41-query r09 remainder plus the three no-oracle
-    # error-report companions sitting at r10 (quantile/summary/
-    # sketch_error_report — evidence rows for the approx trio);
-    # 41 + 3 = 44 <= 50 leaves 6 spare slots. The freeze-gate
+    # (the 50 below), r09 (the 42-query remainder at position 51+,
+    # events_rolling included — it ceded its planned slot to the
+    # fuzzy_join rewrite carrier), r10 (49), r11 (50). r13's floor
+    # is r10, so the r13 window MUST contain the 42-query r09
+    # remainder plus the three no-oracle error-report companions
+    # sitting at r10 (quantile/summary/sketch_error_report —
+    # evidence rows for the approx trio); 42 + 3 = 45 <= 50 leaves
+    # 5 spare slots. The freeze-gate
     # carrier for r13's own queries() edit is free: the r09
     # remainder already contains sim_topk and sim_hard_negatives —
     # two of the eight carriers rotate in with the mandatory load.
@@ -8838,7 +8847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_multiprobe": q_sim_ann_multiprobe,
         "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "corpus_split": q_corpus_split,
-        "events_rolling": q_events_rolling,
+        "fuzzy_join": q_fuzzy_join,
         # --- position 51+: outside the ~50-entry driver snapshot
         # window, stalest-first (r09 remainder, then the r10 cohort,
         # then the r11 window freshest-last), prior relative order
@@ -8932,7 +8941,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join": q_events_stream_join,
         "events_stream_watermark": q_events_stream_watermark,
         "events_stream_dedup": q_events_stream_dedup,
-        "fuzzy_join": q_fuzzy_join,
+        # (r09 row — ceded its planned window slot to the fuzzy_join
+        # rewrite carrier; rotates with the r09 remainder in r13)
+        "events_rolling": q_events_rolling,
         "quantile_error_report": q_quantile_error_report,
         "summary_error_report": q_summary_error_report,
         "sketch_error_report": q_sketch_error_report,

@@ -1,51 +1,67 @@
-"""Fuzzy (edit-distance) string joins via q-gram blocking.
+"""Fuzzy (edit-distance) string joins via deletion-neighborhood blocking.
 
 Entity resolution — matching names/titles/addresses across tables —
 needs "join where edit_distance(a, b) ≤ k". The naive plan is a
 cartesian product with a Levenshtein residual: O(n·m) distance
-evaluations, a non-starter at scale. The standard blocking technique
-(q-gram filtering, from the string-similarity-join literature) makes
-it an equi-join: two strings within edit distance k share at least
+evaluations, a non-starter at scale. This module blocks with
+DELETION NEIGHBORHOODS (the SymSpell-family scheme): if
+``ed(a, b) ≤ k`` then deleting each side's ≤ k edited positions
+yields a common string, so the ≤k-deletion neighborhoods of a and b
+intersect — an equi-join on the variant string is therefore a
+complete (recall-1.0) candidate generator. For the common
+``k == 1`` case the join is POSITIONAL — equal-length pairs join on
+``(len, deleted_pos, variant)``, whose buckets are bounded by the
+alphabet size — so low-entropy key families (zero-padded IDs,
+shared-prefix name sequences) stay linear where q-gram blocking
+degenerates to ~n² gram collisions (the measured r12 finding that
+motivated this design; SCALING.md "fuzzy_join").
 
-    |G_q(a) ∩ G_q(b)| ≥ max(|a|, |b|) − q + 1 − k·q
-
-positional-free q-grams, which is ≥ 1 whenever
-``max(len) ≥ (k+1)·q``. So: explode each side into its distinct
-q-grams, equi-join on the gram (a shuffle proportional to text
-volume, not pairs²), dedup candidate key pairs, and evaluate the
-exact Levenshtein residual only on candidates.
-
-Strings too short for the guarantee (len < (k+1)·q on either side)
-can miss every shared gram after k edits; they fall back to a
-length-bucket block (|len(a) − len(b)| ≤ k is necessary for edit
-distance ≤ k), which is exact and cheap precisely because the
-fallback population is short strings. Both paths are plain
-DataFrame joins — recall is provably 1.0, pinned against the
+Blocking and the exact residual run on DISTINCT strings; row
+multiplicity re-enters only in the final key-expansion joins, so
+the plan pays output cardinality — never repeated blocking work —
+on columns full of duplicate strings. Recall is pinned against the
 brute-force form in tests and against DuckDB's cross-join +
 ``levenshtein`` oracle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _grams(df: DataFrame, keys: list[str], col: str, q: int) -> DataFrame:
-    return (
-        df.select(
-            *[F.col(k) for k in keys],
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.length(col) - q + 1, F.lit(1))
-                    ),
-                    lambda i: F.col(col).substr(i, F.lit(q)),
-                )
-            ).alias("_gram"),
-        )
-        .filter(F.length("_gram") > 0)
-        .distinct()
+def _one_deletions(s):  # Column -> array<string> of one-char deletions
+    return F.when(
+        F.length(s) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                s.substr(F.lit(1), i - 1), s.substr(i + 1, F.length(s))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _positional_deletions(d: DataFrame, s_col: str) -> DataFrame:
+    """``(s, _ln, _pos, _v)``: every one-char-deletion variant of the
+    distinct-string relation, tagged with the deleted position."""
+    s = F.col(s_col)
+    return d.select(
+        s_col,
+        F.length(s).alias("_ln"),
+        F.explode(
+            F.when(
+                F.length(s) > 0, F.sequence(F.lit(1), F.length(s))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_pos"),
+    ).select(
+        s_col,
+        "_ln",
+        "_pos",
+        F.concat(
+            s.substr(F.lit(1), F.col("_pos") - 1),
+            s.substr(F.col("_pos") + 1, F.length(s)),
+        ).alias("_v"),
     )
 
 
@@ -62,118 +78,98 @@ def edit_distance_join(
     """All pairs with ``levenshtein(left_col, right_col) ≤
     max_distance``. Output: ``(left_key, right_key, distance)``.
 
-    Plan shape: q-gram explode (distinct grams per row) → gram
-    equi-join → distinct candidate key pairs → exact residual; short
-    strings route through a |len| ≤ k length-bucket block instead.
-    No cartesian product anywhere — the gram join shuffles gram rows
-    (≈ string length per row), candidates scale with gram
-    collisions, and AQE handles hot grams like any skewed key
-    (stop-gram capping is the knob if one gram dominates; not needed
-    for key-like strings).
+    Plan shape (r12 redesign, replacing q-gram blocking):
 
-    Keys need NOT be unique: per-row identity inside the blocking is
-    ``(key, xxhash64(string))``, so duplicate keys with different
-    strings each keep their own rarest-gram prefix — grams never mix
-    across strings inside one window partition (a 64-bit hash
-    collision between two same-key strings is the only way to lose a
-    match; at ~2⁻⁶⁴ per same-key string pair this is negligible and
-    only ever local to one key).
+    1. **Dedup first.** Blocking and the exact residual run on the
+       DISTINCT string relations. Row multiplicity re-enters only in
+       the final key-expansion joins, so duplicated strings — the
+       normal shape of entity columns — cost exactly the output
+       cardinality, never repeated blocking work. (The r12 sweep
+       caught the old per-row form grinding at sf10, where each of
+       1 000 distinct supplier names recurs 100×.)
+    2. **Deletion-neighborhood (SymSpell-family) blocking** — exact:
+       ``ed(a, b) ≤ k`` implies some alignment edits ≤ k positions,
+       and deleting each side's edited positions yields a COMMON
+       string reachable by ≤ k single-char deletions from either
+       side, so the ≤k-deletion neighborhoods intersect. For
+       ``max_distance == 1`` the join is POSITIONAL, which is what
+       makes low-entropy key families (zero-padded IDs, shared-
+       prefix names — exactly where q-gram blocking degenerates to
+       ~n² gram collisions: measured 11.3e9 (pair, gram) rows on
+       sf10 supplier names, vs 8.8e8 for plain variant equality and
+       ~alphabet-bounded buckets here) scale linearly:
+
+       - equal-length pairs at distance 1 differ in exactly one
+         position p, so deleting p from BOTH yields equal variants:
+         join on ``(len, pos, variant)``. Strings colliding in one
+         bucket differ only at ``pos`` — bucket size ≤ alphabet.
+       - length-diff-1 pairs: the shorter string IS a one-deletion
+         variant of the longer: join the short side's string against
+         the long side's positional variants. Bucket size ≤ the
+         insert-neighborhood of the key, ≤ alphabet × (len + 1).
+       - distance-0 pairs: plain string equality.
+
+       For ``max_distance ≥ 2`` the join falls back to plain
+       ≤k-deletion-neighborhood intersection (variants accumulated
+       by k rounds of one-char deletion, joined on the variant
+       string) — exact by the same containment argument, with the
+       positional refinement left on the table.
+    3. **Exact residual on distinct pairs**, then expansion joins
+       back to both key relations.
+
+    ``q`` is retained for API compatibility with the pre-r12 q-gram
+    form; the deletion-neighborhood plan does not use it.
     """
     k = int(max_distance)
-    min_guaranteed = (k + 1) * q  # shortest length with ≥1 shared gram
-    l = left.select(
-        F.col(left_key).alias("_lk"),
-        F.col(left_col).alias("_ls"),
-        F.length(left_col).alias("_ll"),
-        F.xxhash64(F.col(left_col)).alias("_lh"),
-    )
+    l = left.select(F.col(left_key).alias("_lk"), F.col(left_col).alias("_ls"))
     r = right.select(
-        F.col(right_key).alias("_rk"),
-        F.col(right_col).alias("_rs"),
-        F.length(right_col).alias("_rl"),
-        F.xxhash64(F.col(right_col)).alias("_rh"),
+        F.col(right_key).alias("_rk"), F.col(right_col).alias("_rs")
     )
-    # long×long: PREFIX-FILTERED gram blocking (the ppjoin idea,
-    # adapted to edit distance). Joining on ALL shared grams
-    # degenerates on shared-prefix key families — every TPC-H
-    # supplier name contains 'Supplier#0…' grams, so the gram join
-    # alone emits n² (pair, gram) rows before any filter can help.
-    # Instead each string keeps only its k·q+1 RAREST distinct grams
-    # under one global order (ascending corpus frequency, gram as
-    # tiebreak), and candidates come from those prefixes alone.
-    # Recall proof: distance ≤ k ⇒ multiset |G(a)∩G(b)| ≥
-    # max(len)−q+1−k·q, and the set intersection undercounts it by at
-    # most a side's duplication surplus, giving set-threshold
-    # T ≥ max(d_a, d_b) − k·q; the prefix-filter lemma then needs
-    # prefixes of d − T + 1 ≤ k·q+1 grams — exactly what we keep
-    # (strings with d ≤ k·q+1 keep everything, where the ≥1-shared-
-    # gram guarantee applies directly). Hot common grams simply never
-    # reach the join: supplier-name candidates drop from n² to the
-    # digit-pattern near-matches.
-    lg = _grams(
-        l.filter(F.col("_ll") >= min_guaranteed), ["_lk", "_lh"], "_ls", q
-    )
-    rg = _grams(
-        r.filter(F.col("_rl") >= min_guaranteed), ["_rk", "_rh"], "_rs", q
-    )
-    freq = (
-        lg.select("_gram")
-        .unionAll(rg.select("_gram"))
-        .groupBy("_gram")
-        .agg(F.count(F.lit(1)).alias("_df"))
-    )
-    prefix_n = k * q + 1
-
-    def _prefix(g: DataFrame, keys: list[str]) -> DataFrame:
-        # partition by (user key, string hash): one window per ROW's
-        # string, so duplicate user keys can't truncate each other's
-        # rarest-gram prefix
-        w = Window.partitionBy(*keys).orderBy("_df", "_gram")
-        return (
-            g.join(freq, "_gram")
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= prefix_n)
-            .select(*keys, "_gram")
+    ld = l.select("_ls").distinct()
+    rd = r.select("_rs").distinct()
+    eq = ld.join(rd, ld["_ls"] == rd["_rs"]).select("_ls", "_rs")
+    if k == 1:
+        lp = _positional_deletions(ld, "_ls")
+        rp = _positional_deletions(rd, "_rs")
+        eqlen = (
+            lp.join(rp, ["_ln", "_pos", "_v"])
+            .select("_ls", "_rs")
         )
+        short_l = ld.join(rp, ld["_ls"] == rp["_v"]).select("_ls", "_rs")
+        short_r = rd.join(lp, rd["_rs"] == lp["_v"]).select("_ls", "_rs")
+        cand = eq.unionByName(eqlen).unionByName(short_l).unionByName(
+            short_r
+        ).distinct()
+    else:
+        def _nbhd(d: DataFrame, s_col: str) -> DataFrame:
+            arr = F.array(F.col(s_col))
+            for _ in range(k):
+                arr = F.array_distinct(
+                    F.concat(
+                        arr, F.flatten(F.transform(arr, _one_deletions))
+                    )
+                )
+            return d.select(s_col, F.explode(arr).alias("_v"))
 
-    cand_long = (
-        _prefix(lg, ["_lk", "_lh"]).join(_prefix(rg, ["_rk", "_rh"]), "_gram")
-        .select("_lk", "_lh", "_rk", "_rh")
-        .distinct()
-    )
-    # any pair touching a short string: length-bucket block (exact:
-    # edit distance ≤ k forces |len(a) − len(b)| ≤ k). Explode the
-    # SHORT side only across its k+1 compatible buckets.
-    shorts_l = l.filter(F.col("_ll") < min_guaranteed).withColumn(
-        "_bkt", F.explode(F.sequence(F.col("_ll") - k, F.col("_ll") + k))
-    )
-    cand_short_l = shorts_l.join(
-        r.withColumn("_bkt", F.col("_rl")), "_bkt"
-    ).select("_lk", "_lh", "_rk", "_rh")
-    shorts_r = r.filter(
-        (F.col("_rl") < min_guaranteed)
-    ).withColumn(
-        "_bkt", F.explode(F.sequence(F.col("_rl") - k, F.col("_rl") + k))
-    )
-    cand_short_r = (
-        l.filter(F.col("_ll") >= min_guaranteed)
-        .withColumn("_bkt", F.col("_ll"))
-        .join(shorts_r, "_bkt")
-        .select("_lk", "_lh", "_rk", "_rh")
-    )
-    cands = cand_long.unionByName(cand_short_l).unionByName(cand_short_r).distinct()
-    joined = (
-        cands.join(l.select("_lk", "_lh", "_ls").distinct(), ["_lk", "_lh"])
-        .join(r.select("_rk", "_rh", "_rs").distinct(), ["_rk", "_rh"])
+        cand = (
+            _nbhd(ld, "_ls")
+            .join(_nbhd(rd, "_rs"), "_v")
+            .select("_ls", "_rs")
+            .distinct()
+            .unionByName(eq)
+            .distinct()
+        )
+    pairs = cand.withColumn(
+        "distance", F.levenshtein(F.col("_ls"), F.col("_rs"))
+    ).filter(F.col("distance") <= k)
+    return (
+        pairs.join(l, "_ls")
+        .join(r, "_rs")
         .select(
-            "_lk", "_rk", F.levenshtein(F.col("_ls"), F.col("_rs")).alias("distance")
+            F.col("_lk").alias(left_key),
+            F.col("_rk").alias(right_key),
+            "distance",
         )
-        .filter(F.col("distance") <= k)
-    )
-    return joined.select(
-        F.col("_lk").alias(left_key),
-        F.col("_rk").alias(right_key),
-        "distance",
     )
 
 

@@ -131,3 +131,45 @@ def test_duplicate_keys_do_not_lose_matches(spark):
     }
     assert got == want
     assert (1, 101, 1) in got and (1, 102, 1) in got
+
+
+def test_duplicate_strings_expand_to_all_key_pairs(spark):
+    """Dedup-first blocking must re-expand to full row multiplicity:
+    the same string on 3 left rows and 2 right rows yields 6 output
+    pairs, and the residual ran once per distinct string pair."""
+    left = _mk(spark, [(1, "acme corp"), (2, "acme corp"), (3, "acme corp")])
+    right = _mk(
+        spark, [(101, "acme corp"), (102, "acme corq")], key="rid", col="t"
+    )
+    got = sorted(
+        (r.id, r.rid, r.distance)
+        for r in edit_distance_join(
+            left, right, "id", "rid", "s", "t", max_distance=1
+        ).collect()
+    )
+    want = sorted(
+        [(i, 101, 0) for i in (1, 2, 3)] + [(i, 102, 1) for i in (1, 2, 3)]
+    )
+    assert got == want
+
+
+def test_zero_length_and_unit_length_strings(spark):
+    """Empty/one-char edges: ''=='' at distance 0, ''~'a' at 1, and
+    one-char substitutions — all reachable only through the eq /
+    length-diff branches."""
+    left = _mk(spark, [(1, ""), (2, "a"), (3, "b")])
+    right = _mk(spark, [(101, ""), (102, "a"), (103, "ab")], key="rid", col="t")
+    got = {
+        (r.id, r.rid, r.distance)
+        for r in edit_distance_join(
+            left, right, "id", "rid", "s", "t", max_distance=1
+        ).collect()
+    }
+    want = {
+        (r.id, r.rid, r.distance)
+        for r in edit_distance_join_bruteforce(
+            left, right, "id", "rid", "s", "t", max_distance=1
+        ).collect()
+    }
+    assert got == want
+    assert (1, 101, 0) in got and (1, 102, 1) in got and (2, 103, 1) in got
