@@ -68,7 +68,20 @@ def test_streaming_tumbling_runs(spark, tmp_path):
         .start()
     )
     try:
-        q.processAllAvailable()
+        # Wait for the FIRST completed micro-batch, bounded. NOT
+        # processAllAvailable(): a rate source produces rows forever,
+        # so "all available" only terminates when a whole poll cycle
+        # beats the 1 s production interval — on a contended host a
+        # ~1.2 s batch chases the source indefinitely (observed: 1283
+        # micro-batches / 26 min in the r12 opening test run). One
+        # committed batch is exactly what this test asserts: the
+        # builder planned on a readStream relation and executed.
+        import time
+
+        deadline = time.time() + 120
+        while not q.recentProgress and time.time() < deadline:
+            time.sleep(0.2)
+        assert q.recentProgress, "no micro-batch completed within 120 s"
         rows = spark.sql("select * from t_stream_tumbling").collect()
         assert rows is not None  # query planned and ran; rows may be 0..n
         assert set(agg.columns) == {"window_start", "event_type", "n_events", "sum_value"}
