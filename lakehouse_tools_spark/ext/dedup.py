@@ -871,12 +871,15 @@ def cluster_dedup_report(
     the row stays total.
 
     CACHE OWNERSHIP: with ``persist=True`` the shingle relation, the
-    wide signatures, the scored pair relation, and the per-tag
-    cluster stats are cached (MEMORY_AND_DISK) because every
-    threshold row re-consumes them; same session-lifetime contract
-    as :func:`jaccard_pairs`.
+    wide signatures, the scored pair relation, and the tagged edge
+    relation are cached (MEMORY_AND_DISK) because each feeds several
+    consumers; same session-lifetime contract as
+    :func:`jaccard_pairs`.
     """
-    from lakehouse_tools_spark.ext.graph import connected_components_contract
+    from lakehouse_tools_spark.ext.graph import (
+        EDGES_PER_TASK,
+        connected_components_contract,
+    )
 
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
@@ -922,6 +925,24 @@ def cluster_dedup_report(
     )
     if persist:
         scored = scored.persist()
+        # one cheap count on the (persisted) pair relation warms the
+        # cache AND sizes the contraction ladder below from measured
+        # edge volume — the 6 tagged graphs carry at most 6×n_pairs
+        # edges, so the ladder starts at its data-appropriate depth
+        # instead of defaultParallelism (the audit graphs are orders
+        # of magnitude smaller than the corpus; optimization r12
+        # measured ~2.5 s of pure level/tiny-task overhead here)
+        n_pairs = scored.count()
+        cc_start = max(
+            1,
+            min(
+                -(-6 * n_pairs // EDGES_PER_TASK),
+                df.sparkSession.sparkContext.defaultParallelism,
+            ),
+        )
+    else:
+        cc_start = None  # un-persisted scored: a count would re-run
+        # the whole est/tru chain; let the contraction size itself
 
     # ONE tree-contraction run covers every (side, threshold) graph:
     # the contraction's cost at audit scale is its fixed level
@@ -929,30 +950,54 @@ def cluster_dedup_report(
     # tiny per-threshold CC jobs cost ~6x one. Tagging each node with
     # (side, threshold-index) keeps the graphs disjoint inside a
     # single run; components can never span tags.
-    tagged = []
+    #
+    # r12 shape fix: the tags are emitted in ONE pass over `scored`
+    # (explode of a per-row conditional tag array) instead of a
+    # 6-branch filter-union — the union form re-scanned the cached
+    # pair relation once per (side, threshold) and the node-side
+    # distinct doubled that again (12 × 32-partition stages of ~30
+    # rows each; measured 3.3 s for nodes_all.count() alone on 907
+    # pairs, pure tiny-task scheduling). Same edge multiset, same
+    # clusters.
+    tag_branches = []
     for i, t in enumerate(thresholds):
         for side, col in (("p", "est"), ("t", "jaccard")):
-            tag = F.lit(f"{side}|{i}|")
-            tagged.append(
-                scored.filter(F.col(col) >= F.lit(float(t))).select(
-                    F.concat(tag, F.col("doc_id").cast("string")).alias(
-                        "src"
-                    ),
-                    F.concat(tag, F.col("doc_id2").cast("string")).alias(
-                        "dst"
-                    ),
+            tag_branches.append(
+                F.when(
+                    F.col(col) >= F.lit(float(t)), F.lit(f"{side}|{i}|")
                 )
             )
-    edges_all = tagged[0]
-    for e in tagged[1:]:
-        edges_all = edges_all.unionByName(e)
+    edges_all = (
+        scored.select(
+            F.explode(F.array(*tag_branches)).alias("_tag"),
+            "doc_id",
+            "doc_id2",
+        )
+        .filter(F.col("_tag").isNotNull())
+        .select(
+            F.concat(F.col("_tag"), F.col("doc_id").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.col("_tag"), F.col("doc_id2").cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    if persist:
+        # three consumers (node derivation ×2, contraction level-0)
+        edges_all = edges_all.persist()
     nodes_all = (
         edges_all.select(F.col("src").alias("_n"))
         .unionByName(edges_all.select(F.col("dst").alias("_n")))
         .distinct()
     )
     comp = connected_components_contract(
-        edges_all, nodes_all, src_col="src", dst_col="dst", id_col="_n"
+        edges_all,
+        nodes_all,
+        src_col="src",
+        dst_col="dst",
+        id_col="_n",
+        start_partitions=cc_start,
     )
     # every tagged node is edge-incident, so every component has >=2
     # members: cluster counts need no size filter
@@ -971,74 +1016,90 @@ def cluster_dedup_report(
             F.count(F.lit(1)).alias("n_dup_docs"),
         )
     )
-    if persist:
-        stats = stats.persist()
-
-    rows = []
-    for i, t in enumerate(thresholds):
-        counts = scored.agg(
-            F.sum((F.col("est") >= F.lit(float(t))).cast("long")).alias("_np"),
+    # r12 shape fix: the pair counts for EVERY threshold come from one
+    # exploded conditional aggregate over `scored` (the pre-r12 form
+    # ran one 3-sum aggregate per threshold — 3 full passes over the
+    # cached pair relation — and assembled the rows from a union of
+    # per-threshold crossJoins whose 18-branch plan alone cost
+    # Catalyst seconds to optimize). A literal threshold spine keeps
+    # the output total when `scored` is empty (the grouped aggregate
+    # would emit zero rows where the old global aggregates emitted
+    # NULL-coalesced zeros), and the per-tag cluster stats pivot onto
+    # it. Same sums, same floor6 arithmetic, same rows.
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(i, float(t)) for i, t in enumerate(thresholds)],
+        "_ti int, threshold double",
+    )
+    counts_long = (
+        scored.select(
+            F.explode(
+                F.array(
+                    *[F.lit(i).alias(str(i)) for i in range(len(thresholds))]
+                )
+            ).alias("_ti"),
+            "est",
+            "jaccard",
+        )
+        .join(F.broadcast(spine), "_ti")
+        .groupBy("_ti")
+        .agg(
             F.sum(
-                (F.col("jaccard") >= F.lit(float(t))).cast("long")
+                (F.col("est") >= F.col("threshold")).cast("long")
+            ).alias("_np"),
+            F.sum(
+                (F.col("jaccard") >= F.col("threshold")).cast("long")
             ).alias("_nt"),
             F.sum(
                 (
-                    (F.col("est") >= F.lit(float(t)))
-                    & (F.col("jaccard") >= F.lit(float(t)))
+                    (F.col("est") >= F.col("threshold"))
+                    & (F.col("jaccard") >= F.col("threshold"))
                 ).cast("long")
             ).alias("_nh"),
         )
-        # global agg over the (possibly empty) per-tag stats row keeps
-        # the threshold row total even when a side has no edges
-        pc = stats.filter(
-            (F.col("_side") == "p") & (F.col("_ti") == i)
-        ).agg(
-            F.max("n_clusters").alias("_pc"),
-            F.max("n_dup_docs").alias("_pd"),
+    )
+    stats_wide = (
+        stats.groupBy("_ti")
+        .pivot("_side", ["p", "t"])
+        .agg(
+            F.max("n_clusters").alias("nc"),
+            F.max("n_dup_docs").alias("nd"),
         )
-        tc = stats.filter(
-            (F.col("_side") == "t") & (F.col("_ti") == i)
-        ).agg(
-            F.max("n_clusters").alias("_tc"),
-            F.max("n_dup_docs").alias("_td"),
-        )
-        rows.append(
-            counts.crossJoin(pc)
-            .crossJoin(tc)
-            .select(
-                F.lit(float(t)).alias("threshold"),
-                F.coalesce(F.col("_np"), F.lit(0)).alias("n_pred_pairs"),
-                F.coalesce(F.col("_nt"), F.lit(0)).alias("n_true_pairs"),
-                F.coalesce(F.col("_nh"), F.lit(0)).alias("n_hit_pairs"),
-                F.when(F.coalesce(F.col("_np"), F.lit(0)) == 0, F.lit(1.0))
-                .otherwise(
-                    floor6(
-                        F.coalesce(F.col("_nh"), F.lit(0)).cast("double")
-                        / F.col("_np")
-                    )
+    )
+    return (
+        spine.join(counts_long, "_ti", "left")
+        .join(stats_wide, "_ti", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("_np"), F.lit(0)).alias("n_pred_pairs"),
+            F.coalesce(F.col("_nt"), F.lit(0)).alias("n_true_pairs"),
+            F.coalesce(F.col("_nh"), F.lit(0)).alias("n_hit_pairs"),
+            F.when(F.coalesce(F.col("_np"), F.lit(0)) == 0, F.lit(1.0))
+            .otherwise(
+                floor6(
+                    F.coalesce(F.col("_nh"), F.lit(0)).cast("double")
+                    / F.col("_np")
                 )
-                .alias("pair_precision"),
-                F.when(F.coalesce(F.col("_nt"), F.lit(0)) == 0, F.lit(1.0))
-                .otherwise(
-                    floor6(
-                        F.coalesce(F.col("_nh"), F.lit(0)).cast("double")
-                        / F.col("_nt")
-                    )
-                )
-                .alias("pair_recall"),
-                F.coalesce(F.col("_pc"), F.lit(0)).alias("n_pred_clusters"),
-                (
-                    F.coalesce(F.col("_pd"), F.lit(0))
-                    - F.coalesce(F.col("_pc"), F.lit(0))
-                ).alias("n_pred_collapsed"),
-                F.coalesce(F.col("_tc"), F.lit(0)).alias("n_true_clusters"),
-                (
-                    F.coalesce(F.col("_td"), F.lit(0))
-                    - F.coalesce(F.col("_tc"), F.lit(0))
-                ).alias("n_true_collapsed"),
             )
+            .alias("pair_precision"),
+            F.when(F.coalesce(F.col("_nt"), F.lit(0)) == 0, F.lit(1.0))
+            .otherwise(
+                floor6(
+                    F.coalesce(F.col("_nh"), F.lit(0)).cast("double")
+                    / F.col("_nt")
+                )
+            )
+            .alias("pair_recall"),
+            F.coalesce(F.col("p_nc"), F.lit(0)).alias("n_pred_clusters"),
+            (
+                F.coalesce(F.col("p_nd"), F.lit(0))
+                - F.coalesce(F.col("p_nc"), F.lit(0))
+            ).alias("n_pred_collapsed"),
+            F.coalesce(F.col("t_nc"), F.lit(0)).alias("n_true_clusters"),
+            (
+                F.coalesce(F.col("t_nd"), F.lit(0))
+                - F.coalesce(F.col("t_nc"), F.lit(0))
+            ).alias("n_true_collapsed"),
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("threshold")
+        .orderBy("threshold")
+    )

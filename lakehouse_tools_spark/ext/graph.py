@@ -169,6 +169,71 @@ def connected_components(
     )
 
 
+#: Union-find edges one contraction task absorbs comfortably: the
+#: per-partition pass runs ~2-4 M edges/s of pure-Python find/union,
+#: so 2 Mi edges ≈ 0.5-1 s — the same "working set sized to one
+#: task's fair share" rule as the 128 MB byte split, expressed in the
+#: unit this operator actually pays for.
+EDGES_PER_TASK = 1 << 21
+
+
+def _sized_start_partitions(*dfs: DataFrame) -> int:
+    """Size the contraction ladder's level-0 partition count to the
+    SOURCE volume feeding the edge plan, not to the local core count.
+
+    The ladder's cost model (optimization r12, measured): each level
+    is one mapInPandas pass whose latency floor is the JVM→Python
+    round-trip per task, so a fixed ``defaultParallelism`` start
+    (e.g. 32) pays a 3-level ladder (32 → 4 → 1 at fan_in=8) even
+    when the whole dup graph is a few thousand edges — ~2.5 s of pure
+    level/task overhead per CC call at fixture scale, multiplied
+    across the seven dedup/cluster queries that compose this
+    operator. Deriving level-0 from input bytes (one 128 MB source
+    split ≈ one union-find task, the same working-set rule as
+    ``sources.tables.ensure_parallelism``) collapses the ladder to
+    its data-appropriate depth: tiny audit graphs run ONE _final
+    task; at real scale ``ceil(source_bytes / 128 MB)`` reaches the
+    core count long before memory matters and the behavior is
+    exactly the old one (capped at ``defaultParallelism``, the
+    pre-r12 start, so the at-scale ladder is unchanged).
+
+    Public API only (``inputFiles`` + driver ``os.stat``), matching
+    ensure_parallelism: the candidates in ``dfs`` are tried in order
+    and the first file-backed one sizes the ladder (callers pass the
+    vertex/corpus relation first — it is the plain table scan;
+    ``inputFiles`` on the multi-join edge plans returns empty on this
+    Spark). With no file-backed candidate (in-memory test frames,
+    post-shuffle intermediates) the defaultParallelism start is kept.
+    Files the driver cannot stat (S3/HDFS) are estimated at one
+    128 MB split each — erring toward MORE level-0 tasks, the safe
+    direction for per-task forest state.
+    """
+    import os as _os
+
+    n = dfs[0].sparkSession.sparkContext.defaultParallelism
+    for df in dfs:
+        try:
+            files = df.inputFiles()
+        except Exception:
+            continue
+        if not files:
+            continue
+        total = 0
+        unstat = 0
+        for p in files:
+            if p.startswith("file:"):
+                try:
+                    total += _os.path.getsize(p[len("file:"):])
+                    continue
+                except OSError:
+                    pass
+            unstat += 1
+        total += unstat * (128 << 20)
+        sized = -(-total // (128 << 20))
+        return max(1, min(int(sized), n))
+    return n
+
+
 def connected_components_contract(
     edges: DataFrame,
     vertices: DataFrame,
@@ -226,7 +291,7 @@ def connected_components_contract(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).filter(F.col("u") != F.col("v"))
     if start_partitions is None:
-        start_partitions = spark.sparkContext.defaultParallelism
+        start_partitions = _sized_start_partitions(vertices, edges)
     e = e.repartition(start_partitions, "u")
 
     def _forest(batches):
