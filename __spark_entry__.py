@@ -4592,6 +4592,11 @@ def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the four rows-only ANN queries to a driver-checked guarantee."""
     emb = load_table(_spark(spark), sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 50)
+    # NOTE (r12): deliberately NOT persisted — the four method
+    # branches and their four copies of this subtree run inside ONE
+    # action and fill the cores in parallel; a persist serializes the
+    # first materialization ahead of every branch (measured 4.7 s →
+    # 7.6 s with persist+cold-cache race at sf0.1).
     exact = X_sim.cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
     cents = X_sim.kmeans_refine_centroids(
         emb, X_sim.seed_centroids(emb, 8), iters=2
@@ -6974,12 +6979,19 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = _spark(spark)
     # a stream-stream join maintains FOUR state stores per shuffle
-    # partition; at fixture scale the per-partition store setup/commit
-    # dominates, so run the streaming query narrow (the partition
+    # partition and each instance pays fixed setup/commit I/O per
+    # micro-batch; size the partition count to the SOURCE volume
+    # (sink.sized_state_partitions — r12: replaces the fixed 8) so the
+    # instance count tracks the state the join can actually hold; the
     # count is baked into the checkpoint at first start — a real
-    # deployment sizes it to rate × range up front)
+    # deployment sizes it to rate × range up front
+    from lakehouse_tools_spark.streaming.sink import sized_state_partitions
+
     prev_parts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(sized_state_partitions(s, f"{sf_dir}/events.parquet")),
+    )
     # everything fallible (load_stream schema probe, join analysis,
     # the drain itself) sits inside the try/finally so an exception
     # can't leak the narrow-partition override into later queries —
@@ -7065,8 +7077,13 @@ def q_events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return X_win.with_watermark(withsent, "ts", "1 hour")
 
+    from lakehouse_tools_spark.streaming.sink import sized_state_partitions
+
     prev_parts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(sized_state_partitions(s, f"{sf_dir}/events.parquet")),
+    )
     # the override and the sentinel dirs must not outlive this query:
     # everything from here on (building the sides included — side
     # construction runs a sentinel-parquet write) is inside the
@@ -7124,13 +7141,21 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_tools_spark.sources.tables import load_stream
     from lakehouse_tools_spark.streaming.sink import run_to_memory
 
+    from lakehouse_tools_spark.streaming.sink import (
+        scoped_shuffle_partitions,
+        sized_state_partitions,
+    )
+
     s = _spark(spark)
     stream = load_stream(s, sf_dir, "events").select("event_id", "ts", "user_id")
     doubled = stream.unionByName(stream)
     deduped = X_win.with_watermark(doubled, "ts", "1 hour").dropDuplicates(
         ["event_id"]
     )
-    out = run_to_memory(deduped, "events_stream_dedup", output_mode="append")
+    with scoped_shuffle_partitions(
+        s, sized_state_partitions(s, f"{sf_dir}/events.parquet")
+    ):
+        out = run_to_memory(deduped, "events_stream_dedup", output_mode="append")
     return out.select(
         "event_id",
         F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
@@ -7179,11 +7204,19 @@ def q_events_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     create_or_replace(
         s, load_table(s, sf_dir, "events").select(*cols).limit(0), tbl
     )
+    from lakehouse_tools_spark.streaming.sink import (
+        scoped_shuffle_partitions,
+        sized_state_partitions,
+    )
+
     stream = load_stream(s, sf_dir, "events").select(*cols)
     ckpt = tempfile.mkdtemp(prefix="lts_stream_upsert_ckpt_")
     try:
-        q = upsert_stream(stream, tbl, ["user_id"], ckpt, order_by=["ts"])
-        q.awaitTermination()
+        with scoped_shuffle_partitions(
+            s, sized_state_partitions(s, f"{sf_dir}/events.parquet")
+        ):
+            q = upsert_stream(stream, tbl, ["user_id"], ckpt, order_by=["ts"])
+            q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return s.table(tbl).select(
@@ -7221,12 +7254,20 @@ def q_events_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_tools_spark.sources.tables import load_stream
     from lakehouse_tools_spark.streaming.sink import run_to_memory
 
+    from lakehouse_tools_spark.streaming.sink import (
+        scoped_shuffle_partitions,
+        sized_state_partitions,
+    )
+
     s = _spark(spark)
     stream = load_stream(s, sf_dir, "events")
     agg = X_win.tumbling_counts(
         X_win.with_watermark(stream, "ts", "10 minutes"), "5 minutes"
     )
-    return run_to_memory(agg, "events_stream_wm")
+    with scoped_shuffle_partitions(
+        s, sized_state_partitions(s, f"{sf_dir}/events.parquet")
+    ):
+        return run_to_memory(agg, "events_stream_wm")
 
 
 _EVENTS_STREAM_WM_ORACLE = f"""
@@ -7354,6 +7395,11 @@ def q_events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"),
         F.col("c_nationkey").alias("nation_key"),
     )
+    from lakehouse_tools_spark.streaming.sink import (
+        scoped_shuffle_partitions,
+        sized_state_partitions,
+    )
+
     enriched = (
         stream.join(F.broadcast(cust), "user_id", "left")
         .groupBy("nation_key")
@@ -7362,7 +7408,10 @@ def q_events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
-    return run_to_memory(enriched, "events_stream_enrich", "complete")
+    with scoped_shuffle_partitions(
+        s, sized_state_partitions(s, f"{sf_dir}/events.parquet")
+    ):
+        return run_to_memory(enriched, "events_stream_enrich", "complete")
 
 
 _EVENTS_STREAM_ENRICH_ORACLE = """
@@ -7411,6 +7460,12 @@ def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
             d,
         )
+        # NOT state-partition-sized (r12): the sessionizer's work is
+        # per-ROW Python (applyInPandasWithState); shrinking the state
+        # partition count serializes that compute onto fewer workers —
+        # measured 3.4 s → 4.8 s at 4 partitions. JVM-stateful drains
+        # (windows, dropDuplicates, stream joins) are the ones that pay
+        # per-instance overhead without a Python volume term.
         sessions = stateful_sessionize(
             X_win.with_watermark(withsent, "ts", "10 minutes"),
             gap_minutes=5,
@@ -7470,6 +7525,9 @@ def q_events_stream_sessionize_tws(
             },
             d,
         )
+        # NOT state-partition-sized (r12): per-row Python sessionizer —
+        # see q_events_stream_sessionize's note (TWS measured 5.7 s →
+        # 9.6 s at 4 partitions; the Python compute wants the cores).
         watermarked = X_win.with_watermark(withsent, "ts", "10 minutes")
         if tws_runtime_ready(s):
             sessions = stateful_sessionize_tws(watermarked, gap_minutes=5)

@@ -536,11 +536,24 @@ def numeric_outliers(
             " lo_fence double, hi_fence double, n_outliers bigint,"
             " n_values bigint",
         )
+    # ONE percentile buffer per column (array of both probabilities),
+    # not one per (column, probability): Spark's Percentile aggregate
+    # keeps a value→count map per AGGREGATE EXPRESSION, so the scalar
+    # per-p form buffered and merged every column twice — measured 2x
+    # on the quartile pass (optimization r12: 4.6 s → 2.3 s for 4
+    # lineitem measure columns at sf0.1, element values bit-identical)
     quarts = df.agg(
         *[
-            F.round(F.percentile(F.col(c), F.lit(p)), 6).alias(f"_q{tag}_{c}")
+            F.percentile(
+                F.col(c), F.array(F.lit(0.25), F.lit(0.75))
+            ).alias(f"_qq_{c}")
             for c in cols
-            for p, tag in ((0.25, "1"), (0.75, "3"))
+        ]
+    ).select(
+        *[
+            F.round(F.col(f"`_qq_{c}`")[i], 6).alias(f"_q{tag}_{c}")
+            for c in cols
+            for i, tag in ((0, "1"), (1, "3"))
         ]
     )
     counts = df.crossJoin(F.broadcast(quarts)).agg(
@@ -652,11 +665,20 @@ def clip_outliers(
     """
     if not cols:
         return df
+    # array-of-probabilities form: one percentile buffer per column,
+    # not per (column, probability) — see numeric_outliers
     quarts = df.agg(
         *[
-            F.round(F.percentile(F.col(c), F.lit(p)), 6).alias(f"_q{tag}_{c}")
+            F.percentile(
+                F.col(c), F.array(F.lit(0.25), F.lit(0.75))
+            ).alias(f"_qq_{c}")
             for c in cols
-            for p, tag in ((0.25, "1"), (0.75, "3"))
+        ]
+    ).select(
+        *[
+            F.round(F.col(f"`_qq_{c}`")[i], 6).alias(f"_q{tag}_{c}")
+            for c in cols
+            for i, tag in ((0, "1"), (1, "3"))
         ]
     )
     out = df.crossJoin(F.broadcast(quarts))

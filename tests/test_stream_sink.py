@@ -77,3 +77,47 @@ def test_upsert_stream_inserts_and_updates(spark, tmp_path):
     q = upsert_stream(spark.readStream.schema(DDL).parquet(src), tbl, ["k"], ckpt)
     q.awaitTermination(120)
     assert _state(spark, tbl) == {("a", 10), ("b", 21), ("c", 30)}
+
+
+def test_sized_state_partitions_tracks_source_bytes(spark, tmp_path, monkeypatch):
+    from lakehouse_tools_spark.streaming.sink import (
+        _STATE_PARTITION_FLOOR,
+        sized_state_partitions,
+    )
+
+    # tiny source: floor, not the core count
+    p = tmp_path / "tiny.parquet"
+    p.write_bytes(b"x" * 1024)
+    assert sized_state_partitions(spark, str(p)) == _STATE_PARTITION_FLOOR
+    # directory sources sum their files; growth is monotone in bytes
+    d = tmp_path / "dir"
+    d.mkdir()
+    for i in range(3):
+        (d / f"f{i}.parquet").write_bytes(b"x" * (200 << 20))
+    grown = sized_state_partitions(spark, str(d))
+    assert grown > _STATE_PARTITION_FLOOR
+    # unknown path: falls back to the session default, never raises
+    fallback = sized_state_partitions(spark, str(tmp_path / "missing"))
+    assert fallback == int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # env override wins
+    monkeypatch.setenv("LTS_STREAM_STATE_PARTITIONS", "13")
+    assert sized_state_partitions(spark, str(p)) == 13
+
+
+def test_scoped_shuffle_partitions_restores(spark):
+    from lakehouse_tools_spark.streaming.sink import scoped_shuffle_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with scoped_shuffle_partitions(spark, 3):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # exception path restores too
+    try:
+        with scoped_shuffle_partitions(spark, 5):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # None is a no-op scope
+    with scoped_shuffle_partitions(spark, None):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
