@@ -4592,51 +4592,77 @@ def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the four rows-only ANN queries to a driver-checked guarantee."""
     emb = load_table(_spark(spark), sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 50)
-    # NOTE (r12): deliberately NOT persisted — the four method
-    # branches and their four copies of this subtree run inside ONE
-    # action and fill the cores in parallel; a persist serializes the
-    # first materialization ahead of every branch (measured 4.7 s →
-    # 7.6 s with persist+cold-cache race at sf0.1).
+    # NOTE (r12): deliberately NOT persisted — every branch below runs
+    # inside ONE action and fills the cores in parallel; a persist
+    # serializes the first materialization ahead of every branch
+    # (measured 4.7 s → 7.6 s with persist+cold-cache race at sf0.1).
     exact = X_sim.cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
-    cents = X_sim.kmeans_refine_centroids(
-        emb, X_sim.seed_centroids(emb, 8), iters=2
-    )
+    # the IVF branch's default centroids ARE the k-means seeds — one
+    # collect instead of two identical scan+collect jobs (r12)
+    seeds = X_sim.seed_centroids(emb, 8)
+    cents = X_sim.kmeans_refine_centroids(emb, seeds, iters=2)
     methods = {
-        "ivf": X_sim.ivf_topk(emb, queries, k=10, num_centroids=8),
+        "ivf": X_sim.ivf_topk(emb, queries, k=10, centroids=seeds),
         "ivf_kmeans": X_sim.ivf_topk(emb, queries, k=10, centroids=cents, nprobe=2),
         "lsh": X_sim.ann_topk_lsh(emb, queries, k=10, num_planes=4, dim=64),
         "lsh_multiprobe": X_sim.ann_topk_lsh_multiprobe(
             emb, queries, k=10, num_planes=4, dim=64
         ),
     }
-    parts = []
+    # r12 restructure: the old shape joined EACH method against its
+    # own copy of the exact relation — four evaluations of the most
+    # expensive subtree (the 2000×50 interpreted-HOF scoring pass) in
+    # one action. Tag-and-union the method candidate sets instead,
+    # cross the single exact relation with a 4-row (method, floor)
+    # spine, and left-join once: exact is scored exactly once and the
+    # per-method aggregates are identical (per-method n_exact = |exact|
+    # because the spine replicates every exact row per method; _hit
+    # marks spine rows matched by that method's candidates).
+    cand = None
     for m, df in methods.items():
-        floor = _RECALL_FLOORS[m]
-        stats = exact.join(
-            df.select("query_id", "vec_id").withColumn("_hit", F.lit(1)),
-            ["query_id", "vec_id"],
-            "left",
-        ).agg(
+        tagged = df.select(
+            F.lit(m).alias("method"), "query_id", "vec_id", F.lit(1).alias("_hit")
+        )
+        cand = tagged if cand is None else cand.unionByName(tagged)
+    spine = F.broadcast(
+        _spark(spark).createDataFrame(
+            [(m, float(f)) for m, f in _RECALL_FLOORS.items()],
+            "method string, recall_floor double",
+        )
+    )
+    stats = (
+        exact.crossJoin(spine)
+        .join(cand, ["method", "query_id", "vec_id"], "left")
+        .groupBy("method", "recall_floor")
+        .agg(
             F.countDistinct("query_id").alias("_nq"),
             F.count(F.lit(1)).alias("_nx"),
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_nh"),
         )
-        parts.append(
-            stats.select(
-                F.lit(m).alias("method"),
-                F.lit(10).alias("k"),
-                F.col("_nq").cast("long").alias("n_queries"),
-                F.col("_nx").cast("long").alias("n_exact"),
-                F.lit(float(floor)).alias("recall_floor"),
-                (
-                    F.col("_nh").cast("double") / F.col("_nx") >= F.lit(float(floor))
-                ).alias("meets_floor"),
-            )
+    )
+    # preserve the registration order (ivf, ivf_kmeans, lsh,
+    # lsh_multiprobe) the previous union emitted
+    order = F.create_map(
+        *[
+            x
+            for i, m in enumerate(methods)
+            for x in (F.lit(m), F.lit(i))
+        ]
+    )
+    return (
+        stats.orderBy(order[F.col("method")])
+        .select(
+            "method",
+            F.lit(10).alias("k"),
+            F.col("_nq").cast("long").alias("n_queries"),
+            F.col("_nx").cast("long").alias("n_exact"),
+            "recall_floor",
+            (
+                F.col("_nh").cast("double") / F.col("_nx")
+                >= F.col("recall_floor")
+            ).alias("meets_floor"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
 
 
 _SIM_RECALL_ORACLE = (
