@@ -58,10 +58,18 @@ def quantize_int8(v: Column) -> Column:
     scale = (
         F.array_max(F.transform(vd, lambda x: F.abs(x))) / F.lit(127.0)
     )
-    q = F.transform(
+    # the scale rides in as a zip_with ARGUMENT (array_repeat), not as
+    # an expression inside the lambda body: the interpreted HOF
+    # re-evaluates the lambda expression tree per element, so an
+    # embedded scale would re-run its O(dim) array_max fold per
+    # element (O(dim^2)/row). An argument is evaluated once per row;
+    # the division arithmetic is unchanged, so codes stay
+    # bit-identical.
+    q = F.zip_with(
         vd,
-        lambda x: F.when(scale == 0.0, F.lit(0)).otherwise(
-            F.floor(x / scale + F.lit(0.5)).cast("int")
+        F.array_repeat(scale, F.size(vd)),
+        lambda x, s: F.when(s == 0.0, F.lit(0)).otherwise(
+            F.floor(x / s + F.lit(0.5)).cast("int")
         ),
     )
     return F.struct(scale.alias("scale"), q.alias("q"))
@@ -71,6 +79,13 @@ def dequantize_int8(qs: Column) -> Column:
     """Reconstruct ``array<double>`` from :func:`quantize_int8`'s
     struct: ``qᵢ · scale`` — error per element ≤ scale/2."""
     scale = qs.getField("scale")
-    return F.transform(
-        qs.getField("q"), lambda x: x.cast("double") * scale
+    q = qs.getField("q")
+    # same per-row hoist as quantize_int8: when qs is a quantize
+    # EXPRESSION (not a materialized column), SimplifyExtractValueOps
+    # rewrites struct(..).scale back into the raw scale expression —
+    # embedding it in a transform lambda would re-run it per element.
+    return F.zip_with(
+        q,
+        F.array_repeat(scale, F.size(q)),
+        lambda x, s: x.cast("double") * s,
     )
