@@ -887,52 +887,64 @@ def q_quantile_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (accuracy drop, merge bug, wrong column binding) flips the
     boolean and fails the driver compare. This upgrades the
     rows-only ``profile_quantiles`` path to a driver-checked
-    guarantee."""
-    from lakehouse_tools_spark.operators.profile import numeric_quantiles
+    guarantee.
+
+    Both the GK sketches and the exact brackets are
+    TypedImperativeAggregates, so they build in ONE fused wide
+    aggregate per table — one scan instead of the former
+    sketch-scan + bracket-scan + join (the sketch expressions are the
+    very ones ``numeric_quantiles`` builds, via the shared
+    ``quantile_sketch_exprs``, so the audit still exercises the
+    production aggregate)."""
+    from lakehouse_tools_spark.operators.profile import quantile_sketch_exprs
 
     s = _spark(spark)
     probs = (0.25, 0.5, 0.75)
     parts = []
     for t, cols in _QUANT_COLS.items():
         df = load_table(s, sf_dir, t).select(*[c for c, _ in cols])
-        approx = numeric_quantiles(df, DB, t).select(
-            "tableName", "columnName", "q25", "q50", "q75"
-        )
-        lo_hi = df.agg(
+        bracket_qs = F.array(
             *[
-                F.percentile(
-                    F.col(c),
-                    F.array(
-                        *[
-                            F.lit(float(p + d))
-                            for p in probs
-                            for d in (-_QERR_EPS, _QERR_EPS)
-                        ]
-                    ),
-                ).alias(f"_b_{c}")
-                for c, _ in cols
+                F.lit(float(p + d))
+                for p in probs
+                for d in (-_QERR_EPS, _QERR_EPS)
             ]
+        )
+        wide = df.agg(
+            *quantile_sketch_exprs(df.schema.fields),
+            *[F.percentile(F.col(c), bracket_qs).alias(f"_b_{c}") for c, _ in cols],
         )
         branches = []
         for c, _ in cols:
+            q = F.col(f"`_q_{c}`")
             b = F.col(f"`_b_{c}`")
             branches.append(F.lit(c))
+            for i in range(3):
+                branches.append(q[i].cast("double"))
             for i in range(6):
                 branches.append(F.round(b[i].cast("double"), 6))
-        brackets = lo_hi.select(
-            F.stack(
-                F.lit(len(cols)),
-                *branches,
-            ).alias("columnName", "lo25", "hi25", "lo50", "hi50", "lo75", "hi75")
+        long = wide.select(
+            F.stack(F.lit(len(cols)), *branches).alias(
+                "columnName",
+                "q25",
+                "q50",
+                "q75",
+                "lo25",
+                "hi25",
+                "lo50",
+                "hi50",
+                "lo75",
+                "hi75",
+            )
         )
         within = None
         for p, q in zip(("25", "50", "75"), ("q25", "q50", "q75")):
             ok = (F.col(q) >= F.col(f"lo{p}")) & (F.col(q) <= F.col(f"hi{p}"))
             within = ok if within is None else (within & ok)
         parts.append(
-            approx.join(brackets, "columnName").select(
-                "tableName",
-                "columnName",
+            long.select(
+                F.lit(t).alias("tableName"),
+                F.col("columnName"),
                 "lo25",
                 "hi25",
                 "lo50",

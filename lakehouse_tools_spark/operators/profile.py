@@ -328,6 +328,24 @@ QUANTILE_SCHEMA = T.StructType(
 )
 
 
+def quantile_sketch_exprs(
+    fields: list,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    accuracy: int = 10000,
+) -> list:
+    """The GK-sketch aggregate expressions :func:`numeric_quantiles`
+    builds (one ``percentile_approx`` per column, aliased ``_q_<col>``)
+    — exposed so audit queries can fuse them into a wider single-scan
+    aggregate alongside their exact-bracket expressions."""
+    qs = F.array(*[F.lit(float(p)) for p in probs])
+    return [
+        F.percentile_approx(F.col(f"`{f.name}`"), qs, F.lit(accuracy)).alias(
+            f"_q_{f.name}"
+        )
+        for f in fields
+    ]
+
+
 def numeric_quantiles(
     df: DataFrame,
     database: str,
@@ -349,15 +367,7 @@ def numeric_quantiles(
     ]
     if not fields:
         return df.sparkSession.createDataFrame([], QUANTILE_SCHEMA)
-    qs = F.array(*[F.lit(float(p)) for p in probs])
-    wide = df.agg(
-        *[
-            F.percentile_approx(F.col(f"`{f.name}`"), qs, F.lit(accuracy)).alias(
-                f"_q_{f.name}"
-            )
-            for f in fields
-        ]
-    )
+    wide = df.agg(*quantile_sketch_exprs(fields, probs, accuracy))
     branches = []
     for f in fields:
         q = F.col(f"`_q_{f.name}`")

@@ -81,6 +81,37 @@ def test_numeric_quantiles_single_pass(spark, tables):
     assert "Expand" not in plan  # one wide aggregate, no melt
 
 
+def test_quantile_sketch_exprs_match_numeric_quantiles(spark, tables):
+    # quantile_error_report fuses these exprs into its own wide
+    # aggregate (r12: one scan instead of sketch-scan + bracket-scan
+    # + join); the audit only audits the production sketch if the
+    # shared exprs bind and evaluate identically to numeric_quantiles.
+    from pyspark.sql import types as T
+
+    from lakehouse_tools_spark.operators.profile import (
+        numeric_quantiles,
+        quantile_sketch_exprs,
+    )
+
+    li = tables["lineitem"]
+    fields = [
+        f for f in li.schema.fields if isinstance(f.dataType, T.NumericType)
+    ]
+    wide = li.agg(*quantile_sketch_exprs(fields)).first()
+    via_op = {
+        r.columnName: r for r in numeric_quantiles(li, "db", "lineitem").collect()
+    }
+    assert set(via_op) == {f.name for f in fields}
+    for f in fields:
+        q = wide[f"_q_{f.name}"]  # alias contract the fused agg relies on
+        got = via_op[f.name]
+        assert (float(q[0]), float(q[1]), float(q[2])) == (
+            got.q25,
+            got.q50,
+            got.q75,
+        ), f.name
+
+
 def test_numeric_histogram_counts_and_bounds(spark, tables):
     from pyspark.sql import functions as F
 
