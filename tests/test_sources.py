@@ -179,3 +179,61 @@ def test_parse_bytes_conf_forms():
     assert _parse_bytes_conf("1g") == 1 << 30
     assert _parse_bytes_conf(None) == _BYTES_PER_TASK
     assert _parse_bytes_conf("garbage") == _BYTES_PER_TASK
+
+
+def test_footer_schema_memo_hits_and_invalidates(spark, tmp_path):
+    # r12: load_table passes an explicit schema from an in-process
+    # footer memo (metadata only) instead of re-inferring per call;
+    # the memo must be keyed on file identity so a rewritten file
+    # (new mtime/size) re-infers rather than serving a stale schema.
+    import os
+
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.sources import tables as src
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([Row(a=1, b="x")]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    # directory-shaped dataset: never memoized (parts can churn)
+    assert src._parquet_schema(spark, p) is not None
+    assert not any(k[0] == os.path.abspath(p) for k in src._FOOTER_SCHEMA_CACHE)
+
+    # single-file dataset: memoized, then invalidated on rewrite
+    part = [
+        f for f in os.listdir(p) if f.endswith(".parquet") and f.startswith("part")
+    ][0]
+    f1 = str(tmp_path / "one.parquet")
+    os.rename(os.path.join(p, part), f1)
+    s1 = src._parquet_schema(spark, f1)
+    key1 = [k for k in src._FOOTER_SCHEMA_CACHE if k[0] == os.path.abspath(f1)]
+    assert len(key1) == 1
+    assert src._parquet_schema(spark, f1) is s1  # hit: same object back
+
+    spark.createDataFrame([Row(a=1, b="x", c=2.5)]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    part2 = [
+        f for f in os.listdir(p) if f.endswith(".parquet") and f.startswith("part")
+    ][0]
+    os.replace(os.path.join(p, part2), f1)
+    s2 = src._parquet_schema(spark, f1)
+    assert "c" in s2.fieldNames()  # re-inferred, not the stale memo
+    assert s2 is not s1
+
+
+def test_load_table_schema_matches_inference(spark):
+    # the memoized-schema read must see exactly what inference sees
+    from lakehouse_tools_spark.sources.tables import DEFAULT_SF_DIR, load_table
+
+    sf = "/root/testdata/sf0.001"
+    for t in ("lineitem", "events", "embeddings"):
+        got = load_table(spark, sf, t)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf}/{t}.parquet")
+        # load_table post-normalizes NTZ/nanos; compare the raw footer
+        from lakehouse_tools_spark.sources.tables import _parquet_schema
+
+        assert _parquet_schema(spark, f"{sf}/{t}.parquet") == raw.schema, t
+        assert got.count() == raw.count(), t
