@@ -1,0 +1,52 @@
+"""Driver-side memo for built Column-expression bundles.
+
+A wide profiler call builds hundreds of :class:`~pyspark.sql.Column`
+objects that depend only on (column names, column types, operator
+parameters) — never on the DataFrame they are eventually applied to —
+yet every call pays one py4j round-trip per expression method to
+rebuild them (measured: ~6k round trips ≈ 1.2 s of the flagship
+profiler's warm per-call time at sf0.1). Columns are immutable
+expression wrappers, so the SAME objects can be applied to any number
+of DataFrames; this memo returns the previously built bundle when the
+schema-and-parameter key repeats (exactly what a bench rep, a
+re-profile, or a multi-table loop over same-schema tables does).
+
+Driver-CPU only: no data, no results, and no query state are cached —
+the bundle is the *code* of the expression, identical every build.
+Keys embed the py4j gateway object so a bundle can never leak across
+JVMs (a new gateway builds fresh; pinning the old gateway object in
+the key is a few bytes and prevents id-reuse aliasing).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, TypeVar
+
+from pyspark import SparkContext
+
+V = TypeVar("V")
+
+_MEMO: dict = {}
+
+
+def expr_memo(key: tuple, builder: Callable[[], V]) -> V:
+    """Return ``builder()``, memoized per (gateway, ``key``).
+
+    ``key`` must be a hashable tuple fully determining the built
+    expressions (names, type strings, literals, parameters). The
+    builder runs at most once per key per JVM gateway.
+    """
+    sc = SparkContext._active_spark_context
+    gateway = sc._gateway if sc is not None else None
+    k = (gateway, key)
+    try:
+        return _MEMO[k]
+    except KeyError:
+        v = builder()
+        _MEMO[k] = v
+        return v
+
+
+def fields_key(fields) -> tuple:
+    """Hashable fingerprint of a StructField list: (name, typeDDL)."""
+    return tuple((f.name, f.dataType.simpleString()) for f in fields)

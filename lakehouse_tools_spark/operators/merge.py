@@ -37,6 +37,8 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_tools_spark.functions.memo import expr_memo, fields_key
+
 #: A residual ON-clause predicate, expressed as a function of the
 #: (aliased) source relation so references resolve unambiguously in
 #: the self-join-shaped plans below.
@@ -125,12 +127,57 @@ def upsert(
     residual_col = (
         source_residual(source) if source_residual is not None else F.lit(True)
     )
-    s = source.withColumn("_residual_ok", residual_col).select(
-        F.lit(1).alias("_src_present"),
-        F.col("_residual_ok"),
-        *[F.col(f"`{c}`").alias(f"_s_{c}") for c in cols],
+
+    # everything below the residual is derived from column NAMES and
+    # TYPES alone — memoize the built Column bundle so repeated merges
+    # of the same shape (bench reps, the profiler's two upserts per
+    # run) skip the per-column py4j rebuild (functions/memo.py)
+    def _build() -> dict:
+        s_sel = [
+            F.lit(1).alias("_src_present"),
+            F.col("_residual_ok"),
+            *[F.col(f"`{c}`").alias(f"_s_{c}") for c in cols],
+        ]
+        t_cols = [F.col(f"`{c}`").alias(f"_t_{c}") for c in target.columns]
+        cond = F.col("_residual_ok")
+        for k in keys:
+            cond = cond & F.col(f"`_t_{k}`").eqNullSafe(F.col(f"`_s_{k}`"))
+        s_types = {f.name: f.dataType for f in source.schema.fields}
+        out_exprs = []
+        for c in list(target.columns) + s_new:
+            if c in t_only:
+                out_exprs.append(F.col(f"`_t_{c}`").alias(c))
+            elif c in s_new:
+                out_exprs.append(
+                    F.when(
+                        F.col("_src_present").isNotNull(), F.col(f"`_s_{c}`")
+                    )
+                    .otherwise(F.lit(None).cast(s_types[c]))
+                    .alias(c)
+                )
+            else:
+                out_exprs.append(
+                    F.when(
+                        F.col("_src_present").isNotNull(), F.col(f"`_s_{c}`")
+                    )
+                    .otherwise(F.col(f"`_t_{c}`"))
+                    .alias(c)
+                )
+        return {"s_sel": s_sel, "t_cols": t_cols, "cond": cond, "out": out_exprs}
+
+    bundle = expr_memo(
+        (
+            "merge_upsert",
+            tuple(cols),
+            tuple(target.columns),
+            tuple(keys),
+            fields_key(source.schema.fields),
+        ),
+        _build,
     )
-    t_cols = [F.col(f"`{c}`").alias(f"_t_{c}") for c in target.columns]
+
+    s = source.withColumn("_residual_ok", residual_col).select(*bundle["s_sel"])
+    t_cols = bundle["t_cols"]
     if full_sync and delete_condition is not None:
         t = target.withColumn("_del_ok", delete_condition(target)).select(
             F.col("_del_ok"), *t_cols
@@ -138,11 +185,7 @@ def upsert(
     else:
         t = target.select(*t_cols)
 
-    cond = F.col("_residual_ok")
-    for k in keys:
-        cond = cond & F.col(f"`_t_{k}`").eqNullSafe(F.col(f"`_s_{k}`"))
-
-    joined = t.join(s, cond, "full_outer")
+    joined = t.join(s, bundle["cond"], "full_outer")
     if full_sync:
         # WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE: drop
         # target-only rows (those matching delete_condition, if any).
@@ -151,31 +194,9 @@ def upsert(
             keep = keep | ~F.coalesce(F.col("_del_ok"), F.lit(False))
         joined = joined.filter(keep)
     # Output schema: target columns in target order, then source-new
-    # columns in source order (the Delta mergeSchema append rule).
-    s_types = {f.name: f.dataType for f in source.schema.fields}
-    out_exprs = []
-    for c in list(target.columns) + s_new:
-        if c in t_only:
-            # UPDATE SET * touches only source columns: matched rows
-            # retain the target value; inserted rows are null here
-            out_exprs.append(F.col(f"`_t_{c}`").alias(c))
-        elif c in s_new:
-            out_exprs.append(
-                F.when(
-                    F.col("_src_present").isNotNull(), F.col(f"`_s_{c}`")
-                )
-                .otherwise(F.lit(None).cast(s_types[c]))
-                .alias(c)
-            )
-        else:
-            out_exprs.append(
-                F.when(
-                    F.col("_src_present").isNotNull(), F.col(f"`_s_{c}`")
-                )
-                .otherwise(F.col(f"`_t_{c}`"))
-                .alias(c)
-            )
-    return joined.select(*out_exprs)
+    # columns in source order (the Delta mergeSchema append rule) —
+    # built in the memoized bundle above.
+    return joined.select(*bundle["out"])
 
 
 def not_in(column: str, values: list[str]) -> SourcePredicate:

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from lakehouse_tools_spark.functions.memo import expr_memo, fields_key
 from lakehouse_tools_spark.functions.portable import floor6
 from lakehouse_tools_spark.sources.tables import ensure_parallelism
 
@@ -139,20 +140,30 @@ def profile_table(
         # parquet column pruning; the union is one job. Output per
         # branch is the distinct count multiset → tiny. UNION set
         # semantics (cell@8.0:33) = distinct at the end.
+        def _build_aw() -> dict:
+            return {
+                "count": F.count(F.lit(1)).alias("_n"),
+                "selects": [
+                    [
+                        F.lit(database).alias("databaseName"),
+                        F.lit(table).alias("tableName"),
+                        F.lit(f.name).alias("columnName"),
+                        F.lit(f.dataType.simpleString()).alias("dataType"),
+                        F.lit(f.name).alias("value"),
+                        F.col("_n").cast("float").alias("num_records"),
+                        F.lit(float(len(f.name))).alias("len"),
+                    ]
+                    for f in fields
+                ],
+            }
+
+        aw = expr_memo(
+            ("profile_table_aw", database, table, fields_key(fields)), _build_aw
+        )
         parts = []
-        for f in fields:
+        for f, sel in zip(fields, aw["selects"]):
             parts.append(
-                df.groupBy(F.col(f"`{f.name}`"))
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .select(
-                    F.lit(database).alias("databaseName"),
-                    F.lit(table).alias("tableName"),
-                    F.lit(f.name).alias("columnName"),
-                    F.lit(f.dataType.simpleString()).alias("dataType"),
-                    F.lit(f.name).alias("value"),
-                    F.col("_n").cast("float").alias("num_records"),
-                    F.lit(float(len(f.name))).alias("len"),
-                )
+                df.groupBy(F.col(f"`{f.name}`")).agg(aw["count"]).select(*sel)
             )
         out = parts[0]
         for p in parts[1:]:
@@ -161,10 +172,43 @@ def profile_table(
     if mode != "intended":
         raise ValueError(f"unknown profile mode: {mode!r}")
 
-    branches = []
-    for f in fields:
-        branches.append(F.lit(f.name))
-        branches.append(stable_string(F.col(f"`{f.name}`"), f.dataType))
+    # every Column below depends only on (names, types, database,
+    # table, top_k) — memoize the built bundle so repeated calls
+    # (bench reps, multi-table profile loops, re-profiles) skip the
+    # several hundred py4j round trips of rebuilding it (functions/
+    # memo.py; the expressions are object-identical, not re-created)
+    def _build() -> dict:
+        branches = []
+        for f in fields:
+            branches.append(F.lit(f.name))
+            branches.append(stable_string(F.col(f"`{f.name}`"), f.dataType))
+        dtype_map = F.create_map(
+            *[
+                x
+                for f in fields
+                for x in (F.lit(f.name), F.lit(f.dataType.simpleString()))
+            ]
+        )
+        return {
+            "melt": F.stack(F.lit(len(fields)), *branches).alias(
+                "columnName", "value"
+            ),
+            "count": F.count(F.lit(1)).alias("_n"),
+            "select": [
+                F.lit(database).alias("databaseName"),
+                F.lit(table).alias("tableName"),
+                F.col("columnName"),
+                dtype_map[F.col("columnName")].alias("dataType"),
+                F.col("value"),
+                F.col("_n").cast("float").alias("num_records"),
+            ],
+            "len": F.length("value").cast("float"),
+        }
+
+    bundle = expr_memo(
+        ("profile_table", database, table, top_k, fields_key(fields)), _build
+    )
+
     # the melt multiplies rows ×len(fields) and renders every value to
     # text BEFORE the aggregate's map-side combine — spread the scan
     # size-aware (expansion = the melt multiplier) so each task's
@@ -175,13 +219,9 @@ def profile_table(
     # restored to ~linear by this sizing — SCALING.md r07)
     melted = ensure_parallelism(
         df.select(*[f"`{f.name}`" for f in fields]), expansion=len(fields)
-    ).select(
-        F.stack(F.lit(len(fields)), *branches).alias("columnName", "value")
-    )
+    ).select(bundle["melt"])
 
-    counts = melted.groupBy("columnName", "value").agg(
-        F.count(F.lit(1)).alias("_n")
-    )
+    counts = melted.groupBy("columnName", "value").agg(bundle["count"])
 
     if top_k is not None:
         w = Window.partitionBy("columnName").orderBy(
@@ -193,20 +233,9 @@ def profile_table(
             .drop("_rn")
         )
 
-    dtype_map = F.create_map(
-        *[x for f in fields for x in (F.lit(f.name), F.lit(f.dataType.simpleString()))]
-    )
+    base = counts.select(*bundle["select"])
 
-    base = counts.select(
-        F.lit(database).alias("databaseName"),
-        F.lit(table).alias("tableName"),
-        F.col("columnName"),
-        dtype_map[F.col("columnName")].alias("dataType"),
-        F.col("value"),
-        F.col("_n").cast("float").alias("num_records"),
-    )
-
-    return base.withColumn("len", F.length("value").cast("float"))
+    return base.withColumn("len", bundle["len"])
 
 
 SUMMARY_SCHEMA = T.StructType(
@@ -251,68 +280,97 @@ def profile_summary(
     if not fields:
         return df.sparkSession.createDataFrame([], SUMMARY_SCHEMA)
 
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for f in fields:
-        c = F.col(f"`{f.name}`")
-        aggs.append(
-            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long").alias(f"_nulls_{f.name}")
-        )
-        aggs.append(stable_string(F.min(c), f.dataType).alias(f"_min_{f.name}"))
-        aggs.append(stable_string(F.max(c), f.dataType).alias(f"_max_{f.name}"))
-        if not exact_distinct:
-            aggs.append(F.approx_count_distinct(c).alias(f"_nd_{f.name}"))
-    wide = df.agg(*aggs)
-
-    branches = []
-    for f in fields:
-        branches.append(F.lit(f.name))
-        branches.append(F.col(f"`_nulls_{f.name}`"))
-        branches.append(F.col(f"`_min_{f.name}`"))
-        branches.append(F.col(f"`_max_{f.name}`"))
-        branches.append(
-            F.lit(None).cast("long") if exact_distinct else F.col(f"`_nd_{f.name}`")
-        )
-    long = wide.select(
-        F.col("_n").alias("n_rows"),
-        F.stack(F.lit(len(fields)), *branches).alias(
-            "columnName", "n_nulls", "min_value", "max_value", "n_distinct"
-        ),
-    )
-
-    if exact_distinct:
+    # name/type-derived Columns only — memoized across calls (see
+    # profile_table / functions/memo.py)
+    def _build() -> dict:
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for f in fields:
+            c = F.col(f"`{f.name}`")
+            aggs.append(
+                F.sum(F.when(c.isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"_nulls_{f.name}")
+            )
+            aggs.append(stable_string(F.min(c), f.dataType).alias(f"_min_{f.name}"))
+            aggs.append(stable_string(F.max(c), f.dataType).alias(f"_max_{f.name}"))
+            if not exact_distinct:
+                aggs.append(F.approx_count_distinct(c).alias(f"_nd_{f.name}"))
+        branches = []
+        for f in fields:
+            branches.append(F.lit(f.name))
+            branches.append(F.col(f"`_nulls_{f.name}`"))
+            branches.append(F.col(f"`_min_{f.name}`"))
+            branches.append(F.col(f"`_max_{f.name}`"))
+            branches.append(
+                F.lit(None).cast("long")
+                if exact_distinct
+                else F.col(f"`_nd_{f.name}`")
+            )
         melt_branches = []
         for f in fields:
             melt_branches.append(F.lit(f.name))
             melt_branches.append(stable_string(F.col(f"`{f.name}`"), f.dataType))
+        dtype_map = F.create_map(
+            *[
+                x
+                for f in fields
+                for x in (F.lit(f.name), F.lit(f.dataType.simpleString()))
+            ]
+        )
+        return {
+            "aggs": aggs,
+            "long": [
+                F.col("_n").alias("n_rows"),
+                F.stack(F.lit(len(fields)), *branches).alias(
+                    "columnName", "n_nulls", "min_value", "max_value", "n_distinct"
+                ),
+            ],
+            "melt": F.stack(F.lit(len(fields)), *melt_branches).alias(
+                "columnName", "value"
+            ),
+            "nd": F.count_distinct(F.col("value")).alias("_nd_exact"),
+            "select": [
+                F.lit(database).alias("databaseName"),
+                F.lit(table).alias("tableName"),
+                F.col("columnName"),
+                dtype_map[F.col("columnName")].alias("dataType"),
+                F.col("n_rows"),
+                F.col("n_nulls"),
+                F.col("n_distinct"),
+                F.col("min_value"),
+                F.col("max_value"),
+            ],
+        }
+
+    bundle = expr_memo(
+        (
+            "profile_summary",
+            database,
+            table,
+            exact_distinct,
+            fields_key(fields),
+        ),
+        _build,
+    )
+
+    wide = df.agg(*bundle["aggs"])
+    long = wide.select(*bundle["long"])
+
+    if exact_distinct:
         nd = (
             ensure_parallelism(
                 df.select(*[f"`{f.name}`" for f in fields]),
                 expansion=len(fields),
             )
-            .select(
-                F.stack(F.lit(len(fields)), *melt_branches).alias("columnName", "value")
-            )
+            .select(bundle["melt"])
             .groupBy("columnName")
-            .agg(F.count_distinct(F.col("value")).alias("_nd_exact"))
+            .agg(bundle["nd"])
         )
         long = long.drop("n_distinct").join(nd, "columnName", "left").withColumn(
             "n_distinct", F.col("_nd_exact")
         )
 
-    dtype_map = F.create_map(
-        *[x for f in fields for x in (F.lit(f.name), F.lit(f.dataType.simpleString()))]
-    )
-    return long.select(
-        F.lit(database).alias("databaseName"),
-        F.lit(table).alias("tableName"),
-        F.col("columnName"),
-        dtype_map[F.col("columnName")].alias("dataType"),
-        F.col("n_rows"),
-        F.col("n_nulls"),
-        F.col("n_distinct"),
-        F.col("min_value"),
-        F.col("max_value"),
-    )
+    return long.select(*bundle["select"])
 
 
 QUANTILE_SCHEMA = T.StructType(

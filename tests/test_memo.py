@@ -1,0 +1,56 @@
+"""functions/memo.py: driver-side Column-bundle memoization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_expr_memo_returns_same_bundle_and_respects_key(spark):
+    from lakehouse_tools_spark.functions.memo import expr_memo
+
+    calls = []
+
+    def build_a():
+        calls.append("a")
+        return [F.lit(1).alias("x")]
+
+    b1 = expr_memo(("t", "k1"), build_a)
+    b2 = expr_memo(("t", "k1"), build_a)
+    assert b1 is b2  # memo hit: identical objects, builder ran once
+    assert calls == ["a"]
+    b3 = expr_memo(("t", "k2"), lambda: [F.lit(2).alias("y")])
+    assert b3 is not b1
+
+
+def test_memoized_operators_identical_across_calls(spark, tables):
+    # the memoized profile/upsert bundles must produce the same rows
+    # on the second call (which serves cached Columns) as the first
+    from lakehouse_tools_spark.operators.merge import upsert
+    from lakehouse_tools_spark.operators.profile import (
+        profile_summary,
+        profile_table,
+    )
+
+    li = tables["nation"]
+    r1 = sorted(map(tuple, profile_table(li, "db", "nation").collect()))
+    r2 = sorted(map(tuple, profile_table(li, "db", "nation").collect()))
+    assert r1 == r2
+    s1 = sorted(map(tuple, profile_summary(li, "db", "nation").collect()))
+    s2 = sorted(map(tuple, profile_summary(li, "db", "nation").collect()))
+    assert s1 == s2
+
+    tgt = tables["region"].limit(3)
+    src = tables["region"]
+    m1 = sorted(map(tuple, upsert(tgt, src, ["r_regionkey"]).collect()))
+    m2 = sorted(map(tuple, upsert(tgt, src, ["r_regionkey"]).collect()))
+    assert m1 == m2
+    assert len(m1) == src.count()
+
+
+def test_fields_key_distinguishes_types(spark, tables):
+    from lakehouse_tools_spark.functions.memo import fields_key
+
+    a = fields_key(tables["nation"].schema.fields)
+    b = fields_key(tables["region"].schema.fields)
+    assert a != b
+    assert a == fields_key(tables["nation"].schema.fields)
