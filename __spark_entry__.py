@@ -896,6 +896,7 @@ def q_quantile_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     very ones ``numeric_quantiles`` builds, via the shared
     ``quantile_sketch_exprs``, so the audit still exercises the
     production aggregate)."""
+    from lakehouse_tools_spark.functions.memo import expr_memo, fields_key
     from lakehouse_tools_spark.operators.profile import quantile_sketch_exprs
 
     s = _spark(spark)
@@ -903,56 +904,68 @@ def q_quantile_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for t, cols in _QUANT_COLS.items():
         df = load_table(s, sf_dir, t).select(*[c for c, _ in cols])
-        bracket_qs = F.array(
-            *[
-                F.lit(float(p + d))
-                for p in probs
-                for d in (-_QERR_EPS, _QERR_EPS)
+        fields = df.schema.fields
+
+        def _build(t=t, cols=cols, fields=fields) -> dict:
+            bracket_qs = F.array(
+                *[
+                    F.lit(float(p + d))
+                    for p in probs
+                    for d in (-_QERR_EPS, _QERR_EPS)
+                ]
+            )
+            aggs = [
+                *quantile_sketch_exprs(fields),
+                *[
+                    F.percentile(F.col(c), bracket_qs).alias(f"_b_{c}")
+                    for c, _ in cols
+                ],
             ]
+            branches = []
+            for c, _ in cols:
+                q = F.col(f"`_q_{c}`")
+                b = F.col(f"`_b_{c}`")
+                branches.append(F.lit(c))
+                for i in range(3):
+                    branches.append(q[i].cast("double"))
+                for i in range(6):
+                    branches.append(F.round(b[i].cast("double"), 6))
+            within = None
+            for p, q in zip(("25", "50", "75"), ("q25", "q50", "q75")):
+                ok = (F.col(q) >= F.col(f"lo{p}")) & (F.col(q) <= F.col(f"hi{p}"))
+                within = ok if within is None else (within & ok)
+            return {
+                "aggs": aggs,
+                "long": F.stack(F.lit(len(cols)), *branches).alias(
+                    "columnName",
+                    "q25",
+                    "q50",
+                    "q75",
+                    "lo25",
+                    "hi25",
+                    "lo50",
+                    "hi50",
+                    "lo75",
+                    "hi75",
+                ),
+                "select": [
+                    F.lit(t).alias("tableName"),
+                    F.col("columnName"),
+                    F.col("lo25"),
+                    F.col("hi25"),
+                    F.col("lo50"),
+                    F.col("hi50"),
+                    F.col("lo75"),
+                    F.col("hi75"),
+                    within.alias("within_bracket"),
+                ],
+            }
+
+        bundle = expr_memo(
+            ("q_quantile_error_report", t, fields_key(fields)), _build
         )
-        wide = df.agg(
-            *quantile_sketch_exprs(df.schema.fields),
-            *[F.percentile(F.col(c), bracket_qs).alias(f"_b_{c}") for c, _ in cols],
-        )
-        branches = []
-        for c, _ in cols:
-            q = F.col(f"`_q_{c}`")
-            b = F.col(f"`_b_{c}`")
-            branches.append(F.lit(c))
-            for i in range(3):
-                branches.append(q[i].cast("double"))
-            for i in range(6):
-                branches.append(F.round(b[i].cast("double"), 6))
-        long = wide.select(
-            F.stack(F.lit(len(cols)), *branches).alias(
-                "columnName",
-                "q25",
-                "q50",
-                "q75",
-                "lo25",
-                "hi25",
-                "lo50",
-                "hi50",
-                "lo75",
-                "hi75",
-            )
-        )
-        within = None
-        for p, q in zip(("25", "50", "75"), ("q25", "q50", "q75")):
-            ok = (F.col(q) >= F.col(f"lo{p}")) & (F.col(q) <= F.col(f"hi{p}"))
-            within = ok if within is None else (within & ok)
         parts.append(
-            long.select(
-                F.lit(t).alias("tableName"),
-                F.col("columnName"),
-                "lo25",
-                "hi25",
-                "lo50",
-                "hi50",
-                "lo75",
-                "hi75",
-                within.alias("within_bracket"),
-            )
+            df.agg(*bundle["aggs"]).select(bundle["long"]).select(*bundle["select"])
         )
     out = parts[0]
     for p in parts[1:]:

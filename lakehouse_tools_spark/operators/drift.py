@@ -29,34 +29,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from lakehouse_tools_spark.functions.memo import expr_memo
+
 
 def _bin_counts(
     df: DataFrame, fields, stats, bins: int
 ) -> DataFrame:
     """Melt numeric columns to (columnName, bin) counts using the
     provided baseline stats; values outside [min, max] clamp to the
-    edge bins."""
-    branches = []
-    for f in fields:
-        mn, mx = stats[f"_mn_{f.name}"], stats[f"_mx_{f.name}"]
-        x = F.col(f"`{f.name}`").cast("double")
-        w = (mx - mn) / bins
-        if w == 0.0:
-            b = F.when(x.isNotNull(), F.lit(0).cast("long"))
-        else:
-            b = F.least(
-                F.greatest(
-                    F.floor((x - F.lit(mn)) / F.lit(w)).cast("long"), F.lit(0)
-                ),
-                F.lit(bins - 1).cast("long"),
-            )
-        branches.extend([F.lit(f.name), b])
-    melted = df.select(
-        F.stack(F.lit(len(fields)), *branches).alias("columnName", "bin")
-    ).filter(F.col("bin").isNotNull())
-    return melted.groupBy("columnName", "bin").agg(
-        F.count(F.lit(1)).alias("cnt")
+    edge bins. The melt expression is memoized on (schema, bounds,
+    bins) — same baseline -> memo hit, changed data -> fresh build
+    (functions/memo.py)."""
+    bounds_key = tuple(
+        (f.name, stats[f"_mn_{f.name}"], stats[f"_mx_{f.name}"]) for f in fields
     )
+
+    def _build():
+        branches = []
+        for f in fields:
+            mn, mx = stats[f"_mn_{f.name}"], stats[f"_mx_{f.name}"]
+            x = F.col(f"`{f.name}`").cast("double")
+            w = (mx - mn) / bins
+            if w == 0.0:
+                b = F.when(x.isNotNull(), F.lit(0).cast("long"))
+            else:
+                b = F.least(
+                    F.greatest(
+                        F.floor((x - F.lit(mn)) / F.lit(w)).cast("long"), F.lit(0)
+                    ),
+                    F.lit(bins - 1).cast("long"),
+                )
+            branches.extend([F.lit(f.name), b])
+        return {
+            "melt": F.stack(F.lit(len(fields)), *branches).alias(
+                "columnName", "bin"
+            ),
+            "count": F.count(F.lit(1)).alias("cnt"),
+        }
+
+    bundle = expr_memo(("drift_bin_counts", bins, bounds_key), _build)
+    melted = df.select(bundle["melt"]).filter(F.col("bin").isNotNull())
+    return melted.groupBy("columnName", "bin").agg(bundle["count"])
 
 
 def histogram_drift(

@@ -394,14 +394,22 @@ def quantile_sketch_exprs(
     """The GK-sketch aggregate expressions :func:`numeric_quantiles`
     builds (one ``percentile_approx`` per column, aliased ``_q_<col>``)
     — exposed so audit queries can fuse them into a wider single-scan
-    aggregate alongside their exact-bracket expressions."""
-    qs = F.array(*[F.lit(float(p)) for p in probs])
-    return [
-        F.percentile_approx(F.col(f"`{f.name}`"), qs, F.lit(accuracy)).alias(
-            f"_q_{f.name}"
-        )
-        for f in fields
-    ]
+    aggregate alongside their exact-bracket expressions. Memoized per
+    (fields, probs, accuracy) like every schema-derived bundle."""
+
+    def _build() -> list:
+        qs = F.array(*[F.lit(float(p)) for p in probs])
+        return [
+            F.percentile_approx(F.col(f"`{f.name}`"), qs, F.lit(accuracy)).alias(
+                f"_q_{f.name}"
+            )
+            for f in fields
+        ]
+
+    return expr_memo(
+        ("quantile_sketch_exprs", tuple(probs), accuracy, fields_key(fields)),
+        _build,
+    )
 
 
 def numeric_quantiles(
@@ -426,29 +434,40 @@ def numeric_quantiles(
     if not fields:
         return df.sparkSession.createDataFrame([], QUANTILE_SCHEMA)
     wide = df.agg(*quantile_sketch_exprs(fields, probs, accuracy))
-    branches = []
-    for f in fields:
-        q = F.col(f"`_q_{f.name}`")
-        branches.append(F.lit(f.name))
-        for i in range(3):
-            branches.append(q[i].cast("double"))
-    long = wide.select(
-        F.stack(F.lit(len(fields)), *branches).alias(
-            "columnName", "q25", "q50", "q75"
+
+    def _build() -> dict:
+        branches = []
+        for f in fields:
+            q = F.col(f"`_q_{f.name}`")
+            branches.append(F.lit(f.name))
+            for i in range(3):
+                branches.append(q[i].cast("double"))
+        dtype_map = F.create_map(
+            *[
+                x
+                for f in fields
+                for x in (F.lit(f.name), F.lit(f.dataType.simpleString()))
+            ]
         )
+        return {
+            "long": F.stack(F.lit(len(fields)), *branches).alias(
+                "columnName", "q25", "q50", "q75"
+            ),
+            "select": [
+                F.lit(database).alias("databaseName"),
+                F.lit(table).alias("tableName"),
+                F.col("columnName"),
+                dtype_map[F.col("columnName")].alias("dataType"),
+                F.col("q25"),
+                F.col("q50"),
+                F.col("q75"),
+            ],
+        }
+
+    bundle = expr_memo(
+        ("numeric_quantiles", database, table, fields_key(fields)), _build
     )
-    dtype_map = F.create_map(
-        *[x for f in fields for x in (F.lit(f.name), F.lit(f.dataType.simpleString()))]
-    )
-    return long.select(
-        F.lit(database).alias("databaseName"),
-        F.lit(table).alias("tableName"),
-        F.col("columnName"),
-        dtype_map[F.col("columnName")].alias("dataType"),
-        F.col("q25"),
-        F.col("q50"),
-        F.col("q75"),
-    )
+    return wide.select(bundle["long"]).select(*bundle["select"])
 
 
 def numeric_quantiles_exact(
@@ -482,36 +501,53 @@ def numeric_quantiles_exact(
     ]
     if not fields:
         return df.sparkSession.createDataFrame([], QUANTILE_SCHEMA)
-    qs = F.array(*[F.lit(float(p)) for p in probs])
-    wide = df.agg(
-        *[
+    def _build() -> dict:
+        qs = F.array(*[F.lit(float(p)) for p in probs])
+        aggs = [
             F.percentile(F.col(f"`{f.name}`"), qs).alias(f"_q_{f.name}")
             for f in fields
         ]
-    )
-    branches = []
-    for f in fields:
-        q = F.col(f"`_q_{f.name}`")
-        branches.append(F.lit(f.name))
-        for i in range(3):
-            branches.append(F.round(q[i].cast("double"), 6))
-    long = wide.select(
-        F.stack(F.lit(len(fields)), *branches).alias(
-            "columnName", "q25", "q50", "q75"
+        branches = []
+        for f in fields:
+            q = F.col(f"`_q_{f.name}`")
+            branches.append(F.lit(f.name))
+            for i in range(3):
+                branches.append(F.round(q[i].cast("double"), 6))
+        dtype_map = F.create_map(
+            *[
+                x
+                for f in fields
+                for x in (F.lit(f.name), F.lit(f.dataType.simpleString()))
+            ]
         )
+        return {
+            "aggs": aggs,
+            "long": F.stack(F.lit(len(fields)), *branches).alias(
+                "columnName", "q25", "q50", "q75"
+            ),
+            "select": [
+                F.lit(database).alias("databaseName"),
+                F.lit(table).alias("tableName"),
+                F.col("columnName"),
+                dtype_map[F.col("columnName")].alias("dataType"),
+                F.col("q25"),
+                F.col("q50"),
+                F.col("q75"),
+            ],
+        }
+
+    bundle = expr_memo(
+        (
+            "numeric_quantiles_exact",
+            database,
+            table,
+            tuple(probs),
+            fields_key(fields),
+        ),
+        _build,
     )
-    dtype_map = F.create_map(
-        *[x for f in fields for x in (F.lit(f.name), F.lit(f.dataType.simpleString()))]
-    )
-    return long.select(
-        F.lit(database).alias("databaseName"),
-        F.lit(table).alias("tableName"),
-        F.col("columnName"),
-        dtype_map[F.col("columnName")].alias("dataType"),
-        F.col("q25"),
-        F.col("q50"),
-        F.col("q75"),
-    )
+    wide = df.agg(*bundle["aggs"])
+    return wide.select(bundle["long"]).select(*bundle["select"])
 
 
 def numeric_correlations(
@@ -609,23 +645,21 @@ def numeric_outliers(
     # keeps a value→count map per AGGREGATE EXPRESSION, so the scalar
     # per-p form buffered and merged every column twice — measured 2x
     # on the quartile pass (optimization r12: 4.6 s → 2.3 s for 4
-    # lineitem measure columns at sf0.1, element values bit-identical)
-    quarts = df.agg(
-        *[
-            F.percentile(
-                F.col(c), F.array(F.lit(0.25), F.lit(0.75))
-            ).alias(f"_qq_{c}")
+    # lineitem measure columns at sf0.1, element values bit-identical).
+    # All Columns are (cols, k, db, table)-derived — memoized.
+    def _build() -> dict:
+        quart_aggs = [
+            F.percentile(F.col(c), F.array(F.lit(0.25), F.lit(0.75))).alias(
+                f"_qq_{c}"
+            )
             for c in cols
         ]
-    ).select(
-        *[
+        quart_sel = [
             F.round(F.col(f"`_qq_{c}`")[i], 6).alias(f"_q{tag}_{c}")
             for c in cols
             for i, tag in ((0, "1"), (1, "3"))
         ]
-    )
-    counts = df.crossJoin(F.broadcast(quarts)).agg(
-        *[
+        count_aggs = [
             e
             for c in cols
             for e in (
@@ -649,32 +683,42 @@ def numeric_outliers(
                 F.first(f"_q3_{c}").alias(f"_fq3_{c}"),
             )
         ]
+        branches = []
+        for c in cols:
+            iqr = F.col(f"_fq3_{c}") - F.col(f"_fq1_{c}")
+            branches.extend(
+                [
+                    F.lit(c),
+                    F.round(F.col(f"_fq1_{c}") - k * iqr, 6),
+                    F.round(F.col(f"_fq3_{c}") + k * iqr, 6),
+                    F.col(f"_n_{c}").cast("long"),
+                    F.col(f"_cnt_{c}").cast("long"),
+                ]
+            )
+        return {
+            "quart_aggs": quart_aggs,
+            "quart_sel": quart_sel,
+            "count_aggs": count_aggs,
+            "long": F.stack(F.lit(len(cols)), *branches).alias(
+                "columnName", "lo_fence", "hi_fence", "n_outliers", "n_values"
+            ),
+            "select": [
+                F.lit(database).alias("databaseName"),
+                F.lit(table).alias("tableName"),
+                F.col("columnName"),
+                F.col("lo_fence"),
+                F.col("hi_fence"),
+                F.col("n_outliers"),
+                F.col("n_values"),
+            ],
+        }
+
+    bundle = expr_memo(
+        ("numeric_outliers", database, table, tuple(cols), k), _build
     )
-    branches = []
-    for c in cols:
-        iqr = F.col(f"_fq3_{c}") - F.col(f"_fq1_{c}")
-        branches.extend(
-            [
-                F.lit(c),
-                F.round(F.col(f"_fq1_{c}") - k * iqr, 6),
-                F.round(F.col(f"_fq3_{c}") + k * iqr, 6),
-                F.col(f"_n_{c}").cast("long"),
-                F.col(f"_cnt_{c}").cast("long"),
-            ]
-        )
-    return counts.select(
-        F.stack(F.lit(len(cols)), *branches).alias(
-            "columnName", "lo_fence", "hi_fence", "n_outliers", "n_values"
-        )
-    ).select(
-        F.lit(database).alias("databaseName"),
-        F.lit(table).alias("tableName"),
-        "columnName",
-        "lo_fence",
-        "hi_fence",
-        "n_outliers",
-        "n_values",
-    )
+    quarts = df.agg(*bundle["quart_aggs"]).select(*bundle["quart_sel"])
+    counts = df.crossJoin(F.broadcast(quarts)).agg(*bundle["count_aggs"])
+    return counts.select(bundle["long"]).select(*bundle["select"])
 
 
 def grouped_quantiles(
@@ -733,33 +777,51 @@ def clip_outliers(
     """
     if not cols:
         return df
+
     # array-of-probabilities form: one percentile buffer per column,
-    # not per (column, probability) — see numeric_outliers
-    quarts = df.agg(
-        *[
-            F.percentile(
-                F.col(c), F.array(F.lit(0.25), F.lit(0.75))
-            ).alias(f"_qq_{c}")
-            for c in cols
-        ]
-    ).select(
-        *[
-            F.round(F.col(f"`_qq_{c}`")[i], 6).alias(f"_q{tag}_{c}")
-            for c in cols
-            for i, tag in ((0, "1"), (1, "3"))
-        ]
-    )
+    # not per (column, probability) — see numeric_outliers. Columns
+    # are (cols, k)-derived — memoized.
+    def _build() -> dict:
+        return {
+            "quart_aggs": [
+                F.percentile(F.col(c), F.array(F.lit(0.25), F.lit(0.75))).alias(
+                    f"_qq_{c}"
+                )
+                for c in cols
+            ],
+            "quart_sel": [
+                F.round(F.col(f"`_qq_{c}`")[i], 6).alias(f"_q{tag}_{c}")
+                for c in cols
+                for i, tag in ((0, "1"), (1, "3"))
+            ],
+            "clips": [
+                (
+                    c,
+                    F.when(
+                        F.col(c)
+                        < F.col(f"_q1_{c}")
+                        - k * (F.col(f"_q3_{c}") - F.col(f"_q1_{c}")),
+                        F.col(f"_q1_{c}")
+                        - k * (F.col(f"_q3_{c}") - F.col(f"_q1_{c}")),
+                    )
+                    .when(
+                        F.col(c)
+                        > F.col(f"_q3_{c}")
+                        + k * (F.col(f"_q3_{c}") - F.col(f"_q1_{c}")),
+                        F.col(f"_q3_{c}")
+                        + k * (F.col(f"_q3_{c}") - F.col(f"_q1_{c}")),
+                    )
+                    .otherwise(F.col(c)),
+                )
+                for c in cols
+            ],
+        }
+
+    bundle = expr_memo(("clip_outliers", tuple(cols), k), _build)
+    quarts = df.agg(*bundle["quart_aggs"]).select(*bundle["quart_sel"])
     out = df.crossJoin(F.broadcast(quarts))
-    for c in cols:
-        iqr = F.col(f"_q3_{c}") - F.col(f"_q1_{c}")
-        lo = F.col(f"_q1_{c}") - k * iqr
-        hi = F.col(f"_q3_{c}") + k * iqr
-        out = out.withColumn(
-            c,
-            F.when(F.col(c) < lo, lo)
-            .when(F.col(c) > hi, hi)
-            .otherwise(F.col(c)),
-        )
+    for c, clip in bundle["clips"]:
+        out = out.withColumn(c, clip)
     return out.drop(
         *[f"_q{tag}_{c}" for c in cols for tag in ("1", "3")]
     )
@@ -865,44 +927,57 @@ def numeric_histogram(
         *[F.min(F.col(f"`{f.name}`").cast("double")).alias(f"_mn_{f.name}") for f in fields],
         *[F.max(F.col(f"`{f.name}`").cast("double")).alias(f"_mx_{f.name}") for f in fields],
     ).collect()[0]
-    branches, mn_map, w_map = [], [], []
-    kept = []
-    for f in fields:
-        mn, mx = stats[f"_mn_{f.name}"], stats[f"_mx_{f.name}"]
-        if mn is None:  # all-null column: no histogram rows
-            continue
-        kept.append(f)
-        w = (mx - mn) / bins
-        x = F.col(f"`{f.name}`").cast("double")
-        if w == 0.0:
-            b = F.when(x.isNotNull(), F.lit(0).cast("long"))
-        else:
-            b = F.least(
-                F.floor((x - F.lit(mn)) / F.lit(w)).cast("long"),
-                F.lit(bins - 1).cast("long"),
-            )
-        branches.extend([F.lit(f.name), b])
-        mn_map.extend([F.lit(f.name), F.lit(mn)])
-        w_map.extend([F.lit(f.name), F.lit(w)])
-    if not kept:
+    kept = [f for f in fields if stats[f"_mn_{f.name}"] is not None]
+    if not kept:  # all-null columns: no histogram rows
         return df.sparkSession.createDataFrame([], HISTOGRAM_SCHEMA)
-    melted = df.select(
-        F.stack(F.lit(len(kept)), *branches).alias("columnName", "bin")
-    ).filter(F.col("bin").isNotNull())
-    counts = melted.groupBy("columnName", "bin").agg(
-        F.count(F.lit(1)).alias("cnt")
+
+    # keyed on the COLLECTED bounds as well as the schema: same data
+    # -> same bounds -> memo hit on repeat profiles; changed data ->
+    # new key -> fresh expressions (functions/memo.py)
+    bounds_key = tuple(
+        (f.name, stats[f"_mn_{f.name}"], stats[f"_mx_{f.name}"]) for f in kept
     )
-    mns = F.create_map(*mn_map)[F.col("columnName")]
-    ws = F.create_map(*w_map)[F.col("columnName")]
-    return counts.select(
-        F.lit(database).alias("databaseName"),
-        F.lit(table).alias("tableName"),
-        F.col("columnName"),
-        F.col("bin").cast("int").alias("bin"),
-        (mns + F.col("bin") * ws).alias("lo"),
-        (mns + (F.col("bin") + 1) * ws).alias("hi"),
-        F.col("cnt").cast("long").alias("cnt"),
+
+    def _build() -> dict:
+        branches, mn_map, w_map = [], [], []
+        for f in kept:
+            mn, mx = stats[f"_mn_{f.name}"], stats[f"_mx_{f.name}"]
+            w = (mx - mn) / bins
+            x = F.col(f"`{f.name}`").cast("double")
+            if w == 0.0:
+                b = F.when(x.isNotNull(), F.lit(0).cast("long"))
+            else:
+                b = F.least(
+                    F.floor((x - F.lit(mn)) / F.lit(w)).cast("long"),
+                    F.lit(bins - 1).cast("long"),
+                )
+            branches.extend([F.lit(f.name), b])
+            mn_map.extend([F.lit(f.name), F.lit(mn)])
+            w_map.extend([F.lit(f.name), F.lit(w)])
+        mns = F.create_map(*mn_map)[F.col("columnName")]
+        ws = F.create_map(*w_map)[F.col("columnName")]
+        return {
+            "melt": F.stack(F.lit(len(kept)), *branches).alias(
+                "columnName", "bin"
+            ),
+            "count": F.count(F.lit(1)).alias("cnt"),
+            "select": [
+                F.lit(database).alias("databaseName"),
+                F.lit(table).alias("tableName"),
+                F.col("columnName"),
+                F.col("bin").cast("int").alias("bin"),
+                (mns + F.col("bin") * ws).alias("lo"),
+                (mns + (F.col("bin") + 1) * ws).alias("hi"),
+                F.col("cnt").cast("long").alias("cnt"),
+            ],
+        }
+
+    bundle = expr_memo(
+        ("numeric_histogram", database, table, bins, bounds_key), _build
     )
+    melted = df.select(bundle["melt"]).filter(F.col("bin").isNotNull())
+    counts = melted.groupBy("columnName", "bin").agg(bundle["count"])
+    return counts.select(*bundle["select"])
 
 
 NESTED_SCHEMA = T.StructType(
