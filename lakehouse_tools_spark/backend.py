@@ -10,9 +10,9 @@ blue/green swap stands in for Delta's ACID commit).
 
 Detection is import-based, not install-based: this environment has no
 delta-spark wheel and no PyPI route (``pip download delta-spark`` →
-"No matching distribution found"; re-confirmed 2026-08-16 in round 12
-(DNS resolution to the index fails outright on every retry of
-``pip download delta-spark``; ``import delta`` still absent) —
+"No matching distribution found"; re-confirmed 2026-08-17 late in
+round 12 (DNS resolution to the index fails outright on every retry
+of ``pip download delta-spark``; ``import delta`` still absent) —
 retried once per round since 2026-08-13;
 installing is also out-of-bounds for this build), so the Delta branch
 cannot be exercised here. It is wired so that dropping delta-spark into the
