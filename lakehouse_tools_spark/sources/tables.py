@@ -66,6 +66,22 @@ def _parquet_schema(spark: SparkSession, path: str) -> T.StructType:
     return schema
 
 
+#: In-process memo of the built TABLE-LOAD PLAN (the analyzed JVM
+#: Dataset behind ``load_table`` — a lazy description, never data or
+#: results: every action on a handle served from here recomputes from
+#: the parquet file). Building the plan costs ~20 ms warm per call
+#: (DataFrameReader relation + file index + the normalization
+#: projections); serving a ``toDF()`` clone of the memoized Dataset
+#: costs ~0.2 ms and gives each call a FRESH dataset id, so
+#: column-object self-join disambiguation behaves like any other
+#: single-source self-join (use ``.alias()`` per side — the standard
+#: Spark requirement; pinned in tests). Same key discipline as the
+#: footer-schema memo: (session, abspath, mtime_ns, size), regular
+#: files only — a rewritten file changes the key and rebuilds, and
+#: directory-shaped paths always take the full build.
+_TABLE_PLAN_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Columnar scan; Catalyst prunes/pushes.
 
@@ -73,9 +89,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP_NTZ → TIMESTAMP (the session is pinned to UTC so the
     reinterpretation is the identity), and registered nanos columns →
     TIMESTAMP via floor-to-micros.
+
+    Repeat loads of an UNCHANGED regular file serve a clone of the
+    memoized plan (see ``_TABLE_PLAN_CACHE``) — lazy metadata only;
+    joining two loads of the same table needs ``.alias()`` on each
+    side, exactly like any Spark self-join of one DataFrame.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = None
+    try:
+        st = os.stat(path)
+        if os.path.isfile(path):
+            key = (spark, os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        pass
+    if key is not None:
+        jdf = _TABLE_PLAN_CACHE.get(key)
+        if jdf is not None:
+            return DataFrame(jdf.toDF(), spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.schema(_parquet_schema(spark, path)).parquet(path)
     for f in df.schema.fields:
         if isinstance(f.dataType, T.TimestampNTZType):
@@ -83,6 +115,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in NANOS_TS_COLUMNS.get(name, ()):
         if isinstance(df.schema[c].dataType, T.LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if key is not None:
+        _TABLE_PLAN_CACHE[key] = df._jdf
     return df
 
 
