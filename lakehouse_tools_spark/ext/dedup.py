@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lakehouse_tools_spark.functions.memo import expr_memo
 from lakehouse_tools_spark.functions.portable import floor6
 
 
@@ -128,12 +129,17 @@ def minhash_wide_from_shingles(shingles: DataFrame, num_hashes: int = 8) -> Data
     relation — lets a pipeline that also needs the shingles (e.g.
     LSH-candidates → Jaccard-verify) compute them ONCE and reuse the
     persisted relation for both consumers."""
-    aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(
-            f"_h{i}"
-        )
-        for i in range(num_hashes)
-    ]
+    # num_hashes fully determines the agg bundle (fixed column names,
+    # seed literals) — memoized like the profiler bundles (r12 §8/§12)
+    aggs = expr_memo(
+        ("minhash_wide_aggs", num_hashes),
+        lambda: [
+            F.min(
+                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))
+            ).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ],
+    )
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
@@ -147,13 +153,18 @@ def minhash_signatures(
     contract; the wide form is what downstream LSH consumes.
     """
     wide = minhash_wide(df, text_col, id_col, num_hashes, k)
-    branches = []
-    for i in range(num_hashes):
-        branches.append(F.lit(i))
-        branches.append(F.col(f"_h{i}"))
+
+    def _build() -> Column:
+        branches = []
+        for i in range(num_hashes):
+            branches.append(F.lit(i))
+            branches.append(F.col(f"_h{i}"))
+        return F.stack(F.lit(num_hashes), *branches).alias(
+            "hash_id", "minhash"
+        )
+
     return wide.select(
-        "doc_id",
-        F.stack(F.lit(num_hashes), *branches).alias("hash_id", "minhash"),
+        "doc_id", expr_memo(("minhash_stack", num_hashes), _build)
     )
 
 
@@ -166,15 +177,21 @@ def lsh_bands_from_wide(
     computed as a plain projection; the only shuffle left in the LSH
     pipeline is the bucket self-join itself.
     """
-    rows = []
-    for b in range(bands):
-        cols = [
-            F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        bucket = F.md5(F.concat_ws("|", F.sort_array(F.array(*cols))))
-        rows.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    def _build() -> Column:
+        rows = []
+        for b in range(bands):
+            cols = [
+                F.col(f"_h{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ]
+            bucket = F.md5(F.concat_ws("|", F.sort_array(F.array(*cols))))
+            rows.append(
+                F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+            )
+        return F.explode(F.array(*rows)).alias("_bb")
+
     return wide.select(
-        "doc_id", F.explode(F.array(*rows)).alias("_bb")
+        "doc_id", expr_memo(("lsh_band_rows", bands, rows_per_band), _build)
     ).select("doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
 
 
@@ -493,19 +510,30 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
             F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("h"),
         )
     )
-    bit_sums = words.groupBy("doc_id").agg(
-        *[
+    # both bundles depend on `bits` alone (fixed column names) —
+    # memoized: the per-bit sum list plus the 5-op-per-bit pack chain
+    # were ~500 py4j round trips ≈ 0.4 s of pure construct per call
+    def _build() -> tuple:
+        aggs = [
             F.sum(
-                F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+                F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) * 2
+                - 1
             ).alias(f"b{b}")
             for b in range(bits)
         ]
-    )
-    sim = F.lit(0).cast("long")
-    for b in range(bits):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        sim = sim.bitwiseOR(F.shiftleft(bit, b))
-    return bit_sums.select("doc_id", sim.alias("simhash"))
+        sim = F.lit(0).cast("long")
+        for b in range(bits):
+            bit = (
+                F.when(F.col(f"b{b}") > 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+            sim = sim.bitwiseOR(F.shiftleft(bit, b))
+        return aggs, sim.alias("simhash")
+
+    aggs, sim = expr_memo(("simhash_bits", bits), _build)
+    bit_sums = words.groupBy("doc_id").agg(*aggs)
+    return bit_sums.select("doc_id", sim)
 
 
 def decontaminate(

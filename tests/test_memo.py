@@ -54,3 +54,36 @@ def test_fields_key_distinguishes_types(spark, tables):
     b = fields_key(tables["region"].schema.fields)
     assert a != b
     assert a == fields_key(tables["nation"].schema.fields)
+
+
+def test_dedup_bundles_memoized_and_stable(spark):
+    # r12 §12: the parameter-only expression bundles in ext.dedup
+    # (simhash bit sums + pack, minhash aggs/stack, LSH band rows)
+    # are served from the memo on repeat calls and give identical
+    # results call-over-call.
+    from pyspark.sql import Row
+
+    from lakehouse_tools_spark.ext.dedup import (
+        minhash_signatures,
+        simhash,
+    )
+    from lakehouse_tools_spark.functions import memo
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma doc {i % 3}") for i in range(9)]
+    )
+    s1 = sorted(map(tuple, simhash(df, "text", "doc_id").collect()))
+    keys = [k for (_gw, k) in memo._MEMO if k and k[0] == "simhash_bits"]
+    assert ("simhash_bits", 32) in keys
+    s2 = sorted(map(tuple, simhash(df, "text", "doc_id").collect()))
+    assert s1 == s2
+
+    m1 = sorted(
+        map(tuple, minhash_signatures(df, "text", "doc_id").collect())
+    )
+    m2 = sorted(
+        map(tuple, minhash_signatures(df, "text", "doc_id").collect())
+    )
+    assert m1 == m2
+    mk = [k for (_gw, k) in memo._MEMO if k and k[0] == "minhash_wide_aggs"]
+    assert ("minhash_wide_aggs", 8) in mk
