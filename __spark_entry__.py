@@ -889,15 +889,23 @@ def q_quantile_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only ``profile_quantiles`` path to a driver-checked
     guarantee.
 
-    Both the GK sketches and the exact brackets are
-    TypedImperativeAggregates, so they build in ONE fused wide
-    aggregate per table — one scan instead of the former
-    sketch-scan + bracket-scan + join (the sketch expressions are the
-    very ones ``numeric_quantiles`` builds, via the shared
-    ``quantile_sketch_exprs``, so the audit still exercises the
-    production aggregate)."""
+    The GK sketches build in the production wide aggregate (the very
+    expressions ``numeric_quantiles`` builds, via the shared
+    ``quantile_sketch_exprs`` — so the audit exercises the production
+    aggregate). The exact ±eps brackets come from the DISTRIBUTED
+    exact-percentile path (``exact_quantile_cells``, optimization
+    r13): the former fused single-scan shape kept an exact
+    ``F.percentile`` value→count buffer per column whose final merge
+    holds every distinct value of a column in ONE reducer's memory —
+    the last unbounded-memory aggregate in the package (guide §5).
+    The two sides join per column (a handful of rows each); the
+    second scan this reintroduces is linear and bounded, which at
+    100 TB is the difference between slower and impossible."""
     from lakehouse_tools_spark.functions.memo import expr_memo, fields_key
-    from lakehouse_tools_spark.operators.profile import quantile_sketch_exprs
+    from lakehouse_tools_spark.operators.profile import (
+        exact_quantile_cells,
+        quantile_sketch_exprs,
+    )
 
     s = _spark(spark)
     probs = (0.25, 0.5, 0.75)
@@ -907,47 +915,27 @@ def q_quantile_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         fields = df.schema.fields
 
         def _build(t=t, cols=cols, fields=fields) -> dict:
-            bracket_qs = F.array(
-                *[
-                    F.lit(float(p + d))
-                    for p in probs
-                    for d in (-_QERR_EPS, _QERR_EPS)
-                ]
-            )
-            aggs = [
-                *quantile_sketch_exprs(fields),
-                *[
-                    F.percentile(F.col(c), bracket_qs).alias(f"_b_{c}")
-                    for c, _ in cols
-                ],
-            ]
             branches = []
             for c, _ in cols:
                 q = F.col(f"`_q_{c}`")
-                b = F.col(f"`_b_{c}`")
                 branches.append(F.lit(c))
                 for i in range(3):
                     branches.append(q[i].cast("double"))
-                for i in range(6):
-                    branches.append(F.round(b[i].cast("double"), 6))
+            bracket_sel = [F.col("columnName")]
+            for i, nm in enumerate(
+                ("lo25", "hi25", "lo50", "hi50", "lo75", "hi75")
+            ):
+                bracket_sel.append(F.round(F.col(f"q{i}"), 6).alias(nm))
             within = None
             for p, q in zip(("25", "50", "75"), ("q25", "q50", "q75")):
                 ok = (F.col(q) >= F.col(f"lo{p}")) & (F.col(q) <= F.col(f"hi{p}"))
                 within = ok if within is None else (within & ok)
             return {
-                "aggs": aggs,
+                "aggs": list(quantile_sketch_exprs(fields)),
                 "long": F.stack(F.lit(len(cols)), *branches).alias(
-                    "columnName",
-                    "q25",
-                    "q50",
-                    "q75",
-                    "lo25",
-                    "hi25",
-                    "lo50",
-                    "hi50",
-                    "lo75",
-                    "hi75",
+                    "columnName", "q25", "q50", "q75"
                 ),
+                "bracket_sel": bracket_sel,
                 "select": [
                     F.lit(t).alias("tableName"),
                     F.col("columnName"),
@@ -964,8 +952,18 @@ def q_quantile_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         bundle = expr_memo(
             ("q_quantile_error_report", t, fields_key(fields)), _build
         )
+        sketch_long = df.agg(*bundle["aggs"]).select(bundle["long"])
+        brackets = exact_quantile_cells(
+            df,
+            [c for c, _ in cols],
+            tuple(p + d for p in probs for d in (-_QERR_EPS, _QERR_EPS)),
+        ).select(*bundle["bracket_sel"])
         parts.append(
-            df.agg(*bundle["aggs"]).select(bundle["long"]).select(*bundle["select"])
+            # left join: the sketch side always carries every column;
+            # an all-null column has no brackets row and must surface
+            # with NULL brackets (what the fused aggregate produced)
+            sketch_long.join(F.broadcast(brackets), "columnName", "left")
+            .select(*bundle["select"])
         )
     out = parts[0]
     for p in parts[1:]:

@@ -470,6 +470,115 @@ def numeric_quantiles(
     return wide.select(bundle["long"]).select(*bundle["select"])
 
 
+def exact_quantile_cells(
+    df: DataFrame,
+    cols: list[str],
+    probs: tuple[float, ...],
+) -> DataFrame:
+    """Distributed EXACT percentiles for many columns in one pass —
+    bit-identical to ``F.percentile(col, array(*probs))`` without its
+    unbounded aggregation buffer. Spark's ``Percentile`` keeps a
+    value→count map per aggregate expression and merges every
+    distinct value of a column into ONE reducer's memory — the last
+    shape in this package that cannot run on a 100 TB
+    high-cardinality column (optimization guide §5).
+
+    Shape (guide §2/§5): melt the columns to (columnName, value)
+    rows — the map-side-combined groupBy compresses the shuffle to
+    DISTINCT values with counts; a per-column cumulative count
+    (streaming ROWS frame over the value-sorted distinct rows — the
+    window sort is disk-backed) assigns each value its rank interval
+    ``[cum−cnt, cum)``; each requested percentile rank picks its
+    bracketing values and interpolates with ``Percentile``'s own
+    arithmetic — ``(higher−pos)·lowerKey + (pos−lower)·higherKey`` at
+    ``pos = p·(n−1)``, evaluated in the same IEEE operation order the
+    JVM aggregate uses, so results are bit-identical (values are
+    compared/grouped after the same cast-to-double ``Percentile``
+    applies in ``toDoubleValue``; double-equal inputs interpolate to
+    the same double either way). Memory is bounded everywhere: the
+    hash aggregate and the window sort both spill; no task ever
+    holds a column's full distinct set. Parallelism: the melt scan
+    and first aggregate are fully parallel; the cumulative pass is
+    one task per column over distinct values only.
+
+    Returns one row per column with ≥1 non-null value:
+    ``(columnName, q0..q{len(probs)−1})`` as doubles — callers
+    left-join a column spine when all-null columns must surface as
+    NULL rows (what ``F.percentile`` yields there).
+    """
+
+    def _build() -> dict:
+        branches = []
+        for c in cols:
+            branches.append(F.lit(c))
+            branches.append(F.col(f"`{c}`").cast("double"))
+        w_cum = (
+            Window.partitionBy("columnName")
+            .orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_n = Window.partitionBy("columnName")
+        ranked = [
+            F.col("columnName"),
+            F.col("value"),
+            F.col("_cnt"),
+            F.sum("_cnt").over(w_cum).alias("_cum"),
+            F.sum("_cnt").over(w_n).alias("_n"),
+        ]
+        aggs = [F.max("_n").alias("_n")]
+        for i, p in enumerate(probs):
+            # rank arithmetic exactly as Percentile.getPercentile:
+            # pos = p * (count − 1); lower/higher = floor/ceil(pos);
+            # value-at-rank r = the row whose [cum−cnt, cum) covers r
+            pos = F.lit(float(p)) * (F.col("_n") - F.lit(1))
+            lo, hi = F.floor(pos), F.ceil(pos)
+            lo_ok = (F.col("_cum") - F.col("_cnt") <= lo) & (F.col("_cum") > lo)
+            hi_ok = (F.col("_cum") - F.col("_cnt") <= hi) & (F.col("_cum") > hi)
+            aggs.append(F.max(F.when(lo_ok, F.col("value"))).alias(f"_lk_{i}"))
+            aggs.append(F.max(F.when(hi_ok, F.col("value"))).alias(f"_hk_{i}"))
+        outs = [F.col("columnName")]
+        for i, p in enumerate(probs):
+            pos = F.lit(float(p)) * (F.col("_n") - F.lit(1))
+            lo, hi = F.floor(pos), F.ceil(pos)
+            lk, hk = F.col(f"_lk_{i}"), F.col(f"_hk_{i}")
+            outs.append(
+                F.when(hi == lo, lk)
+                .when(hk == lk, lk)
+                .otherwise((hi - pos) * lk + (pos - lo) * hk)
+                .alias(f"q{i}")
+            )
+        return {
+            "melt": F.stack(F.lit(len(cols)), *branches).alias(
+                "columnName", "value"
+            ),
+            "ranked": ranked,
+            "aggs": aggs,
+            "outs": outs,
+        }
+
+    bundle = expr_memo(
+        ("exact_quantile_cells", tuple(cols), tuple(probs)), _build
+    )
+    # NO ensure_parallelism guard here, deliberately: this melt only
+    # casts to double (no string render), so the pre-shuffle stage is
+    # I/O-bound, and the r12 partial-agg-spread A/B showed the
+    # round-robin exchange (with its mandatory sort-before-
+    # repartition) costs more than the parallelism returns on these
+    # cheap melts. At real scale inputs arrive with enough splits.
+    melted = (
+        df.select(*[F.col(f"`{c}`") for c in cols])
+        .select(bundle["melt"])
+        .where(F.col("value").isNotNull())
+    )
+    counts = melted.groupBy("columnName", "value").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    ranked = counts.select(*bundle["ranked"])
+    return ranked.groupBy("columnName").agg(*bundle["aggs"]).select(
+        *bundle["outs"]
+    )
+
+
 def numeric_quantiles_exact(
     df: DataFrame,
     database: str,
@@ -477,14 +586,21 @@ def numeric_quantiles_exact(
     probs: tuple[float, ...] = (0.25, 0.5, 0.75),
 ) -> DataFrame:
     """EXACT quartiles per numeric column, same output contract as
-    :func:`numeric_quantiles`. ``F.percentile`` linearly interpolates
-    at rank p·(n−1) — the same definition DuckDB's ``quantile_cont``
-    uses, which is what makes this the oracle-checkable variant
-    (values rounded to 6 decimals on both sides to absorb
-    summation-order float drift). Still ONE wide aggregate over one
-    scan, but exact percentile buffers all values per column in the
-    aggregate state — the sketch variant is the 100 TB default, this
-    one is for moderate tables and for auditing the sketch's error.
+    :func:`numeric_quantiles`. Values linearly interpolate at rank
+    p·(n−1) — the same definition ``F.percentile`` implements and
+    DuckDB's ``quantile_cont`` uses, which is what makes this the
+    oracle-checkable variant (values rounded to 6 decimals on both
+    sides to absorb summation-order float drift).
+
+    Since optimization r13 the quantiles come from the DISTRIBUTED
+    exact path (:func:`exact_quantile_cells` — melt → distinct-value
+    counts → per-column cumulative rank → interpolated rank-pick,
+    bit-identical to the former ``F.percentile`` wide aggregate):
+    the percentile aggregate buffered every distinct value of every
+    column in a single reducer's memory, the one remaining
+    unbounded-memory aggregate in the package (guide §5). The sketch
+    variant (:func:`numeric_quantiles`) is still the cheap 100 TB
+    default; this is the audit path — now with bounded memory.
 
     The output schema labels exactly three quantiles q25/q50/q75, so
     ``probs`` must be exactly three probabilities; non-quartile probs
@@ -501,18 +617,8 @@ def numeric_quantiles_exact(
     ]
     if not fields:
         return df.sparkSession.createDataFrame([], QUANTILE_SCHEMA)
+
     def _build() -> dict:
-        qs = F.array(*[F.lit(float(p)) for p in probs])
-        aggs = [
-            F.percentile(F.col(f"`{f.name}`"), qs).alias(f"_q_{f.name}")
-            for f in fields
-        ]
-        branches = []
-        for f in fields:
-            q = F.col(f"`_q_{f.name}`")
-            branches.append(F.lit(f.name))
-            for i in range(3):
-                branches.append(F.round(q[i].cast("double"), 6))
         dtype_map = F.create_map(
             *[
                 x
@@ -521,18 +627,20 @@ def numeric_quantiles_exact(
             ]
         )
         return {
-            "aggs": aggs,
-            "long": F.stack(F.lit(len(fields)), *branches).alias(
-                "columnName", "q25", "q50", "q75"
-            ),
+            # all-null columns yield no exact_quantile_cells row; the
+            # column spine restores them as NULL-quartile rows (what
+            # the former F.percentile aggregate produced)
+            "spine": F.explode(
+                F.array(*[F.lit(f.name) for f in fields])
+            ).alias("columnName"),
             "select": [
                 F.lit(database).alias("databaseName"),
                 F.lit(table).alias("tableName"),
                 F.col("columnName"),
                 dtype_map[F.col("columnName")].alias("dataType"),
-                F.col("q25"),
-                F.col("q50"),
-                F.col("q75"),
+                F.round(F.col("q0"), 6).alias("q25"),
+                F.round(F.col("q1"), 6).alias("q50"),
+                F.round(F.col("q2"), 6).alias("q75"),
             ],
         }
 
@@ -546,8 +654,11 @@ def numeric_quantiles_exact(
         ),
         _build,
     )
-    wide = df.agg(*bundle["aggs"])
-    return wide.select(bundle["long"]).select(*bundle["select"])
+    cells = exact_quantile_cells(df, [f.name for f in fields], tuple(probs))
+    spine = df.sparkSession.range(1).select(bundle["spine"])
+    return spine.join(F.broadcast(cells), "columnName", "left").select(
+        *bundle["select"]
+    )
 
 
 def numeric_correlations(
@@ -640,22 +751,20 @@ def numeric_outliers(
             " lo_fence double, hi_fence double, n_outliers bigint,"
             " n_values bigint",
         )
-    # ONE percentile buffer per column (array of both probabilities),
-    # not one per (column, probability): Spark's Percentile aggregate
-    # keeps a value→count map per AGGREGATE EXPRESSION, so the scalar
-    # per-p form buffered and merged every column twice — measured 2x
-    # on the quartile pass (optimization r12: 4.6 s → 2.3 s for 4
-    # lineitem measure columns at sf0.1, element values bit-identical).
+    # Quartiles come from the DISTRIBUTED exact path since r13
+    # (exact_quantile_cells — bit-identical to the former wide
+    # F.percentile aggregate, guide §5: no unbounded per-column
+    # value→count buffer in a single reducer). The long (columnName,
+    # q1, q3) relation pivots to the same 1-row wide fence relation
+    # the wide aggregate produced (absent = all-null columns surface
+    # as NULL fences, as before), which broadcasts back over the data
+    # for the conditional-count pass exactly as before.
     # All Columns are (cols, k, db, table)-derived — memoized.
     def _build() -> dict:
-        quart_aggs = [
-            F.percentile(F.col(c), F.array(F.lit(0.25), F.lit(0.75))).alias(
-                f"_qq_{c}"
-            )
-            for c in cols
-        ]
-        quart_sel = [
-            F.round(F.col(f"`_qq_{c}`")[i], 6).alias(f"_q{tag}_{c}")
+        quart_pivot = [
+            F.round(
+                F.max(F.when(F.col("columnName") == c, F.col(f"q{i}"))), 6
+            ).alias(f"_q{tag}_{c}")
             for c in cols
             for i, tag in ((0, "1"), (1, "3"))
         ]
@@ -696,8 +805,7 @@ def numeric_outliers(
                 ]
             )
         return {
-            "quart_aggs": quart_aggs,
-            "quart_sel": quart_sel,
+            "quart_pivot": quart_pivot,
             "count_aggs": count_aggs,
             "long": F.stack(F.lit(len(cols)), *branches).alias(
                 "columnName", "lo_fence", "hi_fence", "n_outliers", "n_values"
@@ -716,7 +824,9 @@ def numeric_outliers(
     bundle = expr_memo(
         ("numeric_outliers", database, table, tuple(cols), k), _build
     )
-    quarts = df.agg(*bundle["quart_aggs"]).select(*bundle["quart_sel"])
+    quarts = exact_quantile_cells(df, list(cols), (0.25, 0.75)).agg(
+        *bundle["quart_pivot"]
+    )
     counts = df.crossJoin(F.broadcast(quarts)).agg(*bundle["count_aggs"])
     return counts.select(bundle["long"]).select(*bundle["select"])
 
@@ -778,19 +888,15 @@ def clip_outliers(
     if not cols:
         return df
 
-    # array-of-probabilities form: one percentile buffer per column,
-    # not per (column, probability) — see numeric_outliers. Columns
-    # are (cols, k)-derived — memoized.
+    # Quartiles via the DISTRIBUTED exact path since r13 (see
+    # numeric_outliers — bit-identical, bounded memory, guide §5).
+    # Columns are (cols, k)-derived — memoized.
     def _build() -> dict:
         return {
-            "quart_aggs": [
-                F.percentile(F.col(c), F.array(F.lit(0.25), F.lit(0.75))).alias(
-                    f"_qq_{c}"
-                )
-                for c in cols
-            ],
-            "quart_sel": [
-                F.round(F.col(f"`_qq_{c}`")[i], 6).alias(f"_q{tag}_{c}")
+            "quart_pivot": [
+                F.round(
+                    F.max(F.when(F.col("columnName") == c, F.col(f"q{i}"))), 6
+                ).alias(f"_q{tag}_{c}")
                 for c in cols
                 for i, tag in ((0, "1"), (1, "3"))
             ],
@@ -818,7 +924,9 @@ def clip_outliers(
         }
 
     bundle = expr_memo(("clip_outliers", tuple(cols), k), _build)
-    quarts = df.agg(*bundle["quart_aggs"]).select(*bundle["quart_sel"])
+    quarts = exact_quantile_cells(df, list(cols), (0.25, 0.75)).agg(
+        *bundle["quart_pivot"]
+    )
     out = df.crossJoin(F.broadcast(quarts))
     for c, clip in bundle["clips"]:
         out = out.withColumn(c, clip)

@@ -265,3 +265,47 @@ def test_equi_depth_buckets_balanced_and_ordered(spark, tables):
     for a, b in zip(by_bucket, by_bucket[1:]):
         assert a.hi <= b.lo
         assert a.lo <= a.hi
+
+
+def test_exact_quantile_cells_bit_matches_percentile(spark, tables):
+    """Optimization r13: the distributed exact-percentile path
+    (melt → distinct-value counts → per-column cumulative rank →
+    interpolated rank-pick) must be BIT-identical to Spark's own
+    ``F.percentile`` aggregate — repr equality of the doubles, no
+    tolerance — including endpoints, ties, int columns, and nulls.
+    All-null columns yield no row (callers spine-join them back)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_tools_spark.operators.profile import exact_quantile_cells
+
+    probs = (0.0, 0.25, 1.0 / 3.0, 0.5, 0.75, 0.999, 1.0)
+    li = tables["lineitem"]
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_linenumber"]
+    qs = F.array(*[F.lit(float(p)) for p in probs])
+    ref = li.agg(
+        *[F.percentile(F.col(c), qs).alias(c) for c in cols]
+    ).collect()[0]
+    got = {r["columnName"]: r for r in exact_quantile_cells(li, cols, probs).collect()}
+    for c in cols:
+        for i in range(len(probs)):
+            assert repr(float(ref[c][i])) == repr(float(got[c][f"q{i}"])), (
+                c,
+                probs[i],
+            )
+
+    # nulls ignored, ties interpolate identically, all-null absent
+    syn = spark.createDataFrame(
+        [(None, 7.0, 1), (None, 7.0, 1), (None, 3.0, 2)],
+        "a double, b double, c int",
+    )
+    sref = syn.agg(
+        *[F.percentile(F.col(c), qs).alias(c) for c in ("a", "b", "c")]
+    ).collect()[0]
+    sgot = {
+        r["columnName"]: r
+        for r in exact_quantile_cells(syn, ["a", "b", "c"], probs).collect()
+    }
+    assert "a" not in sgot and sref["a"] is None
+    for c in ("b", "c"):
+        for i in range(len(probs)):
+            assert repr(float(sref[c][i])) == repr(float(sgot[c][f"q{i}"]))
