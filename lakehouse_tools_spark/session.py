@@ -58,9 +58,15 @@ DEFAULT_CONFS: dict[str, str] = {
     # (optimization r12, warm min-of-3 construct over 8 declarative
     # queries): 2.18 s → 1.25 s with it disabled — a ~40% cut of the
     # driver-side query-construction tax that §8's expression memo
-    # cannot reach (it is per-API-call, not per-expression). Static
-    # conf: applies to sessions built here; a harness-owned session
-    # keeps its own (default-on) setting.
+    # cannot reach (it is per-API-call, not per-expression). NOTE
+    # (ADVICE r12): this is a Python-side conf that pyspark caches
+    # PROCESS-GLOBALLY on the first DataFrame API call
+    # (is_debugging_enabled), so it must be on the session that is
+    # active at that first call — which builder-time placement here
+    # guarantees for sessions this module creates; setting it later
+    # (e.g. via configure()) succeeds but is a no-op for the already-
+    # cached flag, and a harness-owned session that made DataFrame
+    # calls before importing this package keeps its own setting.
     "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 

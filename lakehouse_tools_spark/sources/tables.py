@@ -11,6 +11,8 @@ so nothing here is fixture-specific except the path layout.
 from __future__ import annotations
 
 import os
+import stat as statmod
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,7 +48,9 @@ NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 #: fixture files. Keyed on (abspath, mtime_ns, size) and restricted
 #: to regular files, so any rewrite of the file invalidates the entry
 #: and directory-shaped tables (whose parts can change without the
-#: dir stat moving) always take the full-inference path.
+#: dir stat moving) always take the full-inference path. BOUNDED
+#: (ADVICE r12): on insert, stale stat-keys for the same path are
+#: dropped, so the cache holds at most one schema per distinct path.
 _FOOTER_SCHEMA_CACHE: dict[tuple[str, int, int], T.StructType] = {}
 
 
@@ -56,12 +60,18 @@ def _parquet_schema(spark: SparkSession, path: str) -> T.StructType:
         st = os.stat(path)
     except OSError:
         st = None
-    if st is None or not os.path.isfile(path):
+    # S_ISREG on the ONE stat result — a second isfile() call would
+    # open a TOCTOU window where a path replaced by a directory
+    # between the calls keys a directory as a file (ADVICE r12)
+    if st is None or not statmod.S_ISREG(st.st_mode):
         return spark.read.parquet(path).schema
-    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    abspath = os.path.abspath(path)
+    key = (abspath, st.st_mtime_ns, st.st_size)
     schema = _FOOTER_SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema
+        for k in [k for k in _FOOTER_SCHEMA_CACHE if k[0] == abspath]:
+            del _FOOTER_SCHEMA_CACHE[k]
         _FOOTER_SCHEMA_CACHE[key] = schema
     return schema
 
@@ -78,8 +88,15 @@ def _parquet_schema(spark: SparkSession, path: str) -> T.StructType:
 #: Spark requirement; pinned in tests). Same key discipline as the
 #: footer-schema memo: (session, abspath, mtime_ns, size), regular
 #: files only — a rewritten file changes the key and rebuilds, and
-#: directory-shaped paths always take the full build.
-_TABLE_PLAN_CACHE: dict = {}
+#: directory-shaped paths always take the full build. BOUNDED two
+#: ways (ADVICE r12 / VERDICT r12 item 8): the outer map weak-keys on
+#: the SparkSession, so a stopped-and-dropped session releases every
+#: JVM Dataset it pinned; and on insert, stale stat-keys for the same
+#: path are dropped, so a rewrite never leaves the replaced Dataset
+#: (and its InMemoryFileIndex) pinned for the life of the process.
+_TABLE_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -96,18 +113,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     side, exactly like any Spark self-join of one DataFrame.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # re-assert the nanos conf on EVERY call, cache hits included: the
+    # memoized plan is physically re-planned per action against the
+    # session confs of that moment, so a caller that reset the conf
+    # between loads must see it re-asserted exactly as the pre-memo
+    # code did (ADVICE r12). One cheap local conf call.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     key = None
     try:
         st = os.stat(path)
-        if os.path.isfile(path):
-            key = (spark, os.path.abspath(path), st.st_mtime_ns, st.st_size)
+        # S_ISREG on the single stat result — no isfile() TOCTOU
+        if statmod.S_ISREG(st.st_mode):
+            key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
     except OSError:
         pass
-    if key is not None:
-        jdf = _TABLE_PLAN_CACHE.get(key)
+    per = _TABLE_PLAN_CACHE.get(spark) if key is not None else None
+    if per is not None:
+        jdf = per.get(key)
         if jdf is not None:
             return DataFrame(jdf.toDF(), spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.schema(_parquet_schema(spark, path)).parquet(path)
     for f in df.schema.fields:
         if isinstance(f.dataType, T.TimestampNTZType):
@@ -116,7 +140,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema[c].dataType, T.LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if key is not None:
-        _TABLE_PLAN_CACHE[key] = df._jdf
+        if per is None:
+            per = _TABLE_PLAN_CACHE.setdefault(spark, {})
+        # only the latest stat-key per path survives (ADVICE r12)
+        for k in [k for k in per if k[0] == key[0]]:
+            del per[k]
+        per[key] = df._jdf
     return df
 
 

@@ -73,7 +73,12 @@ def test_dedup_bundles_memoized_and_stable(spark):
         [Row(doc_id=i, text=f"alpha beta gamma doc {i % 3}") for i in range(9)]
     )
     s1 = sorted(map(tuple, simhash(df, "text", "doc_id").collect()))
-    keys = [k for (_gw, k) in memo._MEMO if k and k[0] == "simhash_bits"]
+    keys = [
+        k
+        for per in memo._MEMO.values()
+        for k in per
+        if k and k[0] == "simhash_bits"
+    ]
     assert ("simhash_bits", 32) in keys
     s2 = sorted(map(tuple, simhash(df, "text", "doc_id").collect()))
     assert s1 == s2
@@ -85,5 +90,30 @@ def test_dedup_bundles_memoized_and_stable(spark):
         map(tuple, minhash_signatures(df, "text", "doc_id").collect())
     )
     assert m1 == m2
-    mk = [k for (_gw, k) in memo._MEMO if k and k[0] == "minhash_wide_aggs"]
+    mk = [
+        k
+        for per in memo._MEMO.values()
+        for k in per
+        if k and k[0] == "minhash_wide_aggs"
+    ]
     assert ("minhash_wide_aggs", 8) in mk
+
+
+def test_memo_dead_gateway_entries_evicted():
+    # VERDICT r12 item 8: the memo weak-keys on the gateway, so
+    # bundles built against a dead JVM are released when the gateway
+    # object is garbage-collected — no unbounded growth across
+    # session restarts in one process.
+    import gc
+
+    from lakehouse_tools_spark.functions import memo
+
+    class FakeGateway:
+        pass
+
+    gw = FakeGateway()
+    memo._MEMO[gw] = {("dead-key",): "bundle"}
+    assert any(("dead-key",) in per for per in memo._MEMO.values())
+    del gw
+    gc.collect()
+    assert not any(("dead-key",) in per for per in memo._MEMO.values())

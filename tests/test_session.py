@@ -38,16 +38,20 @@ def test_callsite_debugging_disabled(spark):
     per-API-call call-site capture (optimization r12): with it on,
     every DataFrame/Column call pays a Python stack walk plus ~3
     py4j round trips of pure error-message decoration — measured
-    2.18 s → 1.25 s warm construct over 8 declarative queries. Static
-    conf, so it must be pinned at builder time (DEFAULT_CONFS), not
-    in RUNTIME_CONFS."""
+    2.18 s → 1.25 s warm construct over 8 declarative queries. The
+    conf is Python-side and pyspark caches it PROCESS-GLOBALLY on the
+    first DataFrame API call (is_debugging_enabled), so it must be
+    pinned at builder time (DEFAULT_CONFS) — before any DataFrame
+    call — not applied later via configure()."""
     from lakehouse_tools_spark.session import DEFAULT_CONFS, RUNTIME_CONFS
 
     key = "spark.python.sql.dataFrameDebugging.enabled"
     assert DEFAULT_CONFS[key] == "false"
-    # static conf: configure() on a harness-owned session must not
-    # try to set it (it would raise CANNOT_MODIFY_STATIC_CONFIG were
-    # it not excluded — RUNTIME_CONFS is the configure() source map)
+    # excluded from RUNTIME_CONFS (the configure() source map) not
+    # because setting it later would error — spark.conf.set succeeds —
+    # but because pyspark's process-global flag cache makes a late set
+    # a silent no-op; keeping it builder-time-only documents that
+    # (ADVICE r12 wording fix)
     assert key not in RUNTIME_CONFS
     # and the shared test session (built by get_session) carries it
     assert spark.conf.get(key) == "false"
