@@ -97,8 +97,21 @@ def test_emit_roundtrip_over_real_table():
     assert len(line) <= 1900
     out = json.loads(line)
     assert out["metric"] == "e2e_profile_sec"
-    # every flagship rides along with a fully-populated 7-tuple
-    assert set(out["scaling"]) == set(bench.SCALING_EVIDENCE["sec"])
+    # VERDICT r12 item 5: a STABLE top-10 queries map survives the
+    # trim (the driver's per-query PERF comparison needs n_common>0
+    # round-over-round), and it is exactly the slowest 10+
+    ranked = sorted(timings, key=timings.get, reverse=True)
+    assert len(out["queries"]) >= 10
+    assert set(out["queries"]) == set(ranked[: len(out["queries"])])
+    # the line points at the committed full record
+    assert out["detail_file"] == "BENCH_DETAIL.json"
+    # the flagships that still fit ride along with full 7-tuples; the
+    # cut (if any) is counted — the full table stays in BENCH_DETAIL
+    assert set(out["scaling"]) <= set(bench.SCALING_EVIDENCE["sec"])
+    assert (
+        len(out["scaling"]) + out.get("scaling_omitted", 0)
+        == len(bench.SCALING_EVIDENCE["sec"])
+    )
     for q, row in out["scaling"].items():
         assert len(row) == 7
         assert all(v is not None for v in row), f"{q}: {row}"

@@ -1,8 +1,9 @@
 """Capture ``.explain("formatted")`` output for declared queries.
 
-Writes ``plans/r12/<query>_<tag>.txt`` for each named query — the
-optimization round's plan evidence (the judge checks plan claims in
-OPTIMIZATION_r12.md against these files). Usage::
+Writes ``plans/$PLANS_ROUND/<query>_<tag>.txt`` (default round r13)
+for each named query — the optimization round's plan evidence (the
+judge checks plan claims in OPTIMIZATION_r13.md against these
+files). Usage::
 
     python tools/explain_capture.py <tag> <query> [query ...]
     python tools/explain_capture.py <tag> --top   # the standing list
@@ -56,7 +57,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        os.environ.get("PLANS_ROUND", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session(
