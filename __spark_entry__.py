@@ -4621,7 +4621,13 @@ def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 4.7 s → 7.6 s with persist+cold-cache race at sf0.1).
     exact = X_sim.cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
     # the IVF branch's default centroids ARE the k-means seeds — one
-    # collect instead of two identical scan+collect jobs (r12)
+    # collect instead of two identical scan+collect jobs (r12).
+    # r13 NOTE: folding the seed fetch into the first Lloyd job (a
+    # data-derived broadcast centroid array + one tagged-union
+    # collect) was built, proven bit-identical, and MEASURED WORSE —
+    # 27 → 29 jobs and +0.7 s warm at sf0.1: the broadcast build and
+    # the duplicated seed subtree cost two jobs where the fold saved
+    # one collect. Reverted per the measure-first discipline.
     seeds = X_sim.seed_centroids(emb, 8)
     cents = X_sim.kmeans_refine_centroids(emb, seeds, iters=2)
     methods = {

@@ -20,6 +20,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lakehouse_tools_spark.functions.memo import expr_memo
 from lakehouse_tools_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
 
 
@@ -349,38 +350,60 @@ def with_ivf_cell(
     # C×dim driver↔JVM calls (~1.2 s at 8×64) before the query even
     # starts. CAST('<repr>' AS DOUBLE) round-trips the exact IEEE
     # value. ConstantFolding collapses the whole tree to one Literal.
-    def _d(x: float) -> str:
-        return f"CAST('{float(x)!r}' AS DOUBLE)"
+    # The whole bundle (cmat + lambdas + argmax) is memoized per
+    # (vec_col, centroid values) — the r12 §8 mechanism, here with a
+    # correctly DATA-keyed key (same discipline as the histogram-bin
+    # memo): changed centroids rebuild, repeat assignments against
+    # the same centroid set (k-means iterations, corpus+query sides,
+    # bench reps) reuse ~0.14 s of py4j construct per call.
+    def _build() -> dict:
+        def _d(x: float) -> str:
+            return f"CAST('{float(x)!r}' AS DOUBLE)"
 
-    cmat = F.expr(
-        "array("
-        + ",".join(
-            "struct(array("
-            + ",".join(_d(x) for x in cv)
-            + f") as c, {_d(_seq_norm(cv))} as n)"
-            for cv in centroids
+        cmat = F.expr(
+            "array("
+            + ",".join(
+                "struct(array("
+                + ",".join(_d(x) for x in cv)
+                + f") as c, {_d(_seq_norm(cv))} as n)"
+                for cv in centroids
+            )
+            + ")"
         )
-        + ")"
+        vec = F.col(vec_col)
+        # the row norm rides in as a zip_with ARGUMENT (array_repeat),
+        # not as a column referenced inside the lambda: CollapseProject
+        # inlines a once-referenced column into the lambda body, where
+        # the interpreted HOF re-evaluates it per element — the 64-dim
+        # norm fold ran once per CENTROID per row (measured 1.94 s vs
+        # 1.09 s for the heavier exact scoring pass at sf0.1,
+        # optimization r12). An argument is evaluated once per row
+        # wherever it is inlined; the division arithmetic is
+        # unchanged, so cosines stay bit-identical.
+        norms = F.array_repeat(l2_norm(vec), len(centroids))
+        return {
+            "coss": F.zip_with(
+                cmat,
+                norms,
+                lambda s, nv: F.round(
+                    dot_product(vec, s["c"]) / (nv * s["n"]), 6
+                ),
+            ),
+            "cell": (
+                F.array_position("_coss", F.array_max("_coss")) - 1
+            ).cast("long"),
+        }
+
+    bundle = expr_memo(
+        (
+            "with_ivf_cell",
+            vec_col,
+            tuple(tuple(float(x) for x in cv) for cv in centroids),
+        ),
+        _build,
     )
-    vec = F.col(vec_col)
-    # the row norm rides in as a zip_with ARGUMENT (array_repeat),
-    # not as a column referenced inside the lambda: CollapseProject
-    # inlines a once-referenced column into the lambda body, where the
-    # interpreted HOF re-evaluates it per element — the 64-dim norm
-    # fold ran once per CENTROID per row (measured 1.94 s vs 1.09 s
-    # for the heavier exact scoring pass at sf0.1, optimization r12).
-    # An argument is evaluated once per row wherever it is inlined;
-    # the division arithmetic is unchanged, so cosines stay
-    # bit-identical.
-    norms = F.array_repeat(l2_norm(vec), len(centroids))
-    coss = F.zip_with(
-        cmat,
-        norms,
-        lambda s, nv: F.round(dot_product(vec, s["c"]) / (nv * s["n"]), 6),
-    )
-    out = df.withColumn("_coss", coss).withColumn(
-        out_col,
-        (F.array_position("_coss", F.array_max("_coss")) - 1).cast("long"),
+    out = df.withColumn("_coss", bundle["coss"]).withColumn(
+        out_col, bundle["cell"]
     )
     if out_scores is None:
         return out.drop("_coss")

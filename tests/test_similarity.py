@@ -480,3 +480,4 @@ def test_pca_fit_full_stats_trace_bit_matches_quantized_trace(spark):
     mu = np.array(stats["mean"])
     true_mu = np.stack([r["embedding"] for r in df.collect()]).mean(axis=0)
     assert np.abs(mu - true_mu).max() <= 2.0 / (1 << 20)
+
