@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from lakehouse_tools_spark.ext.dedup import normalize_text
+from lakehouse_tools_spark.ext.dedup import normalize_text, spread_by
 from lakehouse_tools_spark.functions.portable import floor6
 
 #: BPE-ish token pattern: letter runs, digit runs, single other glyph.
@@ -655,9 +655,19 @@ def repetition_signals(
     shorter than a gram size contribute no rows for it and surface
     null fractions (no gram of that size exists — a fact, not a 0).
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    # spread the token rows by doc_id BEFORE the gram expansion
+    # (optimization r13, same guard as winnow_fingerprints): the
+    # per-gram concat_ws/hash work is the CPU cost and a compacted
+    # single-file corpus serialized the whole explode stage onto one
+    # task (stage audit at sf0.1: 4.3 s CPU / 1 task, 2.15 s → 1.05 s
+    # after). hash(doc_id) is also the distribution the per-doc
+    # aggregates downstream want.
+    base = spread_by(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+        ),
+        "doc_id",
     )
     toks = F.col("_toks")
     n = F.size(toks)
