@@ -344,10 +344,16 @@ def _adjacent_pairs(
     of :func:`bigram_counts` and :func:`pmi_bigrams`. Pairs are built
     JVM-side with ``transform`` over token index ranges (the token
     array materialized first, same no-UDF pattern as
-    ``dedup.word_shingles``)."""
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    ``dedup.word_shingles``). The token rows are spread by doc_id
+    before the pair expansion (r13 — same serialization fix as
+    repetition_signals: the concat_ws-per-pair CPU ran on one task
+    for a single-file corpus; stage audit 3.2 s CPU / 1 task)."""
+    base = spread_by(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+        ),
+        "doc_id",
     )
     toks = F.col("_toks")
     n = F.size(toks)
