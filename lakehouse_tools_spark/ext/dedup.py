@@ -84,14 +84,23 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     explode. The token array is materialized in its own projection
     first: lambdas in higher-order functions defeat Catalyst's
     subexpression elimination, so an inline ``split(regexp_replace…)``
-    would be re-evaluated once per shingle (~8× slower, measured).
+    would be re-evaluated once per shingle (~8× slower, measured;
+    safe here because the multi-referenced ``_toks`` blocks
+    CollapseProject from inlining it into the lambdas). The split
+    itself runs AFTER the spread (r13): normalize+split is CPU
+    charged to the pre-shuffle stage, which a single-file corpus runs
+    on one task — shuffling the raw text instead costs the same bytes
+    and tokenizes on every core.
     """
     base = spread_by(
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+            F.col(text_col).alias("_txt"),
         ),
         "doc_id",
+    ).select(
+        "doc_id",
+        F.split(normalize_text(F.col("_txt")), " ").alias("_toks"),
     )
     toks = F.col("_toks")
     n = F.size(toks)
@@ -443,14 +452,15 @@ def winnow_fingerprints(
     # per-char hashing is the CPU cost and must not be serialized by
     # the input file count; and hash(doc_id) is exactly the
     # distribution the rolling window needs, so the ~20× larger
-    # exploded gram stream never shuffles.
+    # exploded gram stream never shuffles. The normalize runs AFTER
+    # the spread (r13) so its regexp is parallel too.
     base = spread_by(
         df.select(
             F.col(id_col).alias("doc_id"),
-            normalize_text(F.col(text_col)).alias("_txt"),
+            F.col(text_col).alias("_raw"),
         ),
         "doc_id",
-    )
+    ).select("doc_id", normalize_text(F.col("_raw")).alias("_txt"))
     txt = F.col("_txt")
     n_grams = F.greatest(F.length(txt) - k + 1, F.lit(1))
     # the gram count is a function of text length — compute it BEFORE
@@ -499,9 +509,13 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         spread_by(
             df.select(
                 F.col(id_col).alias("doc_id"),
-                F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+                F.col(text_col).alias("_raw"),
             ),
             "doc_id",
+        )
+        .select(
+            "doc_id",
+            F.split(normalize_text(F.col("_raw")), " ").alias("_toks"),
         )
         .select("doc_id", F.explode("_toks").alias("w"))
         .distinct()

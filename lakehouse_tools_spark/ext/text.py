@@ -351,9 +351,12 @@ def _adjacent_pairs(
     base = spread_by(
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+            F.col(text_col).alias("_raw"),
         ),
         "doc_id",
+    ).select(
+        "doc_id",
+        F.split(normalize_text(F.col("_raw")), " ").alias("_toks"),
     )
     toks = F.col("_toks")
     n = F.size(toks)
@@ -671,9 +674,12 @@ def repetition_signals(
     base = spread_by(
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+            F.col(text_col).alias("_raw"),
         ),
         "doc_id",
+    ).select(
+        "doc_id",
+        F.split(normalize_text(F.col("_raw")), " ").alias("_toks"),
     )
     toks = F.col("_toks")
     n = F.size(toks)
