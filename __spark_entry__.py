@@ -8858,117 +8858,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver correctness snapshot, which records the
-    # FIRST ~50 entries only. Round-12 window (VERDICT r10 item #2 +
-    # the scripted staleness floor in tools/closing_gate.py, floor
-    # r09 this round): positions 1-43 are the FULL 43-query r08
-    # stale cohort the closing gate enumerates (whole-registry
-    # re-verified against its oracles at sf0.01 in r11 with 0
-    # failures, so the rotation carries no drift risk); positions
-    # 44-45 are the two r12 growth candidates scheduled by the r11
-    # plan comment — ``dedup_cluster_report`` (carrier for the new
-    # ext/dedup.cluster_dedup_report) and ``text_bpe_report``
-    # (carrier for the new ext/text.bpe_fertility_report) — whose
-    # first driver verification lands here, and whose presence makes
-    # the round's two touched operator files freeze-gate-clean by
-    # construction; positions 46-48 pre-rotate three of the eight
-    # q_sim_* freeze-gate carriers (sim_ann_lsh, sim_ann_multiprobe,
-    # sim_ivf_kmeans — all r09 rows, so they satisfy THIS round's
-    # queries()-edit constraint AND trim r13's mandatory load);
-    # position 49 pre-rotates the cheapest remaining r09 row
-    # (corpus_split, 0.18 s in the r11 healthy record); position 50
-    # carries fuzzy_join (r10 row, refreshed EARLY on purpose): the
-    # r12 sweep caught its q-gram blocking degenerating on the sf10
-    # supplier fixture, edit_distance_join was redesigned around
-    # dedup-first deletion-neighborhood blocking, and a changed
-    # operator must have its carrier in-window (freeze gate) plus a
-    # fresh driver row vouching for the post-rewrite semantics.
-    # 43 + 2 + 3 + 1 + 1 = 50: zero spare slots. Done-bar after this
-    # window lands: no registered query's latest driver row is older
-    # than r09, both growth candidates carry r12 rows, and
-    # fuzzy_join's row postdates the rewrite.
+    # FIRST ~50 entries only. Round-13 window (staleness floor r10 per
+    # tools/closing_gate.py + the freeze rule + VERDICT r12 item 2):
     #
-    # r13 rotation plan (arithmetic): after r12 the rows sit at r12
-    # (the 50 below), r09 (the 42-query remainder at position 51+,
-    # events_rolling included — it ceded its planned slot to the
-    # fuzzy_join rewrite carrier), r10 (49), r11 (50). r13's floor
-    # is r10, so the r13 window MUST contain the 42-query r09
-    # remainder plus the three no-oracle error-report companions
-    # sitting at r10 (quantile/summary/sketch_error_report —
-    # evidence rows for the approx trio); 42 + 3 = 45 <= 50 leaves
-    # 5 spare slots. The freeze-gate
-    # carrier for r13's own queries() edit is free: the r09
-    # remainder already contains sim_topk and sim_hard_negatives —
-    # two of the eight carriers rotate in with the mandatory load.
-    # pca_error_report carries an r11 row
-    # and stays legal through r13 (floor r10) — slot it into r14
-    # alongside the r10 cohort rotation.
+    # - positions 1-41: the r09 staleness cohort (latest driver rows
+    #   r09 — the floor makes every one of them mandatory) MINUS
+    #   profile_corr, displaced by the carrier load below
+    #   (--allow-displaced, r08 precedent: the freeze rule outranks
+    #   the staleness floor when both cannot fit; profile_corr's
+    #   operator file is exercised by the nine profiler-family
+    #   carriers in-window, and it rotates first in r14).
+    # - positions 42-50: the carriers this round's changed defs and
+    #   VERDICT r12 item 2 require fresh rows for:
+    #   quantile_error_report (exact bracket rewritten onto the
+    #   distributed percentile path — r13), sim_recall_report (r12
+    #   restructure + r13 note), profile_quantiles_exact /
+    #   profile_outliers (distributed exact-percentile carriers;
+    #   profile_clip sits in the r09 cohort above),
+    #   dedup_winnow_pairs (narrow fingerprint persist),
+    #   dedup_simhash / dedup_minhash / dedup_lsh_pairs (r12
+    #   expression-bundle memos + this round's tokenize-after-spread),
+    #   text_bigrams (_adjacent_pairs spread carrier; text_pmi shares
+    #   the def and stays at 51+).
+    #
+    # r14 rotation plan (arithmetic): after r13 the rows sit at r13
+    # (the 50 below), r10 (the 45-query remainder incl.
+    # summary/sketch_error_report), r11 (48), r12 (47), and r09
+    # (profile_corr alone — the named displacement). r14's floor is
+    # r11, so its window MUST carry profile_corr plus the 45-query
+    # r10 remainder: 46 <= 50 leaves 4 spare slots for r14's own
+    # freeze-gate carriers.
     return {
-        # -- r08 stale cohort: the closing gate's enumerated list,
-        # prior relative order preserved
-        "source_python_datasource": q_source_python_datasource,
-        "profiler_e2e": q_profiler_e2e,
-        "profile_intended": q_profile_intended,
-        "profile_as_written": q_profile_as_written,
-        "profile_histogram": q_profile_histogram,
-        "profile_topk": q_profile_topk,
-        "profiler_incremental": q_profiler_incremental,
-        "neardup_recall_report": q_neardup_recall_report,
-        "corpus_e2e": q_corpus_e2e,
-        "graph_pagerank": q_graph_pagerank,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
-        "profile_distinct_sketch": q_profile_distinct_sketch,
-        "catalog_show_tables": q_catalog_show_tables,
-        "profile_nested": q_profile_nested,
-        "pack_report": q_pack_report,
-        "text_keywords": q_text_keywords,
-        "text_bigrams": q_text_bigrams,
-        "text_logprob": q_text_logprob,
-        "dedup_containment": q_dedup_containment,
-        "sim_centroids": q_sim_centroids,
-        "events_anomaly": q_events_anomaly,
-        "text_pmi": q_text_pmi,
-        "profile_outliers": q_profile_outliers,
-        "source_partitioned": q_source_partitioned,
-        "merge_evolve": q_merge_evolve,
-        "schema_drift": q_schema_drift,
-        "profile_quantiles_grouped": q_profile_quantiles_grouped,
-        "layout_report": q_layout_report,
-        "quality_quarantine": q_quality_quarantine,
-        "source_evolved": q_source_evolved,
-        "asof_nearest": q_asof_nearest,
-        "events_interval_join": q_events_interval_join,
-        "sample_weighted": q_sample_weighted,
-        "dedup_graph_stats": q_dedup_graph_stats,
-        "events_anomaly_rolling": q_events_anomaly_rolling,
-        "events_stream_enrich": q_events_stream_enrich,
-        "sim_cross_contamination": q_sim_cross_contamination,
-        "dedup_winnow_pairs": q_dedup_winnow_pairs,
-        "events_interpolate": q_events_interpolate,
-        # -- r12 growth candidates (VERDICT r10 item #2): first
-        # driver verification + freeze-gate carriers for the two
-        # operator files this round touches
-        "dedup_cluster_report": q_dedup_cluster_report,
-        "text_bpe_report": q_text_bpe_report,
-        # -- r09 pre-rotation: three q_sim_* freeze-gate carriers
-        # for this round's queries() edit, then the two cheapest
-        # remaining r09 rows — all five trim r13's mandatory load
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ann_multiprobe": q_sim_ann_multiprobe,
-        "sim_ivf_kmeans": q_sim_ivf_kmeans,
-        "corpus_split": q_corpus_split,
-        "fuzzy_join": q_fuzzy_join,
-        # --- position 51+: outside the ~50-entry driver snapshot
-        # window, stalest-first (r09 remainder, then the r10 cohort,
-        # then the r11 window freshest-last), prior relative order
-        # preserved within each round group
-        # -- latest driver row r09
         "corpus_budget_select": q_corpus_budget_select,
         "events_stream_sessionize_tws": q_events_stream_sessionize_tws,
-        "profile_corr": q_profile_corr,
         "profile_entropy": q_profile_entropy,
         "sim_pca": q_sim_pca,
         "drift_ks": q_drift_ks,
@@ -9007,7 +8929,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_lsh": q_dedup_clusters_lsh,
         "dedup_exact": q_dedup_exact,
         "setop_nations": q_setop_nations,
-        # -- latest driver row r10
+        "events_rolling": q_events_rolling,
+        "quantile_error_report": q_quantile_error_report,
+        "sim_recall_report": q_sim_recall_report,
+        "profile_quantiles_exact": q_profile_quantiles_exact,
+        "profile_outliers": q_profile_outliers,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "text_bigrams": q_text_bigrams,
+        "profile_corr": q_profile_corr,
         "text_bpe": q_text_bpe,
         "profile_fd": q_profile_fd,
         "events_pattern": q_events_pattern,
@@ -9038,10 +8970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_check": q_quality_check,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_winnow": q_dedup_winnow,
         "events_retention": q_events_retention,
         "sim_topk_pandas": q_sim_topk_pandas,
@@ -9054,13 +8983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join": q_events_stream_join,
         "events_stream_watermark": q_events_stream_watermark,
         "events_stream_dedup": q_events_stream_dedup,
-        # (r09 row — ceded its planned window slot to the fuzzy_join
-        # rewrite carrier; rotates with the r09 remainder in r13)
-        "events_rolling": q_events_rolling,
-        "quantile_error_report": q_quantile_error_report,
         "summary_error_report": q_summary_error_report,
         "sketch_error_report": q_sketch_error_report,
-        # -- latest driver row r11
         "pack_bins": q_pack_bins,
         "dedup_incremental": q_dedup_incremental,
         "source_overlap": q_source_overlap,
@@ -9095,7 +9019,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "pack_chunks": q_pack_chunks,
         "profile_drift": q_profile_drift,
-        "profile_quantiles_exact": q_profile_quantiles_exact,
         "sample_balanced": q_sample_balanced,
         "sample_stratified": q_sample_stratified,
         "scd2_customers": q_scd2_customers,
@@ -9110,8 +9033,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_vocabulary": q_text_vocabulary,
         "pca_error_report": q_pca_error_report,
-        "sim_recall_report": q_sim_recall_report,
+        "source_python_datasource": q_source_python_datasource,
+        "profiler_e2e": q_profiler_e2e,
+        "profile_intended": q_profile_intended,
+        "profile_as_written": q_profile_as_written,
+        "profile_histogram": q_profile_histogram,
+        "profile_topk": q_profile_topk,
+        "profiler_incremental": q_profiler_incremental,
+        "neardup_recall_report": q_neardup_recall_report,
+        "corpus_e2e": q_corpus_e2e,
+        "graph_pagerank": q_graph_pagerank,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "profile_distinct_sketch": q_profile_distinct_sketch,
+        "catalog_show_tables": q_catalog_show_tables,
+        "profile_nested": q_profile_nested,
+        "pack_report": q_pack_report,
+        "text_keywords": q_text_keywords,
+        "text_logprob": q_text_logprob,
+        "dedup_containment": q_dedup_containment,
+        "sim_centroids": q_sim_centroids,
+        "events_anomaly": q_events_anomaly,
+        "text_pmi": q_text_pmi,
+        "source_partitioned": q_source_partitioned,
+        "merge_evolve": q_merge_evolve,
+        "schema_drift": q_schema_drift,
+        "profile_quantiles_grouped": q_profile_quantiles_grouped,
+        "layout_report": q_layout_report,
+        "quality_quarantine": q_quality_quarantine,
+        "source_evolved": q_source_evolved,
+        "asof_nearest": q_asof_nearest,
+        "events_interval_join": q_events_interval_join,
+        "sample_weighted": q_sample_weighted,
+        "dedup_graph_stats": q_dedup_graph_stats,
+        "events_anomaly_rolling": q_events_anomaly_rolling,
+        "events_stream_enrich": q_events_stream_enrich,
+        "sim_cross_contamination": q_sim_cross_contamination,
+        "events_interpolate": q_events_interpolate,
+        "dedup_cluster_report": q_dedup_cluster_report,
+        "text_bpe_report": q_text_bpe_report,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_multiprobe": q_sim_ann_multiprobe,
+        "sim_ivf_kmeans": q_sim_ivf_kmeans,
+        "corpus_split": q_corpus_split,
+        "fuzzy_join": q_fuzzy_join,
     }
+
+
+#: DECLARED AUDIT EXEMPTIONS (VERDICT r12 item: close
+#: profile_distinct_sketch's ``no_oracle``). Exactly four registered
+#: queries are rows-only by construction — their values are
+#: engine-specific sketch/decomposition internals no SQL engine can
+#: replay bit-for-bit — and each is VOUCHED FOR by an oracle-backed
+#: error-report companion that recomputes the exact side in SQL and
+#: hash-asserts the approximation contract (bounds/recall booleans
+#: flip and fail the driver compare on any regression):
+#:
+#:   profile_distinct_sketch  → sketch_error_report   (±5% distinct)
+#:   profile_quantiles        → quantile_error_report (±eps brackets)
+#:   profile_summary_approx   → summary_error_report  (rel-err bound)
+#:   sim_pca                  → pca_error_report      (reconstruction)
+#:
+#: A driver correctness row for one of these four can check rows and
+#: schema but has no oracle hash — scheduling them in the ~50-entry
+#: window buys nothing the companion's row doesn't already assert, so
+#: rotations should place the COMPANION in-window instead (the r13
+#: window carries quantile_error_report; summary/sketch_error_report
+#: rotate with the r10 cohort in r14).
+ROWS_ONLY_AUDIT_COMPANIONS: dict[str, str] = {
+    "profile_distinct_sketch": "sketch_error_report",
+    "profile_quantiles": "quantile_error_report",
+    "profile_summary_approx": "summary_error_report",
+    "sim_pca": "pca_error_report",
+}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -441,3 +441,17 @@ def test_fd_approx_plans_no_expand(spark, tables):
     assert "Expand" not in plan
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_rows_only_audit_exemptions_are_consistent():
+    """Every rows-only (no-oracle) registered query is DECLARED in
+    ROWS_ONLY_AUDIT_COMPANIONS and vouched for by an oracle-backed
+    companion (VERDICT r12: close the no_oracle gap with a declared
+    audit exemption) — and nothing else is exempted."""
+    import __spark_entry__ as E
+
+    rows_only = set(E.queries()) - set(E.oracle_sql())
+    assert rows_only == set(E.ROWS_ONLY_AUDIT_COMPANIONS)
+    for q, companion in E.ROWS_ONLY_AUDIT_COMPANIONS.items():
+        assert companion in E.oracle_sql(), (q, companion)
+        assert companion in E.queries(), (q, companion)
