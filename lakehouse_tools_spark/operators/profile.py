@@ -508,23 +508,6 @@ def exact_quantile_cells(
     """
 
     def _build() -> dict:
-        branches = []
-        for c in cols:
-            branches.append(F.lit(c))
-            branches.append(F.col(f"`{c}`").cast("double"))
-        w_cum = (
-            Window.partitionBy("columnName")
-            .orderBy("value")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        w_n = Window.partitionBy("columnName")
-        ranked = [
-            F.col("columnName"),
-            F.col("value"),
-            F.col("_cnt"),
-            F.sum("_cnt").over(w_cum).alias("_cum"),
-            F.sum("_cnt").over(w_n).alias("_n"),
-        ]
         aggs = [F.max("_n").alias("_n")]
         for i, p in enumerate(probs):
             # rank arithmetic exactly as Percentile.getPercentile:
@@ -548,10 +531,6 @@ def exact_quantile_cells(
                 .alias(f"q{i}")
             )
         return {
-            "melt": F.stack(F.lit(len(cols)), *branches).alias(
-                "columnName", "value"
-            ),
-            "ranked": ranked,
             "aggs": aggs,
             "outs": outs,
         }
@@ -559,12 +538,57 @@ def exact_quantile_cells(
     bundle = expr_memo(
         ("exact_quantile_cells", tuple(cols), tuple(probs)), _build
     )
-    # NO ensure_parallelism guard here, deliberately: this melt only
-    # casts to double (no string render), so the pre-shuffle stage is
-    # I/O-bound, and the r12 partial-agg-spread A/B showed the
-    # round-robin exchange (with its mandatory sort-before-
-    # repartition) costs more than the parallelism returns on these
-    # cheap melts. At real scale inputs arrive with enough splits.
+    ranked = ranked_value_counts(df, cols)
+    return ranked.groupBy("columnName").agg(*bundle["aggs"]).select(
+        *bundle["outs"]
+    )
+
+
+def ranked_value_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """The distinct-value rank relation shared by the exact rank-pick
+    operators (:func:`exact_quantile_cells`,
+    :func:`equi_depth_histogram`): melt ``cols`` to (columnName,
+    value-as-double), drop nulls, count distinct values with map-side
+    combine, and assign each value its rank interval —
+    ``(columnName, value, _cnt, _cum, _n)`` where ``[ _cum−_cnt,
+    _cum )`` is the 0-based sorted-rank range the value occupies and
+    ``_n`` is the column's non-null count. Memory is bounded
+    everywhere (hash aggregate and window sort both spill); the
+    cumulative pass is one task per column over DISTINCT values only.
+
+    NO ensure_parallelism guard on the melt, deliberately: it only
+    casts to double (no string render), so the pre-shuffle stage is
+    I/O-bound, and the r12 partial-agg-spread A/B showed the
+    round-robin exchange (with its mandatory sort-before-repartition)
+    costs more than the parallelism returns on these cheap melts. At
+    real scale inputs arrive with enough splits.
+    """
+
+    def _build() -> dict:
+        branches = []
+        for c in cols:
+            branches.append(F.lit(c))
+            branches.append(F.col(f"`{c}`").cast("double"))
+        w_cum = (
+            Window.partitionBy("columnName")
+            .orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_n = Window.partitionBy("columnName")
+        return {
+            "melt": F.stack(F.lit(len(cols)), *branches).alias(
+                "columnName", "value"
+            ),
+            "ranked": [
+                F.col("columnName"),
+                F.col("value"),
+                F.col("_cnt"),
+                F.sum("_cnt").over(w_cum).alias("_cum"),
+                F.sum("_cnt").over(w_n).alias("_n"),
+            ],
+        }
+
+    bundle = expr_memo(("ranked_value_counts", tuple(cols)), _build)
     melted = (
         df.select(*[F.col(f"`{c}`") for c in cols])
         .select(bundle["melt"])
@@ -573,10 +597,7 @@ def exact_quantile_cells(
     counts = melted.groupBy("columnName", "value").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
-    ranked = counts.select(*bundle["ranked"])
-    return ranked.groupBy("columnName").agg(*bundle["aggs"]).select(
-        *bundle["outs"]
-    )
+    return counts.select(*bundle["ranked"])
 
 
 def numeric_quantiles_exact(
@@ -1286,7 +1307,15 @@ def equi_depth_histogram(
     precomputed edges.
 
     One melt feeds every column through the same two windows —
-    columns sort in parallel, one shuffle total.
+    columns sort in parallel, one shuffle total. (Optimization r13:
+    a rank-pick rewrite over the distinct-value rank relation
+    (:func:`ranked_value_counts`) was built, proven output-identical
+    on every case incl. ties and n < bins, and MEASURED WORSE —
+    2.6→4.1 and 1.9→2.9 s in two A/B pairs at sf0.1: the measure
+    columns are near-unique, so the "distinct" compression saves
+    nothing and the extra groupBy shuffle plus 2·bins conditional
+    aggregates cost more than ntile's single sorted pass. Reverted
+    per the measure-first rule.)
     """
     branches = []
     for c in cols:
