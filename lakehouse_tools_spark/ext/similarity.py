@@ -219,14 +219,16 @@ def neardup_pairs_lsh(
     # (r13): each row pays num_planes × dim dot products, and a
     # single-file corpus ran BOTH sides' projections as one-task
     # stages (stage audit at sf0.1: 2.9 s + 1.0 s on 1 task each).
-    # hash(id) round-robins the CPU across cores; the bucket-keyed
-    # join shuffle downstream is unchanged. At real scale inputs
-    # arrive with enough splits and the guard is the identity.
-    from lakehouse_tools_spark.ext.dedup import spread_by
-
-    base = spread_by(
-        embeddings.select(F.col(id_col), F.col(vec_col)), id_col
-    )
+    # UNLIKE the text-side spread_by sites, nothing downstream keys
+    # on id (the candidate join shuffles by bucket either way), so
+    # this spread is parallelism insurance only — it is the IDENTITY
+    # when the input already has enough splits, never an extra
+    # vector-volume shuffle at scale. Keyed repartition, so no
+    # sort-before-repartition cost locally.
+    base = embeddings.select(F.col(id_col), F.col(vec_col))
+    _cores = base.sparkSession.sparkContext.defaultParallelism
+    if 0 < len(base.inputFiles()) < _cores:
+        base = base.repartition(_cores, id_col)
     a = base.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_va"),
